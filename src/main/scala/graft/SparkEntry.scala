@@ -1,13 +1,566 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algo.{AaAr, AaSmurf, SmurfGen}
+import graft.ext.{Dedup, Multimodal, SimSearch, TextOps}
+import graft.functions.RollingHash.rolling_hash
+import graft.model.Tables
+import graft.ops.{Features, GraphOps, Scoring, Windows}
+
+/** Driver contract (SURVEY §7): one named query per implemented operator
+  * of SURVEY §2, with a DuckDB oracle for every SQL-expressible one.
+  *
+  * Oracle discipline: for every query with an oracleSql entry, the Spark
+  * expression tree and the SQL mirror each other's arithmetic SHAPE
+  * token-for-token (same casts, same division order), so double-typed
+  * results are bit-identical rather than merely close. Integer results are
+  * exact by construction: weights are BIGINT, variance/mean are computed
+  * from exact integer sums (see Features.varPopClosed). fp-order-sensitive
+  * aggregates over doubles (e.g. log-space regressions) are rounded to a
+  * tolerance far above fp-association noise.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.edges(s, dir)
+
+  private val E = Tables.edgesSqlCte
+
+  // a deterministic ≤ ~300-node subgraph for the driver-side iterative
+  // algorithms (MDL reorder); mining stays distributed on the full graph
+  private def smallGraph(s: SparkSession, dir: String): DataFrame =
+    edges(s, dir).filter(col("src") <= 300 && col("dst") <= 300)
+
+  /** Flagship: the full AA-AR change-score pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    AaAr.run(edges(spark, "/root/testdata/sf0.001"),
+      windowSize = 28, sketchNum = 64, backWs = 4, numDst = 3,
+      numTrees = 50)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───── scans / projection / edge model (S1-S7, P1-P5) ─────
+    "q01_edges_scan" -> ((s, dir) => edges(s, dir)),
+    "q02_nodes" -> ((s, dir) => GraphOps.nodes(edges(s, dir))),
+    "q03_binary_edges" -> ((s, dir) => GraphOps.binaryEdges(edges(s, dir))),
+
+    // ───── the 12-feature aggregation (A1-A8, O1) ─────
+    "q04_features" -> ((s, dir) =>
+      Features.accountFeatures(edges(s, dir))),
+    "q05_features_by_window" -> ((s, dir) =>
+      Features.accountFeaturesByWindow(
+        Windows.withWindowId(edges(s, dir), 14, 7))),
+
+    // ───── sliding windows (W1) ─────
+    "q06_window_assign" -> ((s, dir) =>
+      Windows.withWindowId(edges(s, dir), 14, 7)
+        .select(col("src"), col("dst"), col("weight"), col("ts"),
+          col("wid"), col("w_start"))),
+    "q07_busiest_window" -> ((s, dir) =>
+      Windows.withWindowId(edges(s, dir), 14, 7)
+        .groupBy(col("wid")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("n_edges").desc, col("wid").asc).limit(1)),
+
+    // ───── joins: 2-hop smurf candidate mining (J1, J2, P7, A16) ─────
+    "q08_two_hop_pairs" -> ((s, dir) =>
+      GraphOps.twoHopCounts(edges(s, dir), 3)),
+    "q09_two_hop_mids" -> ((s, dir) => {
+      val b = GraphOps.binaryEdges(edges(s, dir))
+      val p = b.select(col("src").as("i"), col("dst").as("m"))
+        .join(b.select(col("src").as("m"), col("dst").as("j")), "m")
+        .select(col("i"), col("j"), col("m").as("mid"))
+      val ok = p.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 3)
+        .select(col("i"), col("j"))
+      p.join(ok, Seq("i", "j"))
+    }),
+
+    // ───── set ops (O1-O3) ─────
+    "q10_pure_receivers" -> ((s, dir) => {
+      val e = edges(s, dir)
+      e.select(col("dst").as("id")).distinct()
+        .join(e.select(col("src").as("id")).distinct(), Seq("id"),
+          "left_anti")
+    }),
+
+    // ───── deterministic sampling (P8) ─────
+    "q11_sample_hash" -> ((s, dir) =>
+      edges(s, dir).filter(
+        (col("src") * 31 + col("dst") * 17 + col("weight")) % 97 < 5)),
+
+    // ───── scalar functions (§2.8) ─────
+    "q12_scalar_fns" -> ((s, dir) =>
+      edges(s, dir).groupBy(col("src").as("account"))
+        .agg(sum(col("weight")).as("w"))
+        .select(col("account"),
+          round(log(10.0, col("w").cast("double") + 1.0), 6)
+            .as("log10_w"),
+          round(log(2.0, col("w").cast("double") + 1.0), 6)
+            .as("log2_w"),
+          ceil(log(2.0, col("w").cast("double") + 1.0)).as("ceil_log2_w"),
+          abs(col("w").cast("double") - 1000.0).as("abs_dev"),
+          round(lit(2.0) * log(2.0, col("w").cast("double")) + 1.0, 6)
+            .as("log_star_w"))),
+
+    // ───── power-law fit + log bins (M4, A13) ─────
+    "q13_powerlaw_fit" -> ((s, dir) => {
+      val outs = edges(s, dir).groupBy(col("src").as("account"))
+        .agg(count(lit(1)).cast("double").as("x"),
+          sum(col("weight")).cast("double").as("y"))
+      Scoring.powerlawFit(outs, "x", "y")
+        .select(round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"), col("n"))
+    }),
+    "q14_log_binned_means" -> ((s, dir) => {
+      val outs = edges(s, dir).groupBy(col("src").as("account"))
+        .agg((count(lit(1)) + 1L).as("x"),
+          (sum(col("weight")) + 1L).as("y"))
+      outs.groupBy(ceil(log(2.0, col("x").cast("double")))
+          .as("bin"))
+        .agg(avg(col("y")).as("mean_y"), count(lit(1)).as("n"))
+    }),
+
+    // ───── windowed analytics: top-k + past-position lookup (W3, J3) ─────
+    "q15_topk_parts_per_brand" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val p = Tables.table(s, dir, "part")
+      val rev = li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("p_partkey").asc)
+      rev.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"), col("revenue"))
+    }),
+    "q16_past_position" -> ((s, dir) => {
+      // J3: for each window's top-3 out-weight accounts, the mean of their
+      // feature position over the previous `back`=4 windows (intended
+      // semantics of find_past_pos, AA-AR.py:163-174; the reference's
+      // early-return bug is documented in SURVEY §7.4 and NOT reproduced)
+      val f = Features.accountFeaturesByWindow(
+        Windows.withWindowId(edges(s, dir), 14, 7))
+        .select(col("wid"), col("account"),
+          col("multi_out_degree"), col("total_out_weight"))
+      val w = Window.partitionBy(col("wid"))
+        .orderBy(col("total_out_weight").desc, col("account").asc)
+      val topk = f.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("wid"), col("rnk"), col("account"))
+      val past = f.select(col("wid").as("pwid"), col("account"),
+        col("multi_out_degree").as("pf1"), col("total_out_weight").as("pf2"))
+      topk.join(past,
+          topk("account") === past("account") &&
+            past("pwid") >= topk("wid") - 4 && past("pwid") < topk("wid"),
+          "left")
+        .groupBy(topk("wid"), col("rnk"), topk("account"))
+        .agg(avg(col("pf1").cast("double")).as("past_f1"),
+          avg(col("pf2").cast("double")).as("past_f2"))
+    }),
+
+    // ───── text analysis (extension surface) ─────
+    "q17_text_stats" -> ((s, dir) =>
+      TextOps.qualityFeatures(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("n_chars"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("digit_ratio"), 6).as("digit_ratio"),
+          round(col("distinct_token_ratio"), 6).as("distinct_token_ratio"))),
+    "q18_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"),
+          round(col("quality_score"), 6).as("quality_score"))),
+    "q19_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.table(s, dir, "documents"))),
+    "q20_doc_fingerprint" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))),
+    "q21_bpeish_token_count" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).cast("bigint")
+            .as("n_subtokens"))),
+
+    // ───── dedup family (extension surface) ─────
+    "q22_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.table(s, dir, "documents"))),
+    "q23_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.table(s, dir, "documents"),
+        minJaccard = 0.2)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+          .as("jaccard"))),
+    "q24_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.table(s, dir, "documents"))),
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"),
+        n = 3, minJaccard = 0.05)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q26_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.table(s, dir, "embeddings"),
+        dim = 64, minCos = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
+
+    // ───── similarity search (extension surface) ─────
+    "q27_simsearch_topk" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
+          col("nbr_id"), round(col("cos"), 6).as("cos"))
+    }),
+    "q28_simsearch_lsh" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
+        k = 10)
+        .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
+          col("nbr_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // ───── multimodal plumbing (extension surface) ─────
+    "q29_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.table(s, dir, "documents")))
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("frames_sampled").cast("bigint").as("frames_sampled"))),
+
+    // ───── event-time windows (streaming-shaped batch) ─────
+    // hour emitted as a STRING: a parquet-timestamp output would round-trip
+    // through writer/reader timezone metadata differently in Spark vs
+    // DuckDB; the formatted instant (session TZ = UTC) is representation-
+    // stable on both sides.
+    "q30_events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))),
+
+    // ───── the ML pipelines (M1-M8; rows-only checks by design) ─────
+    "q31_aa_ar_change_scores" -> ((s, dir) =>
+      AaAr.run(edges(s, dir), windowSize = 28, sketchNum = 64,
+        backWs = 4, numDst = 3, numTrees = 50)),
+    "q32_smurf_order" -> ((s, dir) =>
+      AaSmurf.run(s, smallGraph(s, dir), minCount = 3,
+        maxIter = Some(8))),
+    "q33_smurfgen_edges" -> ((s, dir) =>
+      SmurfGen.run(s, smallGraph(s, dir), middleNums = Seq(10),
+        folds = 3)._1),
+    "q34_focus_scores" -> ((s, dir) => {
+      val feats = Features.accountFeaturesByWindow(
+        Windows.withWindowId(edges(s, dir), 28, 14))
+      AaAr.focusScores(feats, numTrees = 50)
+        .groupBy(col("wid"), col("pair_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          round(avg(col("score")), 2).as("avg_score"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_edges_scan" ->
+      s"WITH $E SELECT src, dst, weight, ts FROM edges",
+
+    "q02_nodes" ->
+      s"""WITH $E
+         |SELECT src AS id FROM edges UNION SELECT dst FROM edges""".stripMargin,
+
+    "q03_binary_edges" ->
+      s"WITH $E SELECT DISTINCT src, dst FROM edges",
+
+    "q04_features" -> {
+      val sides = Features.oracleSideSql(Seq.empty)
+      s"""WITH $E,
+         |nodes AS (SELECT src AS account FROM edges UNION SELECT dst FROM edges),
+         |$sides
+         |SELECT n.account,
+         |  coalesce(unique_in_degree, 0) AS unique_in_degree,
+         |  coalesce(multi_in_degree, 0) AS multi_in_degree,
+         |  coalesce(unique_out_degree, 0) AS unique_out_degree,
+         |  coalesce(multi_out_degree, 0) AS multi_out_degree,
+         |  coalesce(total_in_weight, 0) AS total_in_weight,
+         |  coalesce(mean_in_weight, 0.0) AS mean_in_weight,
+         |  coalesce(median_in_weight, 0.0) AS median_in_weight,
+         |  coalesce(var_in_weight, 0.0) AS var_in_weight,
+         |  coalesce(total_out_weight, 0) AS total_out_weight,
+         |  coalesce(mean_out_weight, 0.0) AS mean_out_weight,
+         |  coalesce(median_out_weight, 0.0) AS median_out_weight,
+         |  coalesce(var_out_weight, 0.0) AS var_out_weight
+         |FROM nodes n
+         |LEFT JOIN ins USING (account)
+         |LEFT JOIN outs USING (account)""".stripMargin
+    },
+
+    "q05_features_by_window" -> {
+      s"""WITH $E,
+         |${Windows.sqlCte(14, 7)},
+         |wnodes AS (SELECT wid, src AS account FROM wedges
+         |           UNION SELECT wid, dst FROM wedges),
+         |ins AS (
+         |  SELECT wid, dst AS account,
+         |    count(DISTINCT src) AS unique_in_degree,
+         |    count(*) AS multi_in_degree,
+         |    CAST(sum(weight) AS BIGINT) AS total_in_weight,
+         |    CAST(sum(weight) AS DOUBLE) / count(*) AS mean_in_weight,
+         |    quantile_cont(weight, 0.5) AS median_in_weight,
+         |    (CAST(sum(weight*weight) AS DOUBLE) - CAST(sum(weight) AS DOUBLE) * CAST(sum(weight) AS DOUBLE) / count(*)) / count(*) AS var_in_weight
+         |  FROM wedges GROUP BY 1, 2),
+         |outs AS (
+         |  SELECT wid, src AS account,
+         |    count(DISTINCT dst) AS unique_out_degree,
+         |    count(*) AS multi_out_degree,
+         |    CAST(sum(weight) AS BIGINT) AS total_out_weight,
+         |    CAST(sum(weight) AS DOUBLE) / count(*) AS mean_out_weight,
+         |    quantile_cont(weight, 0.5) AS median_out_weight,
+         |    (CAST(sum(weight*weight) AS DOUBLE) - CAST(sum(weight) AS DOUBLE) * CAST(sum(weight) AS DOUBLE) / count(*)) / count(*) AS var_out_weight
+         |  FROM wedges GROUP BY 1, 2)
+         |SELECT n.wid, n.account,
+         |  coalesce(unique_in_degree, 0) AS unique_in_degree,
+         |  coalesce(multi_in_degree, 0) AS multi_in_degree,
+         |  coalesce(unique_out_degree, 0) AS unique_out_degree,
+         |  coalesce(multi_out_degree, 0) AS multi_out_degree,
+         |  coalesce(total_in_weight, 0) AS total_in_weight,
+         |  coalesce(mean_in_weight, 0.0) AS mean_in_weight,
+         |  coalesce(median_in_weight, 0.0) AS median_in_weight,
+         |  coalesce(var_in_weight, 0.0) AS var_in_weight,
+         |  coalesce(total_out_weight, 0) AS total_out_weight,
+         |  coalesce(mean_out_weight, 0.0) AS mean_out_weight,
+         |  coalesce(median_out_weight, 0.0) AS median_out_weight,
+         |  coalesce(var_out_weight, 0.0) AS var_out_weight
+         |FROM wnodes n
+         |LEFT JOIN ins USING (wid, account)
+         |LEFT JOIN outs USING (wid, account)""".stripMargin
+    },
+
+    "q06_window_assign" ->
+      s"""WITH $E,
+         |${Windows.sqlCte(14, 7)}
+         |SELECT src, dst, weight, ts, wid,
+         |       ts_min + wid * 7 AS w_start
+         |FROM wedges""".stripMargin,
+
+    "q07_busiest_window" ->
+      s"""WITH $E,
+         |${Windows.sqlCte(14, 7)}
+         |SELECT wid, count(*) AS n_edges FROM wedges GROUP BY wid
+         |ORDER BY n_edges DESC, wid ASC LIMIT 1""".stripMargin,
+
+    "q08_two_hop_pairs" ->
+      s"""WITH $E,
+         |b AS (SELECT DISTINCT src, dst FROM edges)
+         |SELECT a.src AS i, c.dst AS j, count(*) AS cnt
+         |FROM b a JOIN b c ON a.dst = c.src
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q09_two_hop_mids" ->
+      s"""WITH $E,
+         |b AS (SELECT DISTINCT src, dst FROM edges),
+         |p AS (SELECT a.src AS i, c.dst AS j, a.dst AS mid
+         |      FROM b a JOIN b c ON a.dst = c.src),
+         |ok AS (SELECT i, j FROM p GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT p.i, p.j, p.mid FROM p JOIN ok USING (i, j)""".stripMargin,
+
+    "q10_pure_receivers" ->
+      s"""WITH $E
+         |SELECT DISTINCT dst AS id FROM edges
+         |EXCEPT SELECT DISTINCT src FROM edges""".stripMargin,
+
+    "q11_sample_hash" ->
+      s"""WITH $E
+         |SELECT src, dst, weight, ts FROM edges
+         |WHERE (src * 31 + dst * 17 + weight) % 97 < 5""".stripMargin,
+
+    "q12_scalar_fns" ->
+      s"""WITH $E,
+         |w AS (SELECT src AS account, CAST(sum(weight) AS BIGINT) AS w
+         |      FROM edges GROUP BY 1)
+         |SELECT account,
+         |  round(log10(CAST(w AS DOUBLE) + 1.0), 6) AS log10_w,
+         |  round(log2(CAST(w AS DOUBLE) + 1.0), 6) AS log2_w,
+         |  CAST(ceil(log2(CAST(w AS DOUBLE) + 1.0)) AS BIGINT) AS ceil_log2_w,
+         |  abs(CAST(w AS DOUBLE) - 1000.0) AS abs_dev,
+         |  round(2.0 * log2(CAST(w AS DOUBLE)) + 1.0, 6) AS log_star_w
+         |FROM w""".stripMargin,
+
+    "q13_powerlaw_fit" ->
+      s"""WITH $E,
+         |o AS (SELECT src AS account,
+         |        CAST(count(*) AS DOUBLE) AS x,
+         |        CAST(sum(weight) AS DOUBLE) AS y
+         |      FROM edges GROUP BY 1),
+         |l AS (SELECT ln(x + 1.0) AS lx, ln(y + 1.0) AS ly FROM o)
+         |SELECT
+         |  round(covar_pop(lx, ly) / var_pop(lx), 6) AS slope,
+         |  round(avg(ly) - covar_pop(lx, ly) / var_pop(lx) * avg(lx), 6) AS intercept,
+         |  round(corr(lx, ly) * corr(lx, ly), 6) AS r2,
+         |  count(*) AS n
+         |FROM l""".stripMargin,
+
+    "q14_log_binned_means" ->
+      s"""WITH $E,
+         |o AS (SELECT src AS account, count(*) + 1 AS x,
+         |        CAST(sum(weight) AS BIGINT) + 1 AS y
+         |      FROM edges GROUP BY 1)
+         |SELECT CAST(ceil(log2(CAST(x AS DOUBLE))) AS BIGINT) AS bin,
+         |       avg(y) AS mean_y, count(*) AS n
+         |FROM o GROUP BY 1""".stripMargin,
+
+    "q15_topk_parts_per_brand" ->
+      s"""WITH rev AS (
+         |  SELECT p_brand, p_partkey,
+         |         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |r AS (SELECT p_brand, p_partkey, revenue,
+         |        CAST(row_number() OVER (PARTITION BY p_brand
+         |          ORDER BY revenue DESC, p_partkey ASC) AS BIGINT) AS rnk
+         |      FROM rev)
+         |SELECT p_brand, rnk, p_partkey, revenue FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q16_past_position" ->
+      s"""WITH $E,
+         |${Windows.sqlCte(14, 7)},
+         |wnodes AS (SELECT wid, src AS account FROM wedges
+         |           UNION SELECT wid, dst FROM wedges),
+         |outs AS (SELECT wid, src AS account, count(*) AS multi_out_degree,
+         |           CAST(sum(weight) AS BIGINT) AS total_out_weight
+         |         FROM wedges GROUP BY 1, 2),
+         |f AS (SELECT n.wid, n.account,
+         |        coalesce(multi_out_degree, 0) AS multi_out_degree,
+         |        coalesce(total_out_weight, 0) AS total_out_weight
+         |      FROM wnodes n LEFT JOIN outs USING (wid, account)),
+         |topk AS (SELECT wid, account,
+         |           CAST(row_number() OVER (PARTITION BY wid
+         |             ORDER BY total_out_weight DESC, account ASC) AS BIGINT) AS rnk
+         |         FROM f QUALIFY rnk <= 3)
+         |SELECT t.wid, t.rnk, t.account,
+         |       avg(CAST(p.multi_out_degree AS DOUBLE)) AS past_f1,
+         |       avg(CAST(p.total_out_weight AS DOUBLE)) AS past_f2
+         |FROM topk t LEFT JOIN f p
+         |  ON p.account = t.account AND p.wid >= t.wid - 4 AND p.wid < t.wid
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q17_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(text) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+         |  round(CAST(len(list_filter(toks, tk -> tk IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio,
+         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_token_ratio
+         |FROM t""".stripMargin,
+
+    "q18_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, tk -> tk IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_token_ratio
+         |  FROM t)
+         |SELECT doc_id,
+         |  round(least(1.0, greatest(0.0,
+         |    0.4 * least(stopword_ratio * 4.0, 1.0) +
+         |    0.3 * distinct_token_ratio +
+         |    0.3 * (1.0 - least(digit_ratio * 5.0, 1.0)))), 6) AS quality_score
+         |FROM f""".stripMargin,
+
+    "q19_lang_id" -> {
+      val lexValues = TextOps.langLexicon
+        .map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+      s"""WITH lex(lex_lang, token) AS (VALUES $lexValues),
+         |toks AS (SELECT doc_id,
+         |           unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |         FROM documents),
+         |hits AS (SELECT doc_id, lex_lang, count(*) AS hits
+         |         FROM toks JOIN lex USING (token) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(hits) AS max_hits FROM hits GROUP BY 1),
+         |pred AS (SELECT h.doc_id, min(h.lex_lang) AS lang_pred
+         |         FROM hits h JOIN best b
+         |           ON h.doc_id = b.doc_id AND h.hits = b.max_hits
+         |         GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred
+         |FROM documents d LEFT JOIN pred p USING (doc_id)""".stripMargin
+    },
+
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS text_hash,
+        |       min(doc_id) AS canonical_doc_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(list_slice(tk, i, i + 2), ' ') AS sh
+         |       FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |co AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         count(*) AS inter
+         |       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b, inter, a.n_sh AS n_a, b.n_sh AS n_b,
+         |        CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
+         |      FROM co JOIN sizes a ON co.doc_a = a.doc_id
+         |              JOIN sizes b ON co.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, inter, n_a, n_b, round(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= 0.05""".stripMargin,
+
+    "q27_simsearch_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |             CAST(embedding AS DOUBLE[]) AS v_q
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS v_c
+         |      FROM embeddings),
+         |s AS (SELECT query_id, nbr_id,
+         |        list_dot_product(v_q, v_c) /
+         |          (sqrt(list_dot_product(v_q, v_q)) * sqrt(list_dot_product(v_c, v_c))) AS cos
+         |      FROM q, c WHERE nbr_id <> query_id),
+         |r AS (SELECT query_id, nbr_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q29_multimodal_meta" ->
+      s"""WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |             CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |                  WHEN doc_id % 3 = 1 THEN 'audio'
+         |                  ELSE 'video' END AS media_type
+         |           FROM documents),
+         |d AS (SELECT doc_id, n_bytes, media_type,
+         |        greatest(1, CAST(floor(sqrt(CAST(n_bytes AS DOUBLE))) AS BIGINT)) AS width
+         |      FROM m),
+         |e AS (SELECT doc_id, n_bytes, media_type, width,
+         |        greatest(1, n_bytes // width) AS height
+         |      FROM d)
+         |SELECT doc_id, n_bytes, width, height,
+         |  CASE WHEN media_type = 'video' THEN greatest(1, height // 64)
+         |       ELSE 1 END AS frames_sampled
+         |FROM e""".stripMargin,
+
+    "q30_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

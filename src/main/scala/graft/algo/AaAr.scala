@@ -1,0 +1,248 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ml.{IForest, LocalSvd}
+import graft.ops.{Features, Scoring, Windows}
+
+/** AA-AR: Attention Routing over a time-evolving transaction graph
+  * (reference pipeline `/root/reference/AA-AR.py:223-267`, SURVEY §3.1).
+  *
+  * Stages, re-expressed Spark-first:
+  *   1. focus plots  — sliding windows (W1) → 12 features/account (A1-A8)
+  *                     → per (window, feature-pair) isolation-forest scores
+  *                     (M3) in one `flatMapGroups` pass;
+  *   2. sketching    — deterministic hash-sampling of (account, pair) cells
+  *                     (P8), greedy column pick (M5), sketch vectors (A11)
+  *                     as one join + keyed aggregation;
+  *   3. change score — trailing window frame (W2) → local SVD direction
+  *                     (M1) → cosine distance (M2) per window.
+  *
+  * The reference runs one joblib fork per window over the whole edge frame
+  * (`AA-AR.py:111-115`); here the window id is a column, so Spark
+  * parallelizes over (window × pair) groups — thousands of independent
+  * tasks at 100 TB instead of n_jobs=4.
+  */
+object AaAr {
+
+  val FN = 12 // feature count → FN*(FN+1)/2 would match `pn`, but only
+  // the 66 strict upper-triangle pairs are ever filled (AA-AR.py:76-77);
+  // we enumerate exactly those (SURVEY §7.4 quirk: pn=78 allocated, 66 used)
+  val pairs: Seq[(Int, Int, Int)] = {
+    var num = -1
+    for (f1 <- 0 until FN; f2 <- (f1 + 1) until FN) yield {
+      num += 1; (num, f1, f2)
+    }
+  }
+
+  /** Per-(window, pair) isolation-forest anomaly scores on
+    * (log10(f1+1), log10(f2+1)) over accounts with both features non-zero
+    * (P6 filter + transform of `AA-AR.py:78-89`).
+    *
+    * Output: (wid, pair_id, account, x, y, score).
+    */
+  def focusScores(featuresByWindow: DataFrame, numTrees: Int = 100,
+                  seed: Long = 0L): DataFrame = {
+    val spark = featuresByWindow.sparkSession
+    import spark.implicits._
+
+    val fcols = Features.featureCols
+    // melt to one row per (wid, account, pair) with both features non-zero
+    val pairStructs = array(pairs.map { case (num, f1, f2) =>
+      struct(lit(num).as("pair_id"),
+        col(fcols(f1)).cast("double").as("xv"),
+        col(fcols(f2)).cast("double").as("yv"))
+    }: _*)
+    val melted = featuresByWindow
+      .select(col("wid"), col("account"), explode(pairStructs).as("p"))
+      .select(col("wid"), col("account"),
+        col("p.pair_id").as("pair_id"), col("p.xv"), col("p.yv"))
+      .filter(col("xv") =!= 0.0 && col("yv") =!= 0.0)
+      .select(col("wid"), col("pair_id"), col("account"),
+        log(10.0, col("xv") + 1.0).as("x"),
+        log(10.0, col("yv") + 1.0).as("y"))
+
+    melted.as[(Long, Int, Long, Double, Double)]
+      .groupByKey { case (wid, pid, _, _, _) => (wid, pid) }
+      .flatMapGroups { (key: (Long, Int),
+                        rows: Iterator[(Long, Int, Long, Double, Double)]) =>
+        val (wid, pid) = key
+        // group = accounts of one window × one feature pair; the forest is
+        // fit on a ψ-subsample so memory here is O(group rows) for the
+        // buffered points only — bounded by accounts-per-window
+        val buf = rows.toArray
+        val pts = buf.map { case (_, _, _, x, y) => Array(x, y) }
+        val forest = IForest.fit(pts, numTrees, 256,
+          seed = seed * 1000003L + wid * 131L + pid)
+        buf.iterator.zip(pts.iterator).map { case ((_, _, acct, x, y), p) =>
+          (wid, pid, acct, x, y, forest.score(p))
+        }
+      }
+      .toDF("wid", "pair_id", "account", "x", "y", "score")
+  }
+
+  /** All (ski, element) pairs where the deterministic coin keeps `element`
+    * in sketch `ski`, built by cross-joining the (small, distinct) element
+    * set with sketch ids — the element sets here are accounts and the 66
+    * pair ids, both tiny next to the edge table.
+    */
+  private def selBySketch(elems: DataFrame, colName: String, sketchNum: Int,
+                          keepProb: Double, seed: Long): DataFrame = {
+    val spark = elems.sparkSession
+    import spark.implicits._
+    elems.crossJoin(broadcast((0 until sketchNum).toDF("ski")))
+      .filter(pmod(xxhash64(col(colName), col("ski"), lit(seed)),
+        lit(1000000L)) < lit((keepProb * 1000000L).toLong))
+      .select(col("ski"), col(colName))
+  }
+
+  /** Full sketching stage: returns (wid, ski, value) sketch table. */
+  def sketches(focus: DataFrame, sketchNum: Int = 256, numDst: Int = 3,
+               sRate: Double = 0.995, dRate: Double = 0.8,
+               seed: Long = 0L): DataFrame = {
+    val spark = focus.sparkSession
+    import spark.implicits._
+
+    val srcSel = selBySketch(focus.select(col("account")).distinct(),
+      "account", sketchNum, 1.0 - sRate, seed)
+    val dstCand = selBySketch(focus.select(col("pair_id")).distinct(),
+      "pair_id", sketchNum, 1.0 - dRate, seed + 7)
+
+    val sumGraph = focus.groupBy(col("account"), col("pair_id"))
+      .agg(sum(col("score")).as("s"))
+
+    // sampled sub-matrix cells → driver for the greedy pick (M5): rows are
+    // (ski, account, pair, s) limited to sampled src × candidate dst
+    val cells = srcSel.join(sumGraph, "account")
+      .join(dstCand, Seq("ski", "pair_id"))
+      .select(col("ski"), col("account"), col("pair_id"), col("s"))
+      .collect()
+    val bySki = cells.groupBy(_.getInt(0))
+    val candBySki = dstCand.collect().groupBy(_.getInt(0))
+      .map { case (k, v) => k -> v.map(_.getInt(1)).sorted }
+
+    val chosen = (0 until sketchNum).flatMap { ski =>
+      val cand = candBySki.getOrElse(ski, Array.empty[Int]).toBuffer
+      val cs = bySki.getOrElse(ski, Array.empty[Row])
+      // account -> (pair -> s)
+      val byAcct = cs.groupBy(_.getLong(1)).map { case (a, rs) =>
+        a -> rs.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var continue = true
+      var steps = math.min(cand.size, numDst)
+      while (steps > 0 && continue) {
+        // greedy: col maximizing Σ_acct max(s over picked+col)
+        var bestIdx = -1
+        var bestS = 0.0
+        for (c <- cand) {
+          val cols = picked :+ c
+          var s = 0.0
+          for ((_, m) <- byAcct) {
+            val mx = cols.iterator.map(cc => m.getOrElse(cc, 0.0))
+              .foldLeft(Double.MinValue)(math.max)
+            if (mx != Double.MinValue) s += mx
+          }
+          if (s > bestS) { bestS = s; bestIdx = c }
+        }
+        // faithful quirk (AA-AR.py:138-146): if no candidate scores > 0 the
+        // reference still removes/appends index 0's value; we instead stop —
+        // documented divergence: empty-score sketches contribute 0 anyway
+        if (bestIdx < 0) continue = false
+        else { cand -= bestIdx; picked += bestIdx; steps -= 1 }
+      }
+      picked.map(p => (ski, p))
+    }
+
+    val chosenDf = broadcast(chosen.toDF("ski", "pair_id"))
+    val srcSelB = broadcast(srcSel)
+
+    // sketch value (A11): Σ over selected (account × pair) cells per window
+    val sk = focus.join(srcSelB, "account")
+      .join(chosenDf, Seq("ski", "pair_id"))
+      .groupBy(col("wid"), col("ski"))
+      .agg(sum(col("score")).as("v"))
+
+    // densify: every (wid, ski) slot, 0 when no selected cell scored
+    val wids = focus.select(col("wid")).distinct()
+    wids.crossJoin(broadcast((0 until sketchNum).toDF("ski")))
+      .join(sk, Seq("wid", "ski"), "left")
+      .select(col("wid"), col("ski"),
+        coalesce(col("v"), lit(0.0)).as("value"))
+  }
+
+  /** Change-score time series (W2 + M1 + M2, `AA-AR.py:234-241`):
+    * per window i ≥ backWs, the cosine distance between the L1-normalized
+    * |principal direction| of the trailing sketch frame
+    * [i−backWs, i−2] and the L1-normalized current sketch. Also emits the
+    * reference's attention coordinate argmax((sk−ev)/ev) (A14).
+    */
+  def changeScores(sketchTable: DataFrame, backWs: Int = 4): DataFrame = {
+    val spark = sketchTable.sparkSession
+    import spark.implicits._
+
+    val svdUdf = udf { (frames: Seq[Seq[Double]]) =>
+      // frames: backWs-1 sketch vectors (rows of S) → S.T is sketch×frames
+      val rows = frames.map(_.toArray).toArray
+      val m = rows.headOption.map(_.length).getOrElse(0)
+      val transposed = Array.tabulate(m, rows.length)((i, j) => rows(j)(i))
+      LocalSvd.principalDirection(transposed)
+    }
+
+    val vecs = sketchTable
+      .groupBy(col("wid"))
+      .agg(array_sort(collect_list(struct(col("ski"), col("value"))))
+        .as("sv"))
+      .select(col("wid"),
+        transform(col("sv"), s => s.getField("value")).as("sketch"))
+
+    val w = Window.orderBy(col("wid")).rowsBetween(-backWs, -2)
+    val rnW = Window.orderBy(col("wid"))
+    val withFrame = vecs
+      .withColumn("frame", collect_list(col("sketch")).over(w))
+      .withColumn("rn", row_number().over(rnW) - 1)
+      .filter(col("rn") >= backWs)
+      .withColumn("ev", svdUdf(col("frame")))
+
+    // ANSI-safe divisions: an all-zero sketch (no scored cell selected in
+    // any sketch of a window) or a zero ev coordinate would raise
+    // DIVIDE_BY_ZERO under Spark 4's default ANSI mode. try_divide → null,
+    // and the null-skipping array aggregates treat those coordinates as
+    // contributing nothing — the numpy reference emits inf/nan there and
+    // never selects them either.
+    val l1 = (c: org.apache.spark.sql.Column) =>
+      aggregate(c, lit(0.0), (a, x) => a + x)
+    withFrame
+      .withColumn("evn",
+        transform(col("ev"), x => try_divide(x, l1(col("ev")))))
+      .withColumn("skn",
+        transform(col("sketch"), x => try_divide(x, l1(col("sketch")))))
+      .withColumn("change_score",
+        coalesce(
+          lit(1.0) - try_divide(Scoring.dotProduct(
+              transform(col("evn"), x => coalesce(x, lit(0.0))),
+              transform(col("skn"), x => coalesce(x, lit(0.0)))),
+            Scoring.l2Norm(transform(col("evn"), x => coalesce(x, lit(0.0)))) *
+              Scoring.l2Norm(transform(col("skn"), x => coalesce(x, lit(0.0))))),
+          lit(0.0)))
+      .withColumn("ratio",
+        zip_with(col("skn"), col("evn"), (s, e) => try_divide(s - e, e)))
+      .withColumn("max_coord",
+        coalesce(array_position(col("ratio"), array_max(col("ratio"))) - 1,
+          lit(-1L)))
+      .select(col("wid"), col("change_score"), col("max_coord"))
+  }
+
+  /** End-to-end: edges → change scores. */
+  def run(edges: DataFrame, windowSize: Int = 14, sketchNum: Int = 256,
+          backWs: Int = 4, numDst: Int = 3, numTrees: Int = 100,
+          seed: Long = 0L): DataFrame = {
+    val wedges = Windows.withWindowId(edges, windowSize, windowSize / 2)
+    val feats = Features.accountFeaturesByWindow(wedges)
+    val focus = focusScores(feats, numTrees, seed)
+    val sk = sketches(focus, sketchNum, numDst, seed = seed)
+    changeScores(sk, backWs)
+  }
+}

@@ -1,0 +1,237 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.parallel.CollectionConverters._
+
+/** AA-Smurf: MDL-guided reordering that isolates fan-out/fan-in "smurf"
+  * blocks (reference `/root/reference/AA-Smurf.py:86-181`, SURVEY §3.2).
+  *
+  * Two phases with very different scale profiles:
+  *
+  *   1. CANDIDATE MINING — distributed. 2-hop pairs with ≥ c intermediaries
+  *      (`AA-Smurf.py:102-110`) = the sparse boolean matmul, expressed as a
+  *      self-join + count (GraphOps.twoHopMids). This is the part that
+  *      touches |E| and must scale; it shuffles once on the middle vertex
+  *      and once on the (i, j) pair.
+  *
+  *   2. GREEDY MDL REORDERING — an iterative program *over* the candidate
+  *      subgraph (`AA-Smurf.py:116-158`). Each iteration tentatively
+  *      appends one candidate block and scores the full reordered matrix's
+  *      description length. The matrix that matters is induced by candidate
+  *      endpoints + intermediaries — by construction a tiny, heavily
+  *      connected core (the reference's own eval graphs are ≤ a few
+  *      thousand nodes). We collect that induced subgraph once and run the
+  *      loop on bitset adjacency with all driver cores scoring candidates
+  *      in parallel (the joblib n_jobs=4 of `AA-Smurf.py:138` becomes a
+  *      parallel collection over 32 threads). At 100 TB, mining stays in
+  *      Spark; reordering a dense-block core is inherently a
+  *      small-data/driver algorithm, like the final step of MLlib's
+  *      iterative algorithms.
+  *
+  * Faithful quirks preserved (SURVEY §7.4): MDL's D-block encodes ZEROS and
+  * excludes the last row/col (`AA-Smurf.py:74-75`); block slices `s+1:e`,
+  * `s:e-1` etc. are half-open exactly as numpy; model selection returns the
+  * iteration *before* the first within 10% of the final MDL
+  * (`AA-Smurf.py:162`), where index −1 wraps to the last iteration.
+  */
+object AaSmurf {
+
+  /** Universal code length for a positive real (`AA-Smurf.py:16-26`). */
+  def logStar(x: Double): Double = 2.0 * (math.log(x) / math.log(2.0)) + 1.0
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Local adjacency on contiguous ids 0..n-1. */
+  final class Adj(val n: Int) {
+    val out: Array[java.util.BitSet] =
+      Array.fill(n)(new java.util.BitSet(n))
+    def add(i: Int, j: Int): Unit = out(i).set(j)
+    def has(i: Int, j: Int): Boolean = out(i).get(j)
+    /** # of 1-cells in rows `rows` restricted to cols `cols` (both as
+      * positions in `order`). */
+    def countBlock(order: Array[Int], r0: Int, r1: Int, c0: Int,
+                   c1: Int): Long = {
+      var cnt = 0L
+      var i = r0
+      while (i < r1) {
+        val row = out(order(i))
+        var j = c0
+        while (j < c1) {
+          if (row.get(order(j))) cnt += 1
+          j += 1
+        }
+        i += 1
+      }
+      cnt
+    }
+  }
+
+  final case class MdlResult(mdl: Double, purity: Double)
+
+  /** Description length of the matrix under `order` with pattern starts
+    * `start` and counts (n_patterns, n_mids, n_receivers) — the semantics
+    * of `compute_mdl` (`AA-Smurf.py:44-84`) over bitset adjacency. `order`
+    * must already be extended to all n nodes.
+    */
+  def computeMdl(adj: Adj, order: Array[Int], start: Array[Int],
+                 count: Array[Int]): MdlResult = {
+    val n = adj.n
+    var mdl = 0.0
+    val purities = Array.ofDim[Double](start.length - 1)
+    var idx = 1
+    while (idx < start.length) {
+      val s = start(idx - 1)
+      val e = start(idx) - 1
+      val k = e - s + 1
+      // e1: edges among intermediaries (rows s+1..e-1, cols s..e-2)
+      val e1 = adj.countBlock(order, s + 1, e, s, e - 1) *
+        (2.0 * math.ceil(log2(k - 1.0)))
+      // e2/e3: cross edges below/right of the block, excluding last row/col
+      val bits = math.ceil(log2(n.toDouble)) + math.ceil(log2((n - k).toDouble))
+      val e2 = adj.countBlock(order, e + 1, n - 1, s, e) * bits
+      val e3 = adj.countBlock(order, s, e, e + 1, n - 1) * bits
+      mdl += e1 + e2 + e3
+      val sumAbc = adj.countBlock(order, s, e, s, e) +
+        adj.countBlock(order, e + 1, n - 1, s, e) +
+        adj.countBlock(order, s, e, e + 1, n - 1)
+      purities(idx - 1) =
+        if (sumAbc == 0) 0.0 else (k - 2.0) * 2.0 / sumAbc
+      idx += 1
+    }
+    // D block: count of ZEROS in [start.last, n-1) × [start.last, n-1)
+    val dDim = (n - 1 - start.last).max(0).toLong
+    val dOnes = adj.countBlock(order, start.last, n - 1, start.last, n - 1)
+    mdl += (dDim * dDim - dOnes) * (2.0 * math.ceil(log2(n.toDouble)))
+    // header terms
+    mdl += math.ceil(logStar(count(0).toDouble)) +
+      math.ceil(logStar(count(1).toDouble))
+    mdl += count.map(_.toLong).sum * math.ceil(log2(n.toDouble))
+    mdl += math.ceil(logStar((start.length - 1).toDouble))
+    val pu =
+      if (purities.isEmpty) Double.NaN else purities.sum / purities.length
+    MdlResult(mdl, pu)
+  }
+
+  final case class Candidate(i: Int, j: Int, cnt: Long, mids: Array[Int])
+
+  final case class SmurfModel(
+    order: Array[Int],       // full permutation (node positions)
+    start: Array[Int],       // block start positions
+    mdlTrace: Array[Double], // MDL per committed iteration (incl. init)
+    finalMdl: Double,
+    iterations: Int)
+
+  /** The greedy loop (`AA-Smurf.py:133-163`) over local adjacency +
+    * pre-mined candidates (sorted by 2-hop count desc, `AA-Smurf.py:110`).
+    */
+  def greedyOrder(adj: Adj, candidates: Array[Candidate],
+                  maxIter: Option[Int] = None): SmurfModel = {
+    val n = adj.n
+    val initMdl = {
+      // zeros(A) · 2⌈log2 n⌉ over the FULL matrix (AA-Smurf.py:133)
+      var ones = 0L
+      var i = 0
+      while (i < n) { ones += adj.out(i).cardinality(); i += 1 }
+      math.ceil((n.toLong * n - ones).toDouble) * (2.0 * math.ceil(log2(n.toDouble)))
+    }
+
+    var order = Vector.empty[Int]
+    var start = Vector(0)
+    var count = Array(0, 0, 0)
+    val mdlTrace = scala.collection.mutable.ArrayBuffer(initMdl)
+    val orderTrace = scala.collection.mutable.ArrayBuffer(order)
+    val startTrace = scala.collection.mutable.ArrayBuffer(start)
+    var iter = 0
+    var done = false
+    while (!done) {
+      val prevMdl = mdlTrace.last
+      val inOrder = order.toSet
+      // score every still-applicable candidate in parallel (joblib → par)
+      val scored = candidates.par.flatMap { c =>
+        if (inOrder.contains(c.i) || inOrder.contains(c.j)) None
+        else {
+          val mids = c.mids.filter(m => !inOrder.contains(m) &&
+            m != c.i && m != c.j)
+          if (mids.isEmpty) None
+          else {
+            val tentative = (order :+ c.i) ++ mids :+ c.j
+            val tStart = (start :+ tentative.length).toArray
+            val rest = (0 until n).iterator
+              .filterNot(tentative.toSet).toArray
+            val full = tentative.toArray ++ rest
+            val tCount = Array(count(0) + 1, count(1) + mids.length,
+              count(2) + 1)
+            val r = computeMdl(adj, full, tStart, tCount)
+            if (r.mdl < prevMdl) {
+              val score = (prevMdl - r.mdl) / prevMdl * r.purity
+              Some((score, r.mdl, tentative, tStart, tCount))
+            } else None
+          }
+        }
+      }.toArray
+      if (scored.isEmpty ||
+          maxIter.exists(m => iter > m)) {
+        done = true
+      } else {
+        val best = scored.maxBy(_._1)
+        order = best._3
+        start = best._4.toVector
+        count = best._5
+        mdlTrace += best._2
+        orderTrace += order
+        startTrace += start
+        iter += 1
+        if (maxIter.exists(m => iter > m)) done = true
+      }
+    }
+
+    // model selection: iteration BEFORE the first within 10% of final MDL
+    // (AA-Smurf.py:162); python's idx-1 = -1 wraps to the last element.
+    val finalMdl = mdlTrace.last
+    val firstIdx = mdlTrace.indexWhere(_ < finalMdl * 1.1)
+    val selIdx = if (firstIdx - 1 < 0) mdlTrace.length - 1 else firstIdx - 1
+    val selOrder = orderTrace(selIdx)
+    val selStart = startTrace(selIdx)
+    val inSel = selOrder.toSet
+    val fullOrder = selOrder.toArray ++
+      (0 until n).iterator.filterNot(inSel).toArray
+
+    SmurfModel(fullOrder, selStart.toArray, mdlTrace.toArray,
+      mdlTrace(selIdx), iter)
+  }
+
+  /** End-to-end over an edge DataFrame: mine candidates distributed, then
+    * reorder the induced core locally. Returns the position-labeled node
+    * table `(pos, node, mdl, iterations)`.
+    */
+  def run(spark: SparkSession, edges: DataFrame, minCount: Long = 3,
+          maxIter: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val bin = graft.ops.GraphOps.binaryEdges(edges).cache()
+    val cands = graft.ops.GraphOps.twoHopMids(bin, minCount)
+      .orderBy(col("cnt").desc, col("i"), col("j"))
+      .collect()
+
+    // node universe: SORTED ascending (numpy.unique order, AA-Smurf.py:38)
+    val nodeIds = graft.ops.GraphOps.nodes(bin)
+      .orderBy(col("id")).as[Long].collect()
+    val index = nodeIds.zipWithIndex.toMap
+    val adj = new Adj(nodeIds.length)
+    bin.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      .foreach { case (s, d) => adj.add(index(s), index(d)) }
+    bin.unpersist()
+
+    val candidates = cands.map { r =>
+      Candidate(index(r.getLong(0)), index(r.getLong(1)), r.getLong(2),
+        r.getSeq[Long](3).map(index).toArray)
+    }
+    val model = greedyOrder(adj, candidates, maxIter)
+    val rows = model.order.zipWithIndex.map { case (node, pos) =>
+      (pos.toLong, nodeIds(node), model.finalMdl, model.iterations.toLong)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("pos", "node", "mdl", "iterations")
+  }
+}

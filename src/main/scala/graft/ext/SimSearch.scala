@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scoring
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension surface). Two paths:
+  *
+  *   - brute-force cosine top-k: the exactness baseline. Broadcast the
+  *     (small) query set against the corpus — a broadcast nested-loop of
+  *     |corpus| × |queries| codegen'd dot products, which is the right
+  *     plan whenever queries ≪ corpus (the standard ANN-eval shape);
+  *   - LSH-bucketed top-k: random-hyperplane signatures, candidates only
+  *     from matching buckets (multi-probe over all band matches), then
+  *     exact re-rank within candidates. Sub-linear candidate sets at the
+  *     cost of recall — the 100 TB path.
+  *
+  * Dot products use higher-order functions (zip_with + aggregate), casting
+  * float→double first so scores are deterministic doubles.
+  */
+object SimSearch {
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  /** Exact top-k neighbors for each query vector (excluding self-match).
+    * `queries` and `corpus` both need (vec_id, embedding).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     k: Int = 10): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("v_c"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("v_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", Scoring.cosineSimilarity(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  /** LSH signature with `bands` independent hyperplane groups of
+    * `bitsPerBand` bits each; a candidate matches if ANY band matches
+    * (multi-probe OR-amplification).
+    */
+  private def bandSignatures(df: DataFrame, dim: Int, bands: Int,
+                             bitsPerBand: Int, seed: Int): DataFrame = {
+    val bandCols = (0 until bands).map { band =>
+      val bits = (0 until bitsPerBand).map { p =>
+        val proj = aggregate(
+          zip_with(col("v"), sequence(lit(0), lit(dim - 1)),
+            (x, i) => x * (pmod(xxhash64(lit(band * 97 + p), i, lit(seed)),
+              lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(band).as("band_id"), bits.as("band_hash"))
+    }
+    df.withColumn("band", explode(array(bandCols: _*)))
+      .select(df.columns.map(col) :+ col("band.band_id").as("band_id")
+        :+ col("band.band_hash").as("band_hash"): _*)
+  }
+
+  /** ANN top-k via hyperplane LSH buckets + exact re-rank of candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
+              bands: Int = 4, bitsPerBand: Int = 8,
+              seed: Int = 0): DataFrame = {
+    val c = bandSignatures(
+      corpus.select(col("vec_id").as("nbr_id"),
+        asDouble(col("embedding")).as("v")),
+      dim, bands, bitsPerBand, seed)
+      .select(col("nbr_id"), col("v").as("v_c"), col("band_id"),
+        col("band_hash"))
+    val q = bandSignatures(
+      queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("v")),
+      dim, bands, bitsPerBand, seed)
+      .select(col("query_id"), col("v").as("v_q"), col("band_id"),
+        col("band_hash"))
+    val cand = c.join(broadcast(q), Seq("band_id", "band_hash"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), col("v_q"), col("v_c"))
+      .distinct()
+      .withColumn("cos", Scoring.cosineSimilarity(col("v_q"), col("v_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+}

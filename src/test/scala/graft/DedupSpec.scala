@@ -1,0 +1,79 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact, shingles, MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding near-dup (extension surface, SURVEY §7.5).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val loremA = "the quick brown fox jumps over the lazy dog " * 5
+  private val loremB = "the quick brown fox leaps over the lazy dog " * 5
+  private val other = "completely different content about spark engines " +
+    "and distributed query processing at massive scale today"
+
+  private lazy val docs = Seq(
+    (1L, loremA), (2L, loremA), (3L, loremB), (4L, other)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val got = Dedup.exact(docs).collect()
+      .map(r => r.getAs[Long]("canonical_doc_id") ->
+        r.getAs[Long]("n_dups")).toMap
+    assert(got(1L) == 2)  // docs 1,2 identical
+    assert(got(3L) == 1)
+    assert(got(4L) == 1)
+  }
+
+  test("shingles: n-grams of the token stream, distinct") {
+    val sh = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].collect().head
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].collect().head
+    assert(short.isEmpty)
+  }
+
+  test("minhash LSH pairs identical docs at jaccard 1.0, near at high j") {
+    // 16 bands of 2 rows: detection prob for j=0.5 is 1−(1−0.25)¹⁶ ≈ 0.99
+    // (8 bands of 4 would deterministically miss this fixture's j=0.5 pair)
+    val pairs = Dedup.minhashLshPairs(docs, bands = 16, minJaccard = 0.2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.2 && j < 1.0))
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical docs get identical signatures, similar docs " +
+    "have small hamming distance") {
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("ngram jaccard: hand-computed intersection") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.0)
+      .collect().head
+    // shingles A: {abc, bcd, cde}; B: {abc, bcd, cdx} → inter 2, union 4
+    assert(got.getAs[Long]("inter") == 2)
+    assert(got.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("embedding near-dup finds the duplicated vector") {
+    val vecs = Seq(
+      (1L, Seq.fill(8)(1.0f)),
+      (2L, Seq.fill(8)(1.0f)),              // exact dup of 1
+      (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairs(vecs, dim = 8, minCos = 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Features
+
+/** A1-A8 numpy-semantics pinning (SURVEY §5): var_pop not var_samp,
+  * interpolating median, zero defaults for empty sides
+  * (`AA-AR.py:22-66`).
+  */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // graph: 1→2 (w=10), 1→2 (w=20), 3→2 (w=5), 2→3 (w=7)
+  private lazy val edges =
+    Seq((1L, 2L, 10L, 0L), (1L, 2L, 20L, 1L), (3L, 2L, 5L, 2L),
+        (2L, 3L, 7L, 3L))
+      .toDF("src", "dst", "weight", "ts")
+
+  private lazy val feats = Features.accountFeatures(edges)
+    .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("degrees: unique vs multi") {
+    val a2 = feats(2L)
+    assert(a2.getAs[Long]("unique_in_degree") == 2)  // {1, 3}
+    assert(a2.getAs[Long]("multi_in_degree") == 3)   // 3 incoming edges
+    assert(a2.getAs[Long]("unique_out_degree") == 1) // {3}
+    assert(a2.getAs[Long]("multi_out_degree") == 1)
+  }
+
+  test("weights: sum / mean / interpolating median / population variance") {
+    val a2 = feats(2L)
+    assert(a2.getAs[Long]("total_in_weight") == 35)
+    assert(a2.getAs[Double]("mean_in_weight") == 35.0 / 3)
+    // np.median([5,10,20]) = 10 (odd count, middle)
+    assert(a2.getAs[Double]("median_in_weight") == 10.0)
+    // np.var([5,10,20]) ddof=0 = mean(x²) − mean(x)² = 175/3 − (35/3)²
+    val expVar = (25.0 + 100.0 + 400.0) / 3 - math.pow(35.0 / 3, 2)
+    assert(math.abs(a2.getAs[Double]("var_in_weight") - expVar) < 1e-9)
+
+    val a1 = feats(1L)
+    // np.median([10,20]) = 15 (even count, interpolated)
+    assert(a1.getAs[Double]("median_out_weight") == 15.0)
+  }
+
+  test("account with no in-edges gets all-zero in-side (AA-AR.py:34-35)") {
+    val a1 = feats(1L)
+    assert(a1.getAs[Long]("unique_in_degree") == 0)
+    assert(a1.getAs[Long]("multi_in_degree") == 0)
+    assert(a1.getAs[Long]("total_in_weight") == 0)
+    assert(a1.getAs[Double]("mean_in_weight") == 0.0)
+    assert(a1.getAs[Double]("median_in_weight") == 0.0)
+    assert(a1.getAs[Double]("var_in_weight") == 0.0)
+  }
+
+  test("node universe is union of both endpoints") {
+    assert(feats.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("property: Σ multi_in_degree = Σ multi_out_degree = |E|") {
+    val sumIn = feats.values.map(_.getAs[Long]("multi_in_degree")).sum
+    val sumOut = feats.values.map(_.getAs[Long]("multi_out_degree")).sum
+    assert(sumIn == 4 && sumOut == 4)
+  }
+
+  test("windowed variant groups by (wid, account)") {
+    val e = Seq((1L, 2L, 10L, 0L), (1L, 2L, 30L, 20L))
+      .toDF("src", "dst", "weight", "ts")
+    val w = graft.ops.Windows.withWindowId(e, 14, 7)
+    val f = Features.accountFeaturesByWindow(w)
+      .select($"wid", $"account", $"total_out_weight")
+      .as[(Long, Long, Long)].collect().toSet
+    // ts 0 → wid 0 only; ts 20 is past last window start (range(0, 6, 7)={0})
+    assert(f.contains((0L, 1L, 10L)))
+  }
+}

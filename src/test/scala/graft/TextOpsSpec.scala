@@ -1,0 +1,60 @@
+package graft
+
+import graft.ext.TextOps
+import graft.functions.RollingHash.rolling_hash
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extension surface + the native rolling-hash expression. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality features on a hand-computed doc") {
+    val d = Seq((1L, "The cat and the dog.")).toDF("doc_id", "text")
+    val r = TextOps.qualityFeatures(d).collect().head
+    assert(r.getAs[Int]("n_chars") == 20)
+    assert(r.getAs[Int]("n_tokens") == 5)
+    // tokens: the, cat, and, the, dog. → stopwords: the, and, the = 3/5
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.6) < 1e-12)
+    // distinct: the, cat, and, dog. → 4/5
+    assert(math.abs(r.getAs[Double]("distinct_token_ratio") - 0.8) < 1e-12)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 20) < 1e-12)
+  }
+
+  test("bpe-ish token count splits words / digits / punctuation") {
+    val d = Seq((1L, "hello world42, ok!")).toDF("doc_id", "text")
+    val n = d.select(TextOps.bpeishTokenCount($"text")).as[Int]
+      .collect().head
+    // hello | world | 42 | , | ok | !  = 6
+    assert(n == 6)
+  }
+
+  test("langId: picks the language with most lexicon hits, und if none") {
+    val d = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "el perro y la casa de que"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val got = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("rolling hash: matches the arithmetic, differs across strings") {
+    val d = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("doc_id", "text")
+    val got = d.select($"doc_id", rolling_hash($"text")).as[(Long, Long)]
+      .collect().toMap
+    // "ab" = 'a'*31 + 'b' = 97*31 + 98 = 3105
+    assert(got(1L) == 3105L)
+    assert(got(1L) == got(3L))
+    assert(got(1L) != got(2L))
+  }
+
+  test("rolling hash is null-safe") {
+    val d = Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = d.select(rolling_hash($"text")).collect()
+    assert(got(1).isNullAt(0))
+  }
+}

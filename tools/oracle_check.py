@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: run its oracle SQL in DuckDB over the
+same parquet tables, sort columns by name, sort rows, and compare values
+exactly. Reports per-query row/schema/value match. Dev tool only — the real
+gate is driver-side.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+
+def load_spark(outdir, name):
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        return None
+    import pyarrow as pa
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    return tbl
+
+
+def norm_rows(cols_names, cols_values):
+    order = sorted(range(len(cols_names)), key=lambda i: cols_names[i])
+    names = [cols_names[i] for i in order]
+    rows = list(zip(*[cols_values[i] for i in order])) if cols_values else []
+
+    def key(row):
+        return tuple((x is None, repr(x)) for x in row)
+
+    return names, sorted(rows, key=key)
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse -0.0 vs 0.0
+        if v == 0.0:
+            return 0.0
+        return v
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sfdir}/{t}.parquet')")
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_tbl = load_spark(outdir, name)
+        if spark_tbl is None:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            ora = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        s_names, s_rows = norm_rows(
+            spark_tbl.column_names,
+            [c.to_pylist() for c in spark_tbl.columns])
+        o_names, o_rows = norm_rows(
+            ora.column_names, [c.to_pylist() for c in ora.columns])
+        if s_names != o_names:
+            print(f"FAIL {name}: schema {s_names} vs {o_names}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rows {len(s_rows)} vs {len(o_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (sr, orr) in enumerate(zip(s_rows, o_rows)):
+            if tuple(map(canon, sr)) != tuple(map(canon, orr)):
+                bad = (i, sr, orr)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff row {bad[0]}:")
+            print(f"     spark : {bad[1]}")
+            print(f"     oracle: {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+
+    # rows-only queries (no oracle): just report counts
+    for d in sorted(glob.glob(os.path.join(outdir, "q*"))):
+        name = os.path.basename(d)
+        if name in oracles:
+            continue
+        tbl = load_spark(outdir, name)
+        n = tbl.num_rows if tbl is not None else -1
+        status = "ok" if n > 0 else "EMPTY"
+        print(f"INFO {name}: rows-only, {n} rows [{status}]")
+
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
