@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: prints `explain("formatted")` for the scale-critical
+  * queries so pushdown (PushedFilters/ReadSchema), join strategies, and
+  * WholeStageCodegen spans can be inspected per round (the "is this the
+  * plan you'd want at 100 TB" loop).
+  *
+  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.tail.toSeq
+      else Seq("q01_edges_scan", "q04_features", "q05_features_by_window",
+        "q08_two_hop_pairs", "q09_two_hop_mids", "q15_topk_parts_per_brand",
+        "q23_minhash_pairs", "q25_ngram_jaccard", "q27_simsearch_topk",
+        "q30_events_hourly")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

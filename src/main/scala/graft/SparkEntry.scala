@@ -67,14 +67,17 @@ object SparkEntry {
     "q08_two_hop_pairs" -> ((s, dir) =>
       GraphOps.twoHopCounts(edges(s, dir), 3)),
     "q09_two_hop_mids" -> ((s, dir) => {
+      // threshold via a window count: ONE shuffle of the path table keyed
+      // (i, j) — the agg+self-join formulation computes the join twice and
+      // shuffles three times
       val b = GraphOps.binaryEdges(edges(s, dir))
       val p = b.select(col("src").as("i"), col("dst").as("m"))
         .join(b.select(col("src").as("m"), col("dst").as("j")), "m")
         .select(col("i"), col("j"), col("m").as("mid"))
-      val ok = p.groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 3)
-        .select(col("i"), col("j"))
-      p.join(ok, Seq("i", "j"))
+      p.withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("i"), col("j"))))
+        .filter(col("cnt") >= 3)
+        .select(col("i"), col("j"), col("mid"))
     }),
 
     // ───── set ops (O1-O3) ─────
@@ -244,6 +247,67 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 6).as("sum_value"))),
+
+    // ───── reference input scans (S1-S4) as lossless roundtrips ─────
+    // the CSV/matrix hop is what's under test: write the canonical tables
+    // out in the reference's file shapes, scan them back through the
+    // schema-explicit sources, compare against the parquet-only oracle.
+    "q35_csv_edges_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q35").toString
+      edges(s, dir)
+        .select(col("src").as("Source"), col("dst").as("Destination"),
+          col("weight").as("Weight"), col("ts").as("Timestamp"))
+        .coalesce(4).write.mode("overwrite").option("header", "true")
+        .csv(tmp)
+      graft.sources.Sources.edgeCsv(s, tmp)
+    }),
+    "q36_matrix_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // smallGraph binary edges → dense 0/1 text (numpy-savetxt shape,
+      // rows/cols = sorted node ids) → S2 scan → indices mapped back
+      val bin = GraphOps.binaryEdges(smallGraph(s, dir))
+      val ids = GraphOps.nodes(bin).orderBy(col("id")).as[Long].collect()
+      val index = ids.zipWithIndex.toMap
+      val cells = bin.as[(Long, Long)].collect()
+        .map { case (a, b) => (index(a), index(b)) }.toSet
+      val n = ids.length
+      val text = (0 until n).map { i =>
+        (0 until n).map(j => if (cells((i, j))) "1" else "0")
+          .mkString(" ")
+      }.mkString("", "\n", "\n")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q36")
+      val f = tmp.resolve("matrix.txt")
+      java.nio.file.Files.writeString(f, text)
+      val pos = s.createDataFrame(
+          ids.zipWithIndex.map { case (id, p) => (p.toLong, id) }.toSeq)
+        .toDF("p", "id")
+      graft.sources.Sources.denseMatrix(s, f.toString)
+        .join(broadcast(pos).withColumnRenamed("p", "src")
+          .withColumnRenamed("id", "src_id"), "src")
+        .join(broadcast(pos).withColumnRenamed("p", "dst")
+          .withColumnRenamed("id", "dst_id"), "dst")
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    }),
+    "q37_direction_rule" -> ((s, dir) => {
+      // S3+S4: edges → czech-trans semicolon CSV → scan → direction rule
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q37").toString
+      edges(s, dir).select(
+          lit(0L).as("trans_id"),
+          col("src").as("account_id"), col("ts").as("date"),
+          lit("X").as("type"),
+          when(pmod(col("src") + col("dst"), lit(2)) === 0,
+            lit("PREVOD Z UCTU")).otherwise(lit("PREVOD NA UCET"))
+            .as("operation"),
+          col("weight").cast("double").as("amount"),
+          lit(0.0).as("balance"), lit("k").as("k_symbol"),
+          lit("B").as("bank"), col("dst").as("account"))
+        .coalesce(4).write.mode("overwrite").option("header", "true")
+        .option("sep", ";").csv(tmp)
+      graft.sources.Sources.directedEdges(
+        graft.sources.Sources.transCsv(s, tmp))
+    }),
 
     // ───── the ML pipelines (M1-M8; rows-only checks by design) ─────
     "q31_aa_ar_change_scores" -> ((s, dir) =>
@@ -556,6 +620,21 @@ object SparkEntry {
          |  CASE WHEN media_type = 'video' THEN greatest(1, height // 64)
          |       ELSE 1 END AS frames_sampled
          |FROM e""".stripMargin,
+
+    "q35_csv_edges_roundtrip" ->
+      s"WITH $E SELECT src, dst, weight, ts FROM edges",
+
+    "q36_matrix_roundtrip" ->
+      s"""WITH $E
+         |SELECT DISTINCT src, dst FROM edges
+         |WHERE src <= 300 AND dst <= 300""".stripMargin,
+
+    "q37_direction_rule" ->
+      s"""WITH $E
+         |SELECT DISTINCT
+         |  CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS src,
+         |  CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS dst
+         |FROM edges""".stripMargin,
 
     "q30_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

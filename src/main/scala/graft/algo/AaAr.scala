@@ -71,8 +71,11 @@ object AaAr {
         val (wid, pid) = key
         // group = accounts of one window × one feature pair; the forest is
         // fit on a ψ-subsample so memory here is O(group rows) for the
-        // buffered points only — bounded by accounts-per-window
-        val buf = rows.toArray
+        // buffered points only — bounded by accounts-per-window.
+        // Sorted by account so the fit is DETERMINISTIC under any physical
+        // plan / partitioning — group iteration order is not stable across
+        // plan changes, and the subsample indices depend on row order.
+        val buf = rows.toArray.sortBy(_._3)
         val pts = buf.map { case (_, _, _, x, y) => Array(x, y) }
         val forest = IForest.fit(pts, numTrees, 256,
           seed = seed * 1000003L + wid * 131L + pid)
@@ -235,13 +238,22 @@ object AaAr {
       .select(col("wid"), col("change_score"), col("max_coord"))
   }
 
-  /** End-to-end: edges → change scores. */
+  /** End-to-end: edges → change scores.
+    *
+    * The focus table feeds the sketch stage at four+ points (account
+    * universe, pair universe, sum-graph, per-sketch sums) — without a
+    * persist each reference re-runs the whole isolation-forest stage,
+    * the most expensive computation in the pipeline. MEMORY_AND_DISK:
+    * the table is O(windows × accounts × nonzero pairs) and must spill,
+    * not OOM, at scale.
+    */
   def run(edges: DataFrame, windowSize: Int = 14, sketchNum: Int = 256,
           backWs: Int = 4, numDst: Int = 3, numTrees: Int = 100,
           seed: Long = 0L): DataFrame = {
     val wedges = Windows.withWindowId(edges, windowSize, windowSize / 2)
     val feats = Features.accountFeaturesByWindow(wedges)
     val focus = focusScores(feats, numTrees, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sk = sketches(focus, sketchNum, numDst, seed = seed)
     changeScores(sk, backWs)
   }

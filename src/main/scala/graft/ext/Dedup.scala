@@ -53,32 +53,66 @@ object Dedup {
                       k: Int = 32, bands: Int = 8,
                       minJaccard: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val withSig = docs.select(col("doc_id"),
-        shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = withSig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, lit(rows))), b)))
-        .as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("band_id"), col("band_hash"))
-    a.join(b, Seq("band_id", "band_hash"))
+    // Signature via explode + min-aggregation, NOT a nested
+    // transform-over-shingles HOF: the nested form invites CollapseProject
+    // to inline the (expensive) shingle expression inside the k-element
+    // signature lambda — re-shingling every row k times (observed 10×
+    // blowup at sf0.1). Exploded rows hash each shingle exactly once per
+    // hash function, aggregate map-side, and shuffle only (doc_id, k
+    // minima). This is also the 100 TB shape: linear in total shingles.
+    val docSh = docs
+      .select(col("doc_id"), explode(shingles(col(textCol))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh_h"))
+    val minCols = (0 until k).map(i =>
+      min(xxhash64(col("sh_h"), lit(i))).as(s"h$i"))
+    val sig = docSh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    // band hashes from the k signature columns; candidates carry IDS ONLY
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => col(s"h$i")) :+ lit(b): _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band_id"),
+        col("band_hash"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band_id"),
+        col("band_hash")), Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
+    // exact Jaccard from co-occurrence counts over the hashed shingle
+    // rows restricted to candidates — per-candidate work only, no arrays
+    // through any shuffle (shingles() already emits distinct shingles per
+    // doc, so docSh needs no dedup)
+    val sizes = docSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh_h")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh_h")),
+        Seq("doc_b", "sh_h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a").cast("double") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Exact Jaccard of two (distinct-element) arrays. */
+  /** Exact Jaccard of two (distinct-element) arrays — intersection
+    * computed once.
+    */
   def jaccardArrays(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    inter / (size(a).cast("double") + size(b) - inter)
   }
 
   /** SimHash: 64-bit signature — for each bit, sign of the sum over tokens
@@ -109,8 +143,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", n: Int = 3,
                         minJaccard: Double = 0.1): DataFrame = {
+    // the inverted-index self-join keys on the 64-bit shingle hash, not
+    // the shingle string: narrower shuffle rows and long-vs-long join
+    // comparisons (collision odds ~2⁻⁶⁴ per pair — immaterial next to
+    // the n-gram model itself)
     val docSh = docs.select(col("doc_id"),
         explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
     val co = docSh.alias("x")

@@ -33,23 +33,32 @@ object IForest {
     else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) -
       2.0 * (n - 1.0) / n
 
-  sealed trait Node extends Serializable
-  final case class Leaf(size: Int) extends Node
-  final case class Split(dim: Int, value: Double, lo: Node, hi: Node)
-    extends Node
+  /** One tree, array-encoded for iterative traversal: node i splits on
+    * `dims(i)` at `splits(i)` (children `lefts(i)`/`rights(i)`), or is a
+    * leaf when dims(i) < 0 with `values(i)` = depth + c(leaf_size)
+    * precomputed (depth is fixed per node, so the whole path-length
+    * contribution folds into the leaf). Scoring touches 4 primitive
+    * arrays in a tight loop — no virtual dispatch, no boxing; this is the
+    * hot path of the focus-plot stage (rows × trees × depth node visits).
+    */
+  final class FlatTree(val dims: Array[Int], val splits: Array[Double],
+                       val lefts: Array[Int], val rights: Array[Int],
+                       val values: Array[Double]) extends Serializable {
+    def pathLength(x: Array[Double]): Double = {
+      var i = 0
+      var d = dims(i)
+      while (d >= 0) {
+        i = if (x(d) < splits(i)) lefts(i) else rights(i)
+        d = dims(i)
+      }
+      values(i)
+    }
+  }
 
-  final case class Forest(trees: Array[Node], sampleSize: Int)
+  final case class Forest(trees: Array[FlatTree], sampleSize: Int)
       extends Serializable {
 
     private val cPsi = avgPathLength(sampleSize.toLong)
-
-    def pathLength(x: Array[Double], node: Node, depth: Int): Double =
-      node match {
-        case Leaf(size) => depth + avgPathLength(size.toLong)
-        case Split(dim, v, lo, hi) =>
-          if (x(dim) < v) pathLength(x, lo, depth + 1)
-          else pathLength(x, hi, depth + 1)
-      }
 
     /** Anomaly score s(x) = 2^(−E[h(x)]/c(ψ)) ∈ (0, 1); higher = more
       * anomalous. Equals the reference's `−decision_function + 0.5`.
@@ -58,14 +67,45 @@ object IForest {
       if (trees.isEmpty || cPsi == 0.0) return 0.5
       var s = 0.0
       var i = 0
-      while (i < trees.length) { s += pathLength(x, trees(i), 0); i += 1 }
+      while (i < trees.length) { s += trees(i).pathLength(x); i += 1 }
       math.pow(2.0, -(s / trees.length) / cPsi)
     }
   }
 
-  private def buildTree(points: Array[Array[Double]], idx: Array[Int],
-                        depth: Int, maxDepth: Int, rng: Random): Node = {
-    if (idx.length <= 1 || depth >= maxDepth) return Leaf(idx.length)
+  /** Growable builder emitting the flat encoding directly. */
+  private final class TreeBuilder {
+    private val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val splits = scala.collection.mutable.ArrayBuffer.empty[Double]
+    private val lefts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val rights = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private val values = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    def leaf(depth: Int, size: Int): Int = {
+      val id = dims.length
+      dims += -1; splits += 0.0; lefts += -1; rights += -1
+      values += depth + avgPathLength(size.toLong)
+      id
+    }
+
+    def split(dim: Int, value: Double): Int = {
+      val id = dims.length
+      dims += dim; splits += value; lefts += -1; rights += -1; values += 0.0
+      id
+    }
+
+    def wire(id: Int, lo: Int, hi: Int): Unit = {
+      lefts(id) = lo; rights(id) = hi
+    }
+
+    def result(): FlatTree = new FlatTree(dims.toArray, splits.toArray,
+      lefts.toArray, rights.toArray, values.toArray)
+  }
+
+  private def buildNode(b: TreeBuilder, points: Array[Array[Double]],
+                        idx: Array[Int], depth: Int, maxDepth: Int,
+                        rng: Random): Int = {
+    if (idx.length <= 1 || depth >= maxDepth)
+      return b.leaf(depth, idx.length)
     val nDims = points(idx(0)).length
     // pick a dimension with spread; give up after trying all dims
     val dims = rng.shuffle((0 until nDims).toList)
@@ -86,13 +126,15 @@ object IForest {
       }
       if (mx > mn) { chosen = d; lo = mn; hi = mx }
     }
-    if (chosen < 0) return Leaf(idx.length) // all points identical
+    if (chosen < 0) return b.leaf(depth, idx.length) // all identical
     val split = lo + rng.nextDouble() * (hi - lo)
     val (l, r) = idx.partition(i => points(i)(chosen) < split)
-    if (l.isEmpty || r.isEmpty) return Leaf(idx.length)
-    Split(chosen, split,
-      buildTree(points, l, depth + 1, maxDepth, rng),
-      buildTree(points, r, depth + 1, maxDepth, rng))
+    if (l.isEmpty || r.isEmpty) return b.leaf(depth, idx.length)
+    val id = b.split(chosen, split)
+    val loId = buildNode(b, points, l, depth + 1, maxDepth, rng)
+    val hiId = buildNode(b, points, r, depth + 1, maxDepth, rng)
+    b.wire(id, loId, hiId)
+    id
   }
 
   /** Fit a forest. ψ = min(sampleSize, n); depth cap ⌈log2 ψ⌉ as in the
@@ -108,7 +150,9 @@ object IForest {
     val rng = new Random(seed)
     val trees = Array.tabulate(numTrees) { _ =>
       val sample = Array.fill(psi)(rng.nextInt(n)) // subsample w/ replacement
-      buildTree(points, sample, 0, maxDepth, rng)
+      val b = new TreeBuilder
+      buildNode(b, points, sample, 0, maxDepth, rng)
+      b.result()
     }
     Forest(trees, psi)
   }

@@ -28,76 +28,62 @@ object Features {
     "total_out_weight", "mean_out_weight", "median_out_weight",
     "var_out_weight")
 
-  /** Population variance from exact integer sums: deterministic IEEE
-    * arithmetic (bit-identical to the same expression in any engine),
-    * unlike streaming var_pop whose merge order varies with partitioning.
+  /** Single-pass conditional aggregation over both edge sides: each edge
+    * contributes one out-side row (account = src) and one in-side row
+    * (account = dst); every stat is a null-skipping conditional aggregate
+    * of ONE groupBy. This replaces the naive two-aggregations + node-
+    * universe + two-left-joins plan (4 shuffles) with exactly one shuffle
+    * keyed by the grouping columns, and the node universe (SURVEY O1,
+    * `AA-AR.py:40,98`) falls out of the union for free. Accounts missing a
+    * side get the reference's zero defaults (`AA-AR.py:34-35`) via
+    * when/coalesce — the same values the oracle's LEFT JOIN + coalesce
+    * produces.
     */
-  private def varPopClosed(w: Column): Column = {
-    val n = count(lit(1)).cast("double")
-    val s = sum(w).cast("double")
-    val s2 = sum(w * w).cast("double")
-    (s2 - s * s / n) / n
+  private def onePass(edges: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val g = grpCols.map(col)
+    val sides = edges
+      .select(g :+ col("src").as("account") :+ lit(true).as("is_out") :+
+        col("dst").as("other") :+ col("weight").as("weight"): _*)
+      .union(edges
+        .select(g :+ col("dst").as("account") :+ lit(false).as("is_out") :+
+          col("src").as("other") :+ col("weight").as("weight"): _*))
+    def side(isOut: Boolean, pfx: String): Seq[Column] = {
+      val cond = if (isOut) col("is_out") else !col("is_out")
+      val w = when(cond, col("weight"))
+      val n = count(w)
+      val s = sum(w).cast("double")
+      val s2 = sum(w * w).cast("double")
+      Seq(
+        countDistinct(when(cond, col("other")))
+          .as(s"unique_${pfx}_degree"),
+        n.as(s"multi_${pfx}_degree"),
+        coalesce(sum(w), lit(0L)).as(s"total_${pfx}_weight"),
+        when(n > 0, s / n.cast("double")).otherwise(lit(0.0))
+          .as(s"mean_${pfx}_weight"),
+        coalesce(percentile(w, lit(0.5)), lit(0.0))
+          .as(s"median_${pfx}_weight"),
+        when(n > 0,
+          (s2 - s * s / n.cast("double")) / n.cast("double"))
+          .otherwise(lit(0.0)).as(s"var_${pfx}_weight"))
+    }
+    val aggs = (side(isOut = false, "in") ++ side(isOut = true, "out"))
+    val ordered = featureCols.map(col)
+    sides.groupBy(g :+ col("account"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(g ++ (col("account") +: ordered): _*)
   }
-
-  private def sideAgg(edges: DataFrame, keyCol: String, otherCol: String,
-                      pfx: String): DataFrame =
-    edges.groupBy(col(keyCol).as("account")).agg(
-      countDistinct(col(otherCol)).as(s"unique_${pfx}_degree"),
-      count(lit(1)).as(s"multi_${pfx}_degree"),
-      sum(col("weight")).as(s"total_${pfx}_weight"),
-      (sum(col("weight")).cast("double") / count(lit(1)))
-        .as(s"mean_${pfx}_weight"),
-      percentile(col("weight"), lit(0.5)).as(s"median_${pfx}_weight"),
-      varPopClosed(col("weight")).as(s"var_${pfx}_weight"))
 
   /** 12 features per account over an edge set (columns src/dst/weight).
     * Node universe = union of both endpoints (SURVEY O1, `AA-AR.py:40`).
     */
-  def accountFeatures(edges: DataFrame): DataFrame = {
-    val nodes = edges.select(col("src").as("account"))
-      .union(edges.select(col("dst").as("account"))).distinct()
-    val ins = sideAgg(edges, "dst", "src", "in")
-    val outs = sideAgg(edges, "src", "dst", "out")
-    val joined = nodes
-      .join(ins, Seq("account"), "left")
-      .join(outs, Seq("account"), "left")
-    val filled = featureCols.map { c =>
-      val zero: Column =
-        if (c.startsWith("mean") || c.startsWith("median") ||
-            c.startsWith("var")) lit(0.0)
-        else lit(0L)
-      coalesce(col(c), zero).as(c)
-    }
-    joined.select(col("account") +: filled: _*)
-  }
+  def accountFeatures(edges: DataFrame): DataFrame =
+    onePass(edges, Seq.empty)
 
   /** Windowed variant: `edges` must already carry a `wid` column
     * (Windows.withWindowId); features are computed per (wid, account).
     */
-  def accountFeaturesByWindow(edgesW: DataFrame): DataFrame = {
-    val nodes = edgesW.select(col("wid"), col("src").as("account"))
-      .union(edgesW.select(col("wid"), col("dst").as("account"))).distinct()
-    def side(keyCol: String, otherCol: String, pfx: String): DataFrame =
-      edgesW.groupBy(col("wid"), col(keyCol).as("account")).agg(
-        countDistinct(col(otherCol)).as(s"unique_${pfx}_degree"),
-        count(lit(1)).as(s"multi_${pfx}_degree"),
-        sum(col("weight")).as(s"total_${pfx}_weight"),
-        (sum(col("weight")).cast("double") / count(lit(1)))
-          .as(s"mean_${pfx}_weight"),
-        percentile(col("weight"), lit(0.5)).as(s"median_${pfx}_weight"),
-        varPopClosed(col("weight")).as(s"var_${pfx}_weight"))
-    val joined = nodes
-      .join(side("dst", "src", "in"), Seq("wid", "account"), "left")
-      .join(side("src", "dst", "out"), Seq("wid", "account"), "left")
-    val filled = featureCols.map { c =>
-      val zero: Column =
-        if (c.startsWith("mean") || c.startsWith("median") ||
-            c.startsWith("var")) lit(0.0)
-        else lit(0L)
-      coalesce(col(c), zero).as(c)
-    }
-    joined.select(col("wid") +: col("account") +: filled: _*)
-  }
+  def accountFeaturesByWindow(edgesW: DataFrame): DataFrame =
+    onePass(edgesW, Seq("wid"))
 
   /** DuckDB oracle SQL for the same aggregation, given an `edges` CTE
     * already in scope (optionally windowed: pass the grouping columns).

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ml.LocalSvd
+import graft.ops.Scoring
+
+/** Structured Streaming rebind of the batch pipeline (SURVEY §2.10/§7.6).
+  *
+  * The reference is pure batch; its "time-evolving" semantics are integer
+  * sliding windows (W1) with a trailing comparison frame (W2). These are
+  * exactly Spark's event-time primitives:
+  *
+  *   - W1 → `window($"ts", size, slide)` + `withWatermark` (late data
+  *     delays a window's finalization instead of corrupting it);
+  *   - W2 (trailing sketch frame → SVD direction → cosine change score)
+  *     → `flatMapGroupsWithState`, keeping the last `backWs` sketch
+  *     vectors as keyed state.
+  *
+  * The batch stages (Features/Scoring) are pure column transforms by
+  * design so they bind to either engine unchanged.
+  */
+object StreamOps {
+
+  /** Event-time hourly (or any-duration) counts over a streaming events
+    * table — the streaming twin of SparkEntry q30. `events` must be a
+    * streaming DataFrame with a TIMESTAMP `ts` column.
+    */
+  def windowedEventCounts(events: DataFrame, size: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window per-account out-degree/weight over a streaming edge
+    * table with TIMESTAMP `ts` — the streaming twin of W1 + the out-side
+    * of A1-A8. (The full 12-feature set needs two aggregations + a join,
+    * which streaming supports in append mode with watermarks on both
+    * sides; out-side stats are the demonstration surface.)
+    */
+  def slidingOutFeatures(edges: DataFrame, size: String = "14 days",
+                         slide: String = "7 days",
+                         watermark: String = "14 days"): DataFrame =
+    edges.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("src").as("account"))
+      .agg(count(lit(1)).as("multi_out_degree"),
+        sum(col("weight")).as("total_out_weight"),
+        avg(col("weight")).as("mean_out_weight"))
+      .select(col("window.start").as("w_start"), col("account"),
+        col("multi_out_degree"), col("total_out_weight"),
+        col("mean_out_weight"))
+
+  /** Keyed sketch state for the W2/M1/M2 change score: one group per
+    * stream (key), state = the trailing `backWs` sketch vectors.
+    */
+  final case class SketchEvent(key: Long, wid: Long, sketch: Array[Double])
+  final case class SketchState(wids: List[Long],
+                               sketches: List[Array[Double]])
+  final case class ChangeScore(key: Long, wid: Long, changeScore: Double)
+
+  /** The streaming change-score operator: consumes per-window sketch
+    * vectors (in wid order within each key) and emits the cosine distance
+    * between the current sketch and the |principal direction| of the
+    * trailing frame [wid−backWs, wid−2] — the exact batch semantics of
+    * AaAr.changeScores (`/root/reference/AA-AR.py:234-241`), as
+    * incremental state instead of a window frame.
+    */
+  def changeScores(sketches: Dataset[SketchEvent], backWs: Int = 4)
+      : Dataset[ChangeScore] = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+
+    def scoreOne(frame: Seq[Array[Double]], cur: Array[Double]): Double = {
+      val m = cur.length
+      val transposed = Array.tabulate(m, frame.length)((i, j) => frame(j)(i))
+      val ev = LocalSvd.principalDirection(transposed)
+      val evSum = ev.sum
+      val skSum = cur.sum
+      if (evSum == 0.0 || skSum == 0.0) 0.0
+      else {
+        val evn = ev.map(_ / evSum)
+        val skn = cur.map(_ / skSum)
+        val dot = evn.zip(skn).map { case (a, b) => a * b }.sum
+        val na = math.sqrt(evn.map(x => x * x).sum)
+        val nb = math.sqrt(skn.map(x => x * x).sum)
+        if (na == 0.0 || nb == 0.0) 0.0 else 1.0 - dot / (na * nb)
+      }
+    }
+
+    sketches.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, events: Iterator[SketchEvent],
+         state: GroupState[SketchState]) =>
+          val prev = state.getOption.getOrElse(SketchState(Nil, Nil))
+          var wids = prev.wids
+          var sks = prev.sketches
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangeScore]
+          events.toSeq.sortBy(_.wid).foreach { ev =>
+            // frame = sketches at [wid−backWs, wid−2]: all buffered except
+            // the immediately-previous window (the reference excludes i−1)
+            val frame = wids.zip(sks)
+              .filter { case (w, _) => w >= ev.wid - backWs && w <= ev.wid - 2 }
+              .map(_._2)
+            if (frame.size == backWs - 1)
+              out += ChangeScore(key, ev.wid, scoreOne(frame, ev.sketch))
+            wids = (wids :+ ev.wid).takeRight(backWs)
+            sks = (sks :+ ev.sketch).takeRight(backWs)
+          }
+          state.update(SketchState(wids, sks))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ext.SimSearch
+import org.apache.spark.sql.functions._
+
+/** ANN extension surface: brute-force exactness + LSH candidate recall. */
+class SimSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 clusters along distinct axes + the query near cluster 0
+  private lazy val corpus = {
+    def vec(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == axis) scale else 0.01f * ((i + axis) % 3))
+    (Seq((0L, vec(0, 1.0f)), (1L, vec(0, 0.9f)), (2L, vec(0, 1.1f))) ++
+     Seq((3L, vec(3, 1.0f)), (4L, vec(3, 0.8f))) ++
+     Seq((5L, vec(6, 1.0f)), (6L, vec(6, 1.2f))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute force top-k ranks same-axis vectors first, excludes self") {
+    val q = corpus.filter($"vec_id" === 0L)
+    val got = SimSearch.bruteForceTopK(corpus, q, 3).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("query_id") == 0L))
+    assert(got.forall(_.getAs[Long]("nbr_id") != 0L))
+    val byRank = got.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nbr_id"))
+    assert(byRank.take(2).toSet == Set(1L, 2L)) // same axis as query
+  }
+
+  test("cos scores are descending with rank and within [-1, 1]") {
+    val q = corpus.filter($"vec_id" < 2L)
+    val got = SimSearch.bruteForceTopK(corpus, q, 5).collect()
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sorted.reverse))
+      cs.foreach(c => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+    }
+  }
+
+  test("LSH top-k finds the exact nearest neighbor for clustered data") {
+    val q = corpus.filter($"vec_id" === 0L)
+    val exact = SimSearch.bruteForceTopK(corpus, q, 1).collect().head
+    val lsh = SimSearch.lshTopK(corpus, q, dim = 8, k = 1).collect()
+    // recall@1: with 4 OR-ed bands the same-axis cluster must collide
+    assert(lsh.nonEmpty)
+    assert(lsh.head.getAs[Long]("nbr_id") == exact.getAs[Long]("nbr_id"))
+    assert(math.abs(lsh.head.getAs[Double]("cos") -
+      exact.getAs[Double]("cos")) < 1e-12)
+  }
+
+  test("LSH candidate set never crosses orthogonal clusters at rank 1") {
+    val q = corpus.filter($"vec_id" === 5L)
+    val got = SimSearch.lshTopK(corpus, q, dim = 8, k = 2).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getAs[Long]("nbr_id") == 6L)
+  }
+}

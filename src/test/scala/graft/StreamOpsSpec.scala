@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SketchEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming rebind (§7.6): event-time windows finalize under
+  * watermark; stateful change scores match the batch operator.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowedEventCounts finalizes closed hourly windows (append)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val counts = StreamOps.windowedEventCounts(
+      mem.toDF.toDF("ts", "event_type", "value"),
+      size = "1 hour", watermark = "0 seconds")
+    val q = counts.writeStream.format("memory").queryName("wec")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0),
+        (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past hour 0 so its window closes
+      mem.addData((ts(200), "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wec")
+        .select($"event_type", $"n", $"sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got.contains(("click", 2L, 3.0)))
+      assert(got.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("slidingOutFeatures emits overlapping sliding windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val feats = StreamOps.slidingOutFeatures(
+      mem.toDF.toDF("ts", "src", "weight"),
+      size = "2 hours", slide = "1 hour", watermark = "0 seconds")
+    val q = feats.writeStream.format("memory").queryName("sof")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(90), 7L, 10L), (ts(100), 7L, 20L))
+      q.processAllAvailable()
+      mem.addData((ts(600), 8L, 1L)) // advance watermark far ahead
+      q.processAllAvailable()
+      val got = spark.table("sof")
+        .filter($"account" === 7L)
+        .select($"multi_out_degree", $"total_out_weight")
+        .as[(Long, Long)].collect().toSet
+      // ts 90/100 fall in sliding windows [0,2h) and [1h,3h)
+      assert(got == Set((2L, 30L)))
+      assert(spark.table("sof").filter($"account" === 7L).count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful change scores match the batch operator") {
+    implicit val sq = spark.sqlContext
+    // deterministic sketch stream: 5 windows × 4-dim sketches, one burst
+    val sketches = (0 to 5).map { w =>
+      val base = Array(1.0, 2.0, 3.0, 4.0)
+      val v = if (w == 5) base.map(_ * 10).reverse else base
+      SketchEvent(0L, w.toLong, v)
+    }
+    val mem = MemoryStream[SketchEvent]
+    val scored = StreamOps.changeScores(mem.toDS(), backWs = 3)
+    val q = scored.writeStream.format("memory").queryName("cs")
+      .outputMode("append").start()
+    try {
+      mem.addData(sketches: _*)
+      q.processAllAvailable()
+      val got = spark.table("cs")
+        .select($"wid", $"changeScore").as[(Long, Double)]
+        .collect().toMap
+      // first scoreable window: wid=3 (needs frame {1,2} → backWs−1=2)
+      assert(got.keySet == Set(3L, 4L, 5L))
+      assert(got(3L) < 1e-9) // identical direction → zero change
+      assert(got(5L) > got(4L)) // the burst window spikes
+    } finally q.stop()
+  }
+}
