@@ -1,15 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Timing probe for individual queries during optimization work.
+  * Usage: runMain graft.QProbe [sfDir] [queryName...]
+  */
 object QProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
-      .config("spark.ui.enabled","false").getOrCreate()
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q31_aa_ar_change_scores", "q34_focus_scores")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q23_minhash_pairs", "q31_aa_ar_change_scores")) {
+    for (q <- names) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").count()
-      println(s"PROBE $q rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+      val n = SparkEntry.queries(q)(spark, sfDir).count()
+      println(s"PROBE $q rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()
   }

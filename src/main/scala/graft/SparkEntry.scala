@@ -81,11 +81,18 @@ object SparkEntry {
     }),
 
     // ───── set ops (O1-O3) ─────
-    "q10_pure_receivers" -> ((s, dir) => {
+    // O3 set difference on real data: senders active in the first half of
+    // the timeline that never send again in the second half. (The naive
+    // "dst never seen as src" is structurally empty on this star schema —
+    // supplier ids are a subset of the customer id range — so it would be
+    // a trivially-passing oracle.)
+    "q10_churned_senders" -> ((s, dir) => {
       val e = edges(s, dir)
-      e.select(col("dst").as("id")).distinct()
-        .join(e.select(col("src").as("id")).distinct(), Seq("id"),
-          "left_anti")
+      val midV = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid"))
+        .head().getLong(0)
+      e.filter(col("ts") < midV).select(col("src").as("id")).distinct()
+        .join(e.filter(col("ts") >= midV).select(col("src").as("id"))
+          .distinct(), Seq("id"), "left_anti")
     }),
 
     // ───── deterministic sampling (P8) ─────
@@ -432,10 +439,11 @@ object SparkEntry {
          |ok AS (SELECT i, j FROM p GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT p.i, p.j, p.mid FROM p JOIN ok USING (i, j)""".stripMargin,
 
-    "q10_pure_receivers" ->
-      s"""WITH $E
-         |SELECT DISTINCT dst AS id FROM edges
-         |EXCEPT SELECT DISTINCT src FROM edges""".stripMargin,
+    "q10_churned_senders" ->
+      s"""WITH $E,
+         |m AS (SELECT (min(ts) + max(ts)) // 2 AS mid FROM edges)
+         |SELECT DISTINCT src AS id FROM edges, m WHERE ts < mid
+         |EXCEPT SELECT DISTINCT src FROM edges, m WHERE ts >= mid""".stripMargin,
 
     "q11_sample_hash" ->
       s"""WITH $E

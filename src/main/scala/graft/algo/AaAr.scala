@@ -44,44 +44,54 @@ object AaAr {
     * Output: (wid, pair_id, account, x, y, score).
     */
   def focusScores(featuresByWindow: DataFrame, numTrees: Int = 100,
-                  seed: Long = 0L): DataFrame = {
+                  seed: Long = 0L, pairBlocks: Int = 8): DataFrame = {
     val spark = featuresByWindow.sparkSession
     import spark.implicits._
 
     val fcols = Features.featureCols
-    // melt to one row per (wid, account, pair) with both features non-zero
-    val pairStructs = array(pairs.map { case (num, f1, f2) =>
-      struct(lit(num).as("pair_id"),
-        col(fcols(f1)).cast("double").as("xv"),
-        col(fcols(f2)).cast("double").as("yv"))
-    }: _*)
-    val melted = featuresByWindow
-      .select(col("wid"), col("account"), explode(pairStructs).as("p"))
-      .select(col("wid"), col("account"),
-        col("p.pair_id").as("pair_id"), col("p.xv"), col("p.yv"))
-      .filter(col("xv") =!= 0.0 && col("yv") =!= 0.0)
-      .select(col("wid"), col("pair_id"), col("account"),
-        log(10.0, col("xv") + 1.0).as("x"),
-        log(10.0, col("yv") + 1.0).as("y"))
+    // Shuffle shape: the naive plan melts each (wid, account) row into 66
+    // (pair, x, y) rows BEFORE the groupBy — a 66× row blow-up through the
+    // exchange (40M rows at sf0.1; at 100 TB the shuffle would dwarf the
+    // compute). Instead each feature row is replicated only `pairBlocks`
+    // times (one 12-feature array per copy) and each (wid, block) group
+    // fits its ~66/pairBlocks forests locally. pairBlocks trades shuffle
+    // volume against task granularity: parallelism = windows × pairBlocks
+    // tasks — raise it on large clusters, but any value yields identical
+    // output (per-pair fits are seeded independently of the blocking).
+    val nb = math.max(1, math.min(pairBlocks, pairs.size))
+    val ds = featuresByWindow.select(
+        col("wid"), col("account"),
+        array(fcols.map(c => col(c).cast("double")): _*).as("f"),
+        explode(sequence(lit(0), lit(nb - 1))).as("blk"))
+      .as[(Long, Long, Array[Double], Int)]
 
-    melted.as[(Long, Int, Long, Double, Double)]
-      .groupByKey { case (wid, pid, _, _, _) => (wid, pid) }
+    ds.groupByKey { case (wid, _, _, blk) => (wid, blk) }
       .flatMapGroups { (key: (Long, Int),
-                        rows: Iterator[(Long, Int, Long, Double, Double)]) =>
-        val (wid, pid) = key
-        // group = accounts of one window × one feature pair; the forest is
-        // fit on a ψ-subsample so memory here is O(group rows) for the
-        // buffered points only — bounded by accounts-per-window.
-        // Sorted by account so the fit is DETERMINISTIC under any physical
-        // plan / partitioning — group iteration order is not stable across
-        // plan changes, and the subsample indices depend on row order.
-        val buf = rows.toArray.sortBy(_._3)
-        val pts = buf.map { case (_, _, _, x, y) => Array(x, y) }
-        val forest = IForest.fit(pts, numTrees, 256,
-          seed = seed * 1000003L + wid * 131L + pid)
-        buf.iterator.zip(pts.iterator).map { case ((_, _, acct, x, y), p) =>
-          (wid, pid, acct, x, y, forest.score(p))
-        }
+                        rows: Iterator[(Long, Long, Array[Double], Int)]) =>
+        val (wid, blk) = key
+        // Sorted by account so each fit is DETERMINISTIC under any
+        // physical plan / partitioning — group iteration order is not
+        // stable across plan changes, and the subsample indices depend on
+        // row order. Memory is O(accounts-per-window), same bound as the
+        // reference's per-window frame.
+        val buf = rows.toArray.sortBy(_._2)
+        pairs.iterator
+          .filter { case (pid, _, _) => pid % nb == blk }
+          .flatMap { case (pid, f1, f2) =>
+            // P6 non-zero filter + log10(x+1) transform (AA-AR.py:78-82)
+            val kept = buf.iterator
+              .filter { case (_, _, f, _) => f(f1) != 0.0 && f(f2) != 0.0 }
+              .map { case (_, acct, f, _) =>
+                (acct, math.log10(f(f1) + 1.0), math.log10(f(f2) + 1.0))
+              }.toArray
+            val pts = kept.map { case (_, x, y) => Array(x, y) }
+            val forest = IForest.fit(pts, numTrees, 256,
+              seed = seed * 1000003L + wid * 131L + pid)
+            val scores = forest.scoreAll(pts)
+            kept.iterator.zipWithIndex.map {
+              case ((acct, x, y), i) => (wid, pid, acct, x, y, scores(i))
+            }
+          }
       }
       .toDF("wid", "pair_id", "account", "x", "y", "score")
   }

@@ -33,25 +33,28 @@ object IForest {
     else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) -
       2.0 * (n - 1.0) / n
 
-  /** One tree, array-encoded for iterative traversal: node i splits on
-    * `dims(i)` at `splits(i)` (children `lefts(i)`/`rights(i)`), or is a
-    * leaf when dims(i) < 0 with `values(i)` = depth + c(leaf_size)
-    * precomputed (depth is fixed per node, so the whole path-length
-    * contribution folds into the leaf). Scoring touches 4 primitive
-    * arrays in a tight loop — no virtual dispatch, no boxing; this is the
-    * hot path of the focus-plot stage (rows × trees × depth node visits).
+  /** One tree, array-encoded for iterative traversal. Nodes are PACKED 4
+    * doubles wide at offset 4i: [dim, split, leftId, rightId]; the leaf's
+    * path-length contribution depth + c(leaf_size) lives in `values(id)`
+    * (depth is fixed per node, so the whole contribution folds into the
+    * leaf). Leaves SELF-LOOP (dim = 0, split = +∞, left = right = self),
+    * so a walk of exactly `depth` steps always ends on the right leaf with
+    * no per-step termination test — a fixed trip count lets the batch
+    * scorer run several independent point walks in flight at once, hiding
+    * the serial load→compare→load latency that dominates this hot path
+    * (rows × trees × depth dependent loads).
     */
-  final class FlatTree(val dims: Array[Int], val splits: Array[Double],
-                       val lefts: Array[Int], val rights: Array[Int],
-                       val values: Array[Double]) extends Serializable {
+  final class FlatTree(val nodes: Array[Double], val values: Array[Double],
+                       val depth: Int) extends Serializable {
     def pathLength(x: Array[Double]): Double = {
-      var i = 0
-      var d = dims(i)
-      while (d >= 0) {
-        i = if (x(d) < splits(i)) lefts(i) else rights(i)
-        d = dims(i)
+      var b = 0
+      var s = 0
+      while (s < depth) {
+        b = 4 * (if (x(nodes(b).toInt) < nodes(b + 1)) nodes(b + 2)
+                 else nodes(b + 3)).toInt
+        s += 1
       }
-      values(i)
+      values(b >> 2)
     }
   }
 
@@ -70,35 +73,103 @@ object IForest {
       while (i < trees.length) { s += trees(i).pathLength(x); i += 1 }
       math.pow(2.0, -(s / trees.length) / cPsi)
     }
+
+    /** Batch scoring, tree-outer / point-inner: each ~16 KB tree stays hot
+      * in L1 across the whole point batch instead of the full forest
+      * (~1 MB) being re-walked per point, and four point walks run
+      * interleaved per iteration — the fixed-depth self-looping encoding
+      * makes the four load chains independent, so the CPU overlaps their
+      * latencies. Identical results to `score` applied row-wise.
+      */
+    def scoreAll(xs: Array[Array[Double]]): Array[Double] = {
+      val n = xs.length
+      val out = new Array[Double](n)
+      if (trees.isEmpty || cPsi == 0.0) {
+        java.util.Arrays.fill(out, 0.5)
+        return out
+      }
+      var t = 0
+      while (t < trees.length) {
+        val tree = trees(t)
+        val nd = tree.nodes
+        val vals = tree.values
+        val depth = tree.depth
+        var i = 0
+        val lim = n - (n % 4)
+        while (i < lim) {
+          val x0 = xs(i); val x1 = xs(i + 1)
+          val x2 = xs(i + 2); val x3 = xs(i + 3)
+          var b0 = 0; var b1 = 0; var b2 = 0; var b3 = 0
+          var s = 0
+          while (s < depth) {
+            b0 = 4 * (if (x0(nd(b0).toInt) < nd(b0 + 1)) nd(b0 + 2)
+                      else nd(b0 + 3)).toInt
+            b1 = 4 * (if (x1(nd(b1).toInt) < nd(b1 + 1)) nd(b1 + 2)
+                      else nd(b1 + 3)).toInt
+            b2 = 4 * (if (x2(nd(b2).toInt) < nd(b2 + 1)) nd(b2 + 2)
+                      else nd(b2 + 3)).toInt
+            b3 = 4 * (if (x3(nd(b3).toInt) < nd(b3 + 1)) nd(b3 + 2)
+                      else nd(b3 + 3)).toInt
+            s += 1
+          }
+          out(i) += vals(b0 >> 2); out(i + 1) += vals(b1 >> 2)
+          out(i + 2) += vals(b2 >> 2); out(i + 3) += vals(b3 >> 2)
+          i += 4
+        }
+        while (i < n) { out(i) += tree.pathLength(xs(i)); i += 1 }
+        t += 1
+      }
+      var i = 0
+      while (i < n) {
+        out(i) = math.pow(2.0, -(out(i) / trees.length) / cPsi)
+        i += 1
+      }
+      out
+    }
   }
 
-  /** Growable builder emitting the flat encoding directly. */
+  /** Growable builder emitting the packed flat encoding directly. */
   private final class TreeBuilder {
-    private val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
-    private val splits = scala.collection.mutable.ArrayBuffer.empty[Double]
-    private val lefts = scala.collection.mutable.ArrayBuffer.empty[Int]
-    private val rights = scala.collection.mutable.ArrayBuffer.empty[Int]
-    private val values = scala.collection.mutable.ArrayBuffer.empty[Double]
+    private var nodes = new Array[Double](4 * 64)
+    private var values = new Array[Double](64)
+    private var n = 0
+
+    private def ensure(): Unit =
+      if (4 * (n + 1) > nodes.length) {
+        nodes = java.util.Arrays.copyOf(nodes, nodes.length * 2)
+        values = java.util.Arrays.copyOf(values, values.length * 2)
+      }
 
     def leaf(depth: Int, size: Int): Int = {
-      val id = dims.length
-      dims += -1; splits += 0.0; lefts += -1; rights += -1
-      values += depth + avgPathLength(size.toLong)
+      ensure()
+      val id = n
+      // self-loop: dim 0, split +∞ ⇒ always goes left, left = itself
+      nodes(4 * id) = 0.0
+      nodes(4 * id + 1) = Double.PositiveInfinity
+      nodes(4 * id + 2) = id.toDouble
+      nodes(4 * id + 3) = id.toDouble
+      values(id) = depth + avgPathLength(size.toLong)
+      n += 1
       id
     }
 
     def split(dim: Int, value: Double): Int = {
-      val id = dims.length
-      dims += dim; splits += value; lefts += -1; rights += -1; values += 0.0
+      ensure()
+      val id = n
+      nodes(4 * id) = dim.toDouble
+      nodes(4 * id + 1) = value
+      n += 1
       id
     }
 
     def wire(id: Int, lo: Int, hi: Int): Unit = {
-      lefts(id) = lo; rights(id) = hi
+      nodes(4 * id + 2) = lo.toDouble
+      nodes(4 * id + 3) = hi.toDouble
     }
 
-    def result(): FlatTree = new FlatTree(dims.toArray, splits.toArray,
-      lefts.toArray, rights.toArray, values.toArray)
+    def result(maxDepth: Int): FlatTree =
+      new FlatTree(java.util.Arrays.copyOf(nodes, 4 * n),
+        java.util.Arrays.copyOf(values, n), maxDepth)
   }
 
   private def buildNode(b: TreeBuilder, points: Array[Array[Double]],
@@ -107,14 +178,17 @@ object IForest {
     if (idx.length <= 1 || depth >= maxDepth)
       return b.leaf(depth, idx.length)
     val nDims = points(idx(0)).length
-    // pick a dimension with spread; give up after trying all dims
-    val dims = rng.shuffle((0 until nDims).toList)
+    // pick a uniformly random dimension; if it has no spread, probe the
+    // remaining dims in cyclic order. One rng draw and zero allocations
+    // per node — an rng.shuffle(List) here costs more than the whole
+    // min/max scan (this runs ~trees × ψ times per fit, × groups).
+    val start = rng.nextInt(nDims)
     var chosen = -1
     var lo = 0.0
     var hi = 0.0
-    val it = dims.iterator
-    while (chosen < 0 && it.hasNext) {
-      val d = it.next()
+    var k = 0
+    while (chosen < 0 && k < nDims) {
+      val d = (start + k) % nDims
       var mn = Double.MaxValue
       var mx = Double.MinValue
       var i = 0
@@ -125,6 +199,7 @@ object IForest {
         i += 1
       }
       if (mx > mn) { chosen = d; lo = mn; hi = mx }
+      k += 1
     }
     if (chosen < 0) return b.leaf(depth, idx.length) // all identical
     val split = lo + rng.nextDouble() * (hi - lo)
@@ -152,7 +227,7 @@ object IForest {
       val sample = Array.fill(psi)(rng.nextInt(n)) // subsample w/ replacement
       val b = new TreeBuilder
       buildNode(b, points, sample, 0, maxDepth, rng)
-      b.result()
+      b.result(maxDepth)
     }
     Forest(trees, psi)
   }

@@ -1,0 +1,176 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.algo.AaSmurf
+import graft.ml.IForest
+
+/** Property-based tests (SURVEY §5): invariants the operators must hold
+  * for ANY input, not just the fixtures. Pure-Scala components get full
+  * scalacheck sweeps; DataFrame-level invariants with a Spark round-trip
+  * per case run under `SparkPropsSpec` with a reduced case count.
+  */
+object LocalPropsSpec extends Properties("local-invariants") {
+
+  // ── greedy MDL loop (M6) ──
+  private val edgeSetGen: Gen[(Int, Set[(Int, Int)])] = for {
+    n <- Gen.choose(8, 40)
+    density <- Gen.choose(1, 4)
+    edges <- Gen.listOfN(n * density, for {
+      i <- Gen.choose(0, n - 1)
+      j <- Gen.choose(0, n - 1) if i != j
+    } yield (i, j))
+  } yield (n, edges.toSet)
+
+  private def adjOf(n: Int, es: Set[(Int, Int)]): AaSmurf.Adj = {
+    val a = new AaSmurf.Adj(n)
+    es.foreach { case (i, j) => a.add(i, j) }
+    a
+  }
+
+  private def candidatesOf(n: Int, es: Set[(Int, Int)]) = {
+    // the same 2-hop mining semantics as GraphOps.twoHopMids, locally
+    val out = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val in = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    (for {
+      i <- 0 until n; j <- 0 until n if i != j
+      mids = out.getOrElse(i, Set.empty) & in.getOrElse(j, Set.empty) -
+        i - j
+      if mids.size >= 3
+    } yield AaSmurf.Candidate(i, j, mids.size.toLong,
+      mids.toArray.sorted)).toArray
+      .sortBy(c => (-c.cnt, c.i, c.j))
+  }
+
+  property("MDL decreases strictly along committed iterations") =
+    forAll(edgeSetGen) { case (n, es) =>
+      val m = AaSmurf.greedyOrder(adjOf(n, es), candidatesOf(n, es))
+      m.mdlTrace.sliding(2).forall(w => w.length < 2 || w(1) < w(0))
+    }
+
+  property("greedy order is a permutation of 0..n-1") =
+    forAll(edgeSetGen) { case (n, es) =>
+      val m = AaSmurf.greedyOrder(adjOf(n, es), candidatesOf(n, es))
+      m.order.sorted.sameElements(0 until n)
+    }
+
+  property("selected MDL is within the committed trace") =
+    forAll(edgeSetGen) { case (n, es) =>
+      val m = AaSmurf.greedyOrder(adjOf(n, es), candidatesOf(n, es))
+      m.mdlTrace.contains(m.finalMdl)
+    }
+
+  // ── universal code length / path length (scalar fns) ──
+  property("logStar is 2·log2(x)+1 and monotone for x>1") =
+    forAll(Gen.choose(1.001, 1e9)) { x =>
+      val v = AaSmurf.logStar(x)
+      math.abs(v - (2 * math.log(x) / math.log(2) + 1)) < 1e-9 &&
+        AaSmurf.logStar(x * 2) > v
+    }
+
+  property("iForest avgPathLength: 0 for n<2, monotone, < log2(n)·2+2") =
+    forAll(Gen.choose(0L, 1L << 40)) { n =>
+      val c = IForest.avgPathLength(n)
+      if (n < 2) c == 0.0
+      else c > 0 && c <= IForest.avgPathLength(n + 1) &&
+        c < 2 * (math.log(n.toDouble) / math.log(2)) + 2
+    }
+
+  // ── iForest scoring (M3) ──
+  private val pointsGen: Gen[Array[Array[Double]]] = for {
+    n <- Gen.choose(8, 200)
+    pts <- Gen.listOfN(n, Gen.zip(
+      Gen.choose(-1e3, 1e3), Gen.choose(-1e3, 1e3)))
+  } yield pts.map(p => Array(p._1, p._2)).toArray
+
+  property("iForest scores lie in (0,1) and are seed-deterministic") =
+    forAll(pointsGen) { pts =>
+      val f1 = IForest.fit(pts, numTrees = 20, seed = 7L)
+      val f2 = IForest.fit(pts, numTrees = 20, seed = 7L)
+      pts.forall { p =>
+        val s = f1.score(p)
+        s > 0.0 && s < 1.0 && s == f2.score(p)
+      }
+    }
+}
+
+/** DataFrame-level invariants — each case pays a Spark job, so the case
+  * count is deliberately small.
+  */
+class SparkPropsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def edgeDf(rows: Seq[(Long, Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("src", "dst", "weight", "ts")
+  }
+
+  private val rng = new scala.util.Random(42)
+  private def randomEdges(n: Int, ids: Int, tsMax: Int) =
+    Seq.fill(n)((rng.nextInt(ids).toLong, rng.nextInt(ids).toLong,
+      rng.nextInt(1000).toLong + 1, rng.nextInt(tsMax).toLong))
+
+  test("Σ multi_in_degree = Σ multi_out_degree = |E| (A1-A8 conservation)") {
+    for (_ <- 1 to 3) {
+      val e = edgeDf(randomEdges(300, 40, 50))
+      val f = graft.ops.Features.accountFeatures(e)
+      val r = f.agg(sum("multi_in_degree"), sum("multi_out_degree")).head()
+      assert(r.getLong(0) == 300 && r.getLong(1) == 300)
+    }
+  }
+
+  test("window explode conserves edges: Σ per-wid counts = Σ multiplicity") {
+    for (_ <- 1 to 3) {
+      val e = edgeDf(randomEdges(200, 30, 60))
+      val w = graft.ops.Windows.withWindowId(e, 14, 7)
+      // every (edge, wid) satisfies the window's half-open range
+      val bad = w.filter(!(col("ts") >= col("w_start") &&
+        col("ts") < col("w_start") + 14)).count()
+      assert(bad == 0)
+      // multiplicity ≤ ⌈w/stride⌉ = 2
+      val maxRep = w.groupBy("src", "dst", "weight", "ts")
+        .count().agg(max("count")).head().getLong(0)
+      assert(maxRep <= 2)
+    }
+  }
+
+  test("permuteEdges preserves the edge multiset (M8 invariance)") {
+    val e = edgeDf(randomEdges(150, 25, 10)).select("src", "dst").distinct()
+    val nodes = graft.ops.GraphOps.nodes(e)
+    val pos = nodes.orderBy(desc("id"))
+      .withColumn("pos", monotonically_increasing_id())
+    val permuted = graft.ops.GraphOps.permuteEdges(e, pos)
+    assert(permuted.count() == e.count())
+  }
+
+  test("cosine distance ∈ [0,2]; Jaccard ∈ [0,1] on random arrays") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.fill(30)((
+      Seq.fill(8)(rng.nextDouble() * 2 - 1),
+      Seq.fill(8)(rng.nextDouble() * 2 - 1),
+      Seq.fill(5)(rng.nextInt(10).toLong).distinct,
+      Seq.fill(5)(rng.nextInt(10).toLong).distinct
+    )).toDF("u", "v", "a", "b")
+    val r = df.select(
+      graft.ops.Scoring.cosineDistance(col("u"), col("v")).as("cd"),
+      graft.ext.Dedup.jaccardArrays(col("a"), col("b")).as("j"))
+      .agg(min("cd"), max("cd"), min("j"), max("j")).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 2.0 + 1e-12)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12)
+  }
+
+  test("all-zero focus plot sketches to zero") {
+    val s = spark
+    import s.implicits._
+    // a focus table with all-zero scores must produce all-zero sketches
+    val focus = (for (w <- 0L to 3L; a <- 0L to 20L; p <- 0 to 5)
+      yield (w, a, p, 0.0)).toDF("wid", "account", "pair_id", "score")
+    val sk = graft.algo.AaAr.sketches(focus, sketchNum = 8, numDst = 2,
+      seed = 1L)
+    val nz = sk.filter(abs(col("value")) > 1e-15).count()
+    assert(nz == 0)
+  }
+}
