@@ -264,6 +264,18 @@ object AaAr {
     val feats = Features.accountFeaturesByWindow(wedges)
     val focus = focusScores(feats, numTrees, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    runFromFocus(focus, sketchNum, backWs, numDst, seed)
+  }
+
+  /** Sketch + change-score stages over a prebuilt (ideally persisted)
+    * focus table — lets callers share ONE materialized focus-score
+    * computation across several queries: Spark's CacheManager cannot
+    * dedup it by plan because every `flatMapGroups` call embeds a fresh
+    * closure object, so plan-identical focus tables built twice never
+    * cache-hit. Sharing the DataFrame instance is the reliable way.
+    */
+  def runFromFocus(focus: DataFrame, sketchNum: Int = 256, backWs: Int = 4,
+                   numDst: Int = 3, seed: Long = 0L): DataFrame = {
     val sk = sketches(focus, sketchNum, numDst, seed = seed)
     changeScores(sk, backWs)
   }

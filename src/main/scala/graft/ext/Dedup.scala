@@ -60,9 +60,14 @@ object Dedup {
     // blowup at sf0.1). Exploded rows hash each shingle exactly once per
     // hash function, aggregate map-side, and shuffle only (doc_id, k
     // minima). This is also the 100 TB shape: linear in total shingles.
+    // the hashed shingle table feeds the signature agg, the per-doc sizes,
+    // and BOTH sides of the intersection join — persist it or every
+    // consumer re-tokenizes and re-shingles the corpus (at 100 TB this
+    // would be a persisted/checkpointed intermediate table too)
     val docSh = docs
       .select(col("doc_id"), explode(shingles(col(textCol))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minCols = (0 until k).map(i =>
       min(xxhash64(col("sh_h"), lit(i))).as(s"h$i"))
     val sig = docSh.groupBy(col("doc_id"))
@@ -150,6 +155,7 @@ object Dedup {
     val docSh = docs.select(col("doc_id"),
         explode(shingles(col(textCol), n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
     val co = docSh.alias("x")
@@ -179,13 +185,12 @@ object Dedup {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     // signature bit p = sign(Σ_i v_i · n_{p,i}), n from hash(p,i,seed)
-    // mapped to [-1,1)
+    // mapped to [-1,1) — normals precomputed on the driver (constants of
+    // the plan) and shipped as literal arrays; see SimSearch.planeNormal
     val sig = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(col("v"), sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * (pmod(xxhash64(lit(p), i, lit(seed)),
-            lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
+      val normals = Array.tabulate(dim)(i =>
+        SimSearch.planeNormal(p, i, seed))
+      val proj = SimSearch.literalDot(col("v"), normals)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
     val withSig = e.withColumn("bucket", sig)

@@ -26,6 +26,29 @@ object SimSearch {
   private def asDouble(c: org.apache.spark.sql.Column) =
     transform(c, x => x.cast("double"))
 
+  /** Deterministic pseudo-random hyperplane normal component in [−1, 1),
+    * derived from (tag, i, seed) with Catalyst's own XxHash64 — evaluated
+    * ONCE on the driver and shipped as a literal. The first version
+    * computed `xxhash64(tag, i, seed)` inside the per-row expression:
+    * rows × bits × dim hash evaluations (~100M at sf0.1) for values that
+    * are constants of the plan. Same bits, so identical signatures.
+    */
+  private[ext] def planeNormal(tag: Int, i: Int, seed: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(tag), Literal(i), Literal(seed)))
+      .eval(null).asInstanceOf[Long]
+    Math.floorMod(h, 2000001L).toDouble / 1000000.0 - 1.0
+  }
+
+  /** Σ_i v(i)·n(i) as a fold over the literal normal array — no per-row
+    * hashing, one zipped array per (row, bit).
+    */
+  private[ext] def literalDot(v: org.apache.spark.sql.Column,
+                              normals: Array[Double]) =
+    aggregate(
+      zip_with(v, array(normals.map(lit): _*), (x, n) => x * n),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Exact top-k neighbors for each query vector (excluding self-match).
     * `queries` and `corpus` both need (vec_id, embedding).
     */
@@ -53,11 +76,9 @@ object SimSearch {
                              bitsPerBand: Int, seed: Int): DataFrame = {
     val bandCols = (0 until bands).map { band =>
       val bits = (0 until bitsPerBand).map { p =>
-        val proj = aggregate(
-          zip_with(col("v"), sequence(lit(0), lit(dim - 1)),
-            (x, i) => x * (pmod(xxhash64(lit(band * 97 + p), i, lit(seed)),
-              lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
-          lit(0.0), (acc, x) => acc + x)
+        val normals = Array.tabulate(dim)(i =>
+          planeNormal(band * 97 + p, i, seed))
+        val proj = literalDot(col("v"), normals)
         when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(band).as("band_id"), bits.as("band_hash"))
