@@ -20,8 +20,13 @@ object Scoring {
   def l2Norm(u: Column): Column =
     sqrt(aggregate(u, lit(0.0), (acc, x) => acc + x * x))
 
+  /** u·v / (‖u‖‖v‖) — native codegen expression (one fused loop per pair,
+    * no intermediate arrays; see o.a.s.sql.graft.ArrayCosineSimilarityExpr).
+    * Bit-identical to `dotProduct(u,v) / (l2Norm(u) * l2Norm(v))` on
+    * well-formed input; this is the hot inner op of brute-force top-k.
+    */
   def cosineSimilarity(u: Column, v: Column): Column =
-    dotProduct(u, v) / (l2Norm(u) * l2Norm(v))
+    org.apache.spark.sql.graft.GraftExprBridge.cosineSimilarity(u, v)
 
   /** Power-law fit y = e^b · x^a on log-log axes + R² (SURVEY M4,
     * `AA-AR.py:188-193` sklearn LinearRegression + r2_score), as CLOSED-FORM

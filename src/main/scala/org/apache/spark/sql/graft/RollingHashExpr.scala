@@ -56,4 +56,8 @@ case class RollingHashExpr(child: Expression)
 object GraftExprBridge {
   def rollingHash(c: Column): Column =
     ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c)))
+
+  def cosineSimilarity(u: Column, v: Column): Column =
+    ExpressionUtils.column(ArrayCosineSimilarityExpr(
+      ExpressionUtils.expression(u), ExpressionUtils.expression(v)))
 }

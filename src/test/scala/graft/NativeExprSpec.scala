@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions (rolling_hash, cosine_sim): parity between
+  * the codegen'd path, the interpreted path, the HOF formulation, and the
+  * SparkSessionExtensions SQL registration.
+  */
+class NativeExprSpec extends SparkSpec {
+
+  test("cosine_sim equals the HOF formulation bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val df = Seq.fill(200)((
+      Seq.fill(16)(rng.nextDouble() * 2 - 1),
+      Seq.fill(16)(rng.nextDouble() * 2 - 1))).toDF("u", "v")
+    val hof = aggregate(zip_with(col("u"), col("v"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(col("u"), lit(0.0), (acc, x) => acc + x * x)) *
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val bad = df.select(
+      graft.ops.Scoring.cosineSimilarity(col("u"), col("v")).as("native"),
+      hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
+  test("cosine_sim: nulls and length mismatch → null; self-sim = 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0))),     // self
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))), // length mismatch
+      (None, Some(Seq(1.0, 2.0)))                      // null array
+    ).toDF("u", "v")
+    val r = df.select(
+      graft.ops.Scoring.cosineSimilarity(col("u"), col("v")).as("c"))
+      .collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(r(1).isNullAt(0) && r(2).isNullAt(0))
+  }
+
+  test("interpreted eval matches codegen eval") {
+    // force the interpreted path by evaluating the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val u = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      ArrayType(DoubleType))
+    val v = Literal.create(ArrayData.toArrayData(Array(3.0, 2.0, 1.0)),
+      ArrayType(DoubleType))
+    val e = org.apache.spark.sql.graft.ArrayCosineSimilarityExpr(u, v)
+    val interp = e.eval(null).asInstanceOf[Double]
+    val expected = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(interp - expected) < 1e-12)
+  }
+
+  test("extensions register rolling_hash and cosine_sim for SQL") {
+    // getOrCreate returns the suite session (ignoring extensions) unless
+    // the default is cleared first; the fresh session shares the
+    // SparkContext, so do NOT stop it afterwards.
+    spark.sparkContext // ensure the shared context exists
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT rolling_hash('ab') AS h,
+          |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+          |""".stripMargin).collect()(0)
+      assert(r.getLong(0) == ('a'.toLong * 31 + 'b'.toLong))
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    } finally {
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
