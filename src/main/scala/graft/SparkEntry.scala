@@ -61,6 +61,20 @@ object SparkEntry {
         Windows.withWindowId(edges(s, dir), 14, 7))
     }
 
+  /** Injected-fold tables (edges, labels), shared by q33 + q38 + q39. */
+  private val smurfGenMemo =
+    scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  private def sharedSmurfGen(s: SparkSession,
+                             dir: String): (DataFrame, DataFrame) =
+    smurfGenMemo.synchronized {
+      smurfGenMemo.getOrElseUpdate(dir, {
+        val (ed, lab) = SmurfGen.run(s, smallGraph(s, dir),
+          middleNums = Seq(10), folds = 3)
+        (ed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+         lab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      })
+    }
+
   /** Thresholded 2-hop path table (i, j, mid | pair count ≥ 3), shared by
     * q08 (pair counts are a groupBy of it) + q09. One shuffle of the path
     * table keyed (i, j) — the agg+self-join formulation computes the join
@@ -356,9 +370,36 @@ object SparkEntry {
     "q32_smurf_order" -> ((s, dir) =>
       AaSmurf.run(s, smallGraph(s, dir), minCount = 3,
         maxIter = Some(8))),
-    "q33_smurfgen_edges" -> ((s, dir) =>
-      SmurfGen.run(s, smallGraph(s, dir), middleNums = Seq(10),
-        folds = 3)._1),
+    "q33_smurfgen_edges" -> ((s, dir) => sharedSmurfGen(s, dir)._1),
+    "q38_smurfgen_labels" -> ((s, dir) => sharedSmurfGen(s, dir)._2),
+    // the reference's own evaluation design (SURVEY §5 planted-pattern
+    // recall), as ONE distributed query over every (middle_num, fold):
+    // mine 2-hop candidates per fold and check the injected label pair
+    // is among them. At scale this is the standard eval-harness shape —
+    // fold id rides the join keys, nothing loops on the driver.
+    "q39_smurf_recall" -> ((s, dir) => {
+      val ed = sharedSmurfGen(s, dir)._1
+      val lab = sharedSmurfGen(s, dir)._2
+      val b = ed.select(col("middle_num"), col("fold"), col("src"),
+        col("dst")).distinct()
+      val cands = b.select(col("middle_num"), col("fold"),
+          col("src").as("i"), col("dst").as("m"))
+        .join(b.select(col("middle_num"), col("fold"),
+          col("src").as("m"), col("dst").as("j")),
+          Seq("middle_num", "fold", "m"))
+        .groupBy(col("middle_num"), col("fold"), col("i"), col("j"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)
+      lab.join(cands,
+          lab("middle_num") === cands("middle_num") &&
+            lab("fold") === cands("fold") &&
+            lab("label_src") === cands("i") &&
+            lab("label_dst") === cands("j"),
+          "left")
+        .groupBy(lab("middle_num"), lab("fold"))
+        .agg(max(when(col("cnt").isNotNull, 1L).otherwise(0L))
+          .as("recalled"))
+    }),
     "q34_focus_scores" -> ((s, dir) =>
       sharedFocus(s, dir)
         .groupBy(col("wid"), col("pair_id"))
