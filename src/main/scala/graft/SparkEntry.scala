@@ -278,6 +278,13 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
+    "q40_simsearch_ivf" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
+        k = 10)
+        .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
+          col("nbr_id"), round(col("cos"), 6).as("cos"))
+    }),
 
     // ───── multimodal plumbing (extension surface) ─────
     "q29_multimodal_meta" -> ((s, dir) =>

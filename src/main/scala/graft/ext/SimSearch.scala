@@ -88,6 +88,66 @@ object SimSearch {
         :+ col("band.band_hash").as("band_hash"): _*)
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and exact-re-ranks only those candidates — the classic
+    * IVF-Flat scheme and the second scale path next to LSH (different
+    * recall/latency trade-off: data-adaptive cells vs data-oblivious
+    * hyperplanes).
+    *
+    * Spark shape: KMeans fit is MLlib's distributed Lloyd's; centroids
+    * (nlist × dim doubles — KBs) come back to the driver and ship as
+    * broadcast literals inside the assignment expressions, so cell
+    * assignment is a codegen'd projection over the corpus — no join, no
+    * shuffle. The candidate join keys on cell id, and only
+    * |corpus|·nprobe/nlist rows reach the exact re-rank.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L)
+      : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusV = corpus.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("v"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features")
+    val model = km.fit(corpusV.select(
+      array_to_vector(col("v")).as("features")))
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // squared L2 distance to each centroid as literal-array expressions;
+    // cell = argmin (first index on ties, matching KMeans.predict)
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def cellOf(v: org.apache.spark.sql.Column) = {
+      val ds = array(centers.map(c => dist2(v, c)): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+
+    val assigned = corpusV.withColumn("cell", cellOf(col("v")))
+
+    // queries probe their nprobe nearest cells: sort (dist, cell) structs
+    val probed = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding"))
+        .as("v_q"))
+      .withColumn("probe", explode(slice(
+        array_sort(array(centers.zipWithIndex.map { case (c, i) =>
+          struct(dist2(col("v_q"), c).as("d"), lit(i).as("cell"))
+        }: _*)), 1, nprobe)))
+      .select(col("query_id"), col("v_q"), col("probe.cell").as("cell"))
+
+    val cand = assigned.join(broadcast(probed), "cell")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", Scoring.cosineSimilarity(col("v_q"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
   /** ANN top-k via hyperplane LSH buckets + exact re-rank of candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
               bands: Int = 4, bitsPerBand: Int = 8,

@@ -54,4 +54,27 @@ class SimSearchSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.head.getAs[Long]("nbr_id") == 6L)
   }
+
+  test("IVF top-k matches brute force on clustered data (recall@1)") {
+    val q = corpus.filter($"vec_id" === 0L || $"vec_id" === 5L)
+    val exact = SimSearch.bruteForceTopK(corpus, q, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("nbr_id")).toMap
+    // nlist = 3 cells over 3 true clusters; probe 2 for margin
+    val ivf = SimSearch.ivfTopK(corpus, q, dim = 8, k = 1, nlist = 3,
+      nprobe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(r.getAs[Long]("nbr_id") == exact(r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("IVF candidate set is cell-bounded: nprobe=nlist degrades to exact") {
+    val q = corpus.filter($"vec_id" === 3L)
+    val exact = SimSearch.bruteForceTopK(corpus, q, 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("nbr_id")))
+    val ivf = SimSearch.ivfTopK(corpus, q, dim = 8, k = 3, nlist = 3,
+      nprobe = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("nbr_id")))
+    assert(ivf.sorted.sameElements(exact.sorted))
+  }
 }
