@@ -648,6 +648,13 @@ object SparkEntry {
          |FROM documents d LEFT JOIN pred p USING (doc_id)""".stripMargin
     },
 
+    // maximal letter runs + digit runs + every single non-alnum-non-space
+    // char — the same token set the Spark lookaround split + filter keeps
+    "q21_bpeish_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens
+        |FROM documents""".stripMargin,
+
     "q22_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |       min(doc_id) AS canonical_doc_id,
