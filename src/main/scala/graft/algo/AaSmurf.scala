@@ -150,7 +150,14 @@ object AaSmurf {
       val inOrder = order.toSet
       // score every still-applicable candidate in parallel (joblib → par)
       val scored = candidates.par.flatMap { c =>
-        if (inOrder.contains(c.i) || inOrder.contains(c.j)) None
+        // c.i == c.j (a 2-hop CYCLE — the A·A diagonal) would append the
+        // node twice and break the permutation; the reference appends
+        // key[0] and key[1] unconditionally (`AA-Smurf.py:117-122`) and
+        // would corrupt `order` the same way on cyclic graphs — its eval
+        // graphs never exercise it. Intended semantics: a smurf block is a
+        // fan-out/fan-in PAIR, so self-pairs are skipped (SURVEY §7.4
+        // divergence policy).
+        if (c.i == c.j || inOrder.contains(c.i) || inOrder.contains(c.j)) None
         else {
           val mids = c.mids.filter(m => !inOrder.contains(m) &&
             m != c.i && m != c.j)
@@ -208,6 +215,24 @@ object AaSmurf {
     */
   def run(spark: SparkSession, edges: DataFrame, minCount: Long = 3,
           maxIter: Option[Int] = None): DataFrame = {
+    val (model, nodeIds) = runModelWithIds(spark, edges, minCount, maxIter)
+    val rows = model.order.zipWithIndex.map { case (node, pos) =>
+      (pos.toLong, nodeIds(node), model.finalMdl, model.iterations.toLong)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("pos", "node", "mdl", "iterations")
+  }
+
+  /** As `run`, but returns the raw model (mdlTrace, order over dense
+    * indices) for tests/diagnostics.
+    */
+  def runModel(spark: SparkSession, edges: DataFrame, minCount: Long = 3,
+               maxIter: Option[Int] = None): SmurfModel =
+    runModelWithIds(spark, edges, minCount, maxIter)._1
+
+  private def runModelWithIds(spark: SparkSession, edges: DataFrame,
+                              minCount: Long, maxIter: Option[Int])
+      : (SmurfModel, Array[Long]) = {
     import spark.implicits._
     val bin = graft.ops.GraphOps.binaryEdges(edges).cache()
     val cands = graft.ops.GraphOps.twoHopMids(bin, minCount)
@@ -227,11 +252,6 @@ object AaSmurf {
       Candidate(index(r.getLong(0)), index(r.getLong(1)), r.getLong(2),
         r.getSeq[Long](3).map(index).toArray)
     }
-    val model = greedyOrder(adj, candidates, maxIter)
-    val rows = model.order.zipWithIndex.map { case (node, pos) =>
-      (pos.toLong, nodeIds(node), model.finalMdl, model.iterations.toLong)
-    }
-    spark.createDataFrame(rows.toSeq)
-      .toDF("pos", "node", "mdl", "iterations")
+    (greedyOrder(adj, candidates, maxIter), nodeIds)
   }
 }

@@ -33,8 +33,10 @@ object LocalPropsSpec extends Properties("local-invariants") {
     // the same 2-hop mining semantics as GraphOps.twoHopMids, locally
     val out = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val in = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    // self-pairs (i == j, 2-hop cycles) are deliberately INCLUDED: the
+    // A·A diagonal reaches the candidate list and greedyOrder must skip it
     (for {
-      i <- 0 until n; j <- 0 until n if i != j
+      i <- 0 until n; j <- 0 until n
       mids = out.getOrElse(i, Set.empty) & in.getOrElse(j, Set.empty) -
         i - j
       if mids.size >= 3
