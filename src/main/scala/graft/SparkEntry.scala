@@ -309,6 +309,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 6).as("sum_value"))),
 
+    // event-time SESSION windows (gap-close sessionization — the
+    // streaming-native windowing Spark's session_window gives batch and
+    // streams alike; oracle = classic gaps-and-islands SQL)
+    "q41_event_sessions" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), col("sum_value"))),
+
+    // JSON property extraction + aggregation over the events props column
+    "q42_event_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(get_json_object(col("props"), "$.k").cast("bigint")
+          .as("k"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"))),
+
     // ───── reference input scans (S1-S4) as lossless roundtrips ─────
     // the CSV/matrix hop is what's under test: write the canonical tables
     // out in the reference's file shapes, scan them back through the
@@ -733,6 +754,33 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands sessionization: a session breaks when the gap to
+    // the previous event is ≥ the 30-minute gap duration (Spark's
+    // session_window end = last event + gap, exclusive)
+    "q41_event_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN prev IS NULL
+        |                  OR ts - prev >= INTERVAL 30 MINUTE THEN 1
+        |             ELSE 0 END AS brk
+        |      FROM l),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q42_event_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
