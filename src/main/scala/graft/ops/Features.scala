@@ -112,6 +112,48 @@ object Features {
   def accountFeaturesByWindow(edgesW: DataFrame): DataFrame =
     onePass(edgesW, Seq("wid"))
 
+  /** APPROXIMATE mode (SURVEY §4's documented trade-off): the exact
+    * per-group sort for the median and the Expand for exact distinct
+    * counts are the two costs that grow with group size; at extreme group
+    * cardinalities swap them for mergeable sketches —
+    * `approx_count_distinct` (HyperLogLog++, default rsd 5%) and
+    * `percentile_approx` (KLL-style). One ordinary hash aggregation, no
+    * sort, no Expand, fixed-size partial state per group. NOT oracle-
+    * comparable by construction; FeaturesSpec pins it to the exact
+    * operator within tolerance.
+    */
+  def accountFeaturesApprox(edgesW: DataFrame,
+                            grpCols: Seq[String] = Seq("wid")): DataFrame = {
+    val g = grpCols.map(col)
+    val sides = edgesW
+      .select(g :+ col("src").as("account") :+ lit(true).as("is_out") :+
+        col("dst").as("other") :+ col("weight").as("weight"): _*)
+      .union(edgesW
+        .select(g :+ col("dst").as("account") :+ lit(false).as("is_out") :+
+          col("src").as("other") :+ col("weight").as("weight"): _*))
+    def side(isOut: Boolean, pfx: String): Seq[Column] = {
+      val cond = if (isOut) col("is_out") else !col("is_out")
+      val w = when(cond, col("weight"))
+      val n = count(w)
+      val s = sum(w).cast("double")
+      val s2 = sum(w * w).cast("double")
+      Seq(
+        approx_count_distinct(when(cond, col("other")))
+          .as(s"unique_${pfx}_degree"),
+        n.as(s"multi_${pfx}_degree"),
+        coalesce(sum(w), lit(0L)).as(s"total_${pfx}_weight"),
+        when(n > 0, s / n.cast("double")).otherwise(lit(0.0))
+          .as(s"mean_${pfx}_weight"),
+        coalesce(percentile_approx(w, lit(0.5), lit(10000)).cast("double"),
+          lit(0.0)).as(s"median_${pfx}_weight"),
+        when(n > 0, (s2 - s * s / n.cast("double")) / n.cast("double"))
+          .otherwise(lit(0.0)).as(s"var_${pfx}_weight"))
+    }
+    val aggs = side(isOut = false, "in") ++ side(isOut = true, "out")
+    sides.groupBy(g :+ col("account"): _*).agg(aggs.head, aggs.tail: _*)
+      .select(g ++ (col("account") +: featureCols.map(col)): _*)
+  }
+
   /** DuckDB oracle SQL for the same aggregation, given an `edges` CTE
     * already in scope (optionally windowed: pass the grouping columns).
     * The expressions mirror the Spark side token-for-token so double

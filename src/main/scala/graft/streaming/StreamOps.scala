@@ -54,6 +54,17 @@ object StreamOps {
         col("multi_out_degree"), col("total_out_weight"),
         col("mean_out_weight"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same (key) within
+    * the watermark horizon — the streaming twin of Dedup.exact. State is
+    * BOUNDED: dropDuplicatesWithinWatermark expires each key's entry once
+    * the watermark passes it, so state size tracks the horizon, not the
+    * stream's lifetime (the 100 TB/unbounded-stream requirement).
+    */
+  def streamingDedup(docs: DataFrame, keyCol: String = "text_hash",
+                     watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Keyed sketch state for the W2/M1/M2 change score: one group per
     * stream (key), state = the trailing `backWs` sketch vectors.
     */

@@ -61,6 +61,36 @@ class FeaturesSpec extends SparkSpec {
     assert(sumIn == 4 && sumOut == 4)
   }
 
+  test("approx mode tracks exact features within sketch tolerance") {
+    val rng = new scala.util.Random(5)
+    val e = Seq.fill(2000)((rng.nextInt(50).toLong, rng.nextInt(50).toLong,
+      rng.nextInt(1000).toLong + 1, rng.nextInt(40).toLong))
+      .toDF("src", "dst", "weight", "ts")
+    val w = graft.ops.Windows.withWindowId(e, 14, 7)
+    val exact = Features.accountFeaturesByWindow(w)
+      .select($"wid", $"account", $"unique_out_degree",
+        $"median_out_weight", $"total_out_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val approx = Features.accountFeaturesApprox(w).select($"wid",
+      $"account", $"unique_out_degree", $"median_out_weight",
+      $"total_out_weight").collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val ex = exact((r.getLong(0), r.getLong(1)))
+      // exact aggregates are identical; sketches within tolerance
+      assert(r.getLong(4) == ex.getLong(4)) // total = exact sum either way
+      val ud = r.getLong(2).toDouble
+      val udEx = ex.getLong(2).toDouble
+      assert(udEx == 0.0 || math.abs(ud - udEx) / udEx <= 0.15)
+      // approx median picks an actual sample point; exact interpolates
+      // between the two middles — on tiny uniform groups the gap can be
+      // wide, so pin only the order of magnitude + sign agreement
+      val mEx = ex.getDouble(3)
+      assert(mEx == 0.0 || (r.getDouble(3) > 0.0 &&
+        math.abs(r.getDouble(3) - mEx) / mEx <= 1.0))
+    }
+  }
+
   test("windowed variant groups by (wid, account)") {
     val e = Seq((1L, 2L, 10L, 0L), (1L, 2L, 30L, 20L))
       .toDF("src", "dst", "weight", "ts")

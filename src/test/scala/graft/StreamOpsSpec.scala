@@ -62,6 +62,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("ts", "text_hash")
+    val dd = StreamOps.streamingDedup(docs)
+    val q = dd.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(
+        f"2024-01-01 10:$min%02d:00")
+      mem.addData((t(0), "a"), (t(1), "a"), (t(2), "b"), (t(3), "a"))
+      q.processAllAvailable()
+      val got = spark.table("dedup").select($"text_hash")
+        .as[String].collect().toSeq
+      assert(got.sorted == Seq("a", "b")) // re-deliveries of "a" dropped
+    } finally q.stop()
+  }
+
   test("stateful change scores match the batch operator") {
     implicit val sq = spark.sqlContext
     // deterministic sketch stream: 5 windows × 4-dim sketches, one burst
