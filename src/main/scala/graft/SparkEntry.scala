@@ -264,6 +264,14 @@ object SparkEntry {
         dim = 64, minCos = 0.2)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // near-dup CLUSTERS: connected components over the (oracle-
+    // expressible) n-gram-Jaccard pair table — min-label propagation
+    "q43_neardup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"),
+          n = 3, minJaccard = 0.05)
+          .select(col("doc_a"), col("doc_b")))),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -700,6 +708,33 @@ object SparkEntry {
          |              JOIN sizes b ON co.doc_b = b.doc_id)
          |SELECT doc_a, doc_b, inter, n_a, n_b, round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= 0.05""".stripMargin,
+
+    // transitive closure by recursive CTE (components are tiny; the
+    // Spark side is iterative min-label propagation instead)
+    "q43_neardup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(list_slice(tk, i, i + 2), ' ') AS sh
+         |       FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |co AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         count(*) AS inter
+         |       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b
+         |      FROM co JOIN sizes a ON co.doc_a = a.doc_id
+         |              JOIN sizes b ON co.doc_b = b.doc_id
+         |      WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.05),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

@@ -174,6 +174,52 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair table → cluster ids
+    * (cluster id = min doc_id in the component): the step after pair
+    * generation in a real dedup pipeline — keep one representative per
+    * component, not per pair. GraphX-style min-label propagation as a
+    * driver loop over DataFrame joins: labels converge in O(diameter)
+    * rounds; each round is one join + one aggregation, checkpoint-free
+    * here because near-dup components are shallow (diameter is small by
+    * construction — docs chain only through mutual similarity). Only
+    * docs that appear in some pair are emitted (singletons trivially
+    * cluster to themselves).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.groupBy(col("a").as("doc_id"))
+      .agg(least(min(col("b")), col("a")).as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // pull the smallest label among neighbours (and self)
+      val nbr = und
+        .join(labels.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("cluster_id", "nbr_label"), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(nbr, "doc_id")
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("min_nbr")).as("cluster_id"),
+          (col("min_nbr") < col("cluster_id")).as("chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("chg")).count()
+      val old = labels
+      labels = next.select(col("doc_id"), col("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      old.unpersist()
+      next.unpersist()
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup via random-hyperplane LSH: bucket by the
     * sign-bit signature of `planes` random projections, compare only
     * within buckets. The plane normals are deterministic pseudo-random

@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(got.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("connected components: chains merge, separate components stay apart") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; isolated pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L && got(9L) == 1L)
+    assert(got(5L) == 5L && got(7L) == 5L)
+    assert(got.size == 6)
+  }
+
   test("embedding near-dup finds the duplicated vector") {
     val vecs = Seq(
       (1L, Seq.fill(8)(1.0f)),
