@@ -235,6 +235,8 @@ object SparkEntry {
           round(col("quality_score"), 6).as("quality_score"))),
     "q19_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.table(s, dir, "documents"))),
+    "q44_lang_id_ngram" -> ((s, dir) =>
+      TextOps.charNgramLangId(Tables.table(s, dir, "documents"))),
     "q20_doc_fingerprint" -> ((s, dir) =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))),
@@ -683,6 +685,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens
         |FROM documents""".stripMargin,
+
+    "q44_lang_id_ngram" -> {
+      val profValues = TextOps.langTrigrams
+        .map { case (l, t) => s"('$l','${t.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH prof(lex_lang, tri) AS (VALUES $profValues),
+         |lt AS (SELECT doc_id, lower(text) AS t FROM documents
+         |       WHERE length(text) >= 3),
+         |tris AS (SELECT doc_id, substr(t, i, 3) AS tri
+         |         FROM lt, unnest(generate_series(1, length(t) - 2)) AS u(i)),
+         |hits AS (SELECT doc_id, lex_lang, count(*) AS hits
+         |         FROM tris JOIN prof USING (tri) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(hits) AS max_hits FROM hits GROUP BY 1),
+         |pred AS (SELECT h.doc_id, min(h.lex_lang) AS lang_pred
+         |         FROM hits h JOIN best b
+         |           ON h.doc_id = b.doc_id AND h.hits = b.max_hits
+         |         GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred
+         |FROM documents d LEFT JOIN pred p USING (doc_id)""".stripMargin
+    },
 
     "q22_dedup_exact" ->
       """SELECT md5(text) AS text_hash,

@@ -78,6 +78,51 @@ object TextOps {
     "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les",
     "fr" -> "des", "fr" -> "est")
 
+  /** Distinctive character trigrams per language for the n-gram
+    * language-ID heuristic (the classic Cavnar–Trenkle shape, profile
+    * truncated to a handful of high-frequency trigrams per language).
+    */
+  val langTrigrams: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> " th", "en" -> "ing", "en" -> "and",
+    "en" -> " of", "en" -> "ed ",
+    "es" -> " de", "es" -> "os ", "es" -> "ión", "es" -> " la",
+    "es" -> "que", "es" -> "ado",
+    "de" -> "der", "de" -> "sch", "de" -> "ein", "de" -> "ich",
+    "de" -> "und", "de" -> "en ",
+    "fr" -> " le", "fr" -> "es ", "fr" -> "ent", "fr" -> "ais",
+    "fr" -> "eur", "fr" -> " ét")
+
+  /** Character-n-gram language ID: slide a 3-char window over the
+    * lowered text (explode of a substring sequence — no UDF), broadcast-
+    * join the trigram profiles, count hits per language, argmax (ties:
+    * lexicographically smallest; no hits: 'und'). Same shuffle shape as
+    * the lexicon variant; the n-gram profile is robust to unseen words.
+    */
+  def charNgramLangId(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = broadcast(langTrigrams.toDF("lex_lang", "tri"))
+    val tris = docs.select(col("doc_id"), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("t")) - 2),
+        i => col("t").substr(i, lit(3)))).as("tri"))
+    val hits = tris.join(prof, "tri")
+      .groupBy(col("doc_id"), col("lex_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = hits.groupBy(col("doc_id"))
+      .agg(max(col("hits")).as("max_hits"))
+    val pred = hits.join(best, "doc_id")
+      .filter(col("hits") === col("max_hits"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("lex_lang")).as("lang_pred"))
+    docs.select(col("doc_id"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang_pred"), lit("und"))
+        .as("lang_pred"))
+  }
+
   /** Language ID: explode tokens → broadcast-join lexicon → per-doc hit
     * count per language → argmax (ties: lexicographically smallest lang;
     * no hits: 'und'). One shuffle keyed by doc_id.

@@ -41,6 +41,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == "und")
   }
 
+  test("charNgramLangId: trigram profiles separate languages, und fallback") {
+    val d = Seq(
+      (1L, "the thing and the others"),
+      (2L, "der schein und ich"),
+      (3L, "xq"), // shorter than one trigram
+      (4L, "zzzzzz")
+    ).toDF("doc_id", "text")
+    val got = TextOps.charNgramLangId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+    assert(got(4L) == "und")
+  }
+
   test("rolling hash: matches the arithmetic, differs across strings") {
     val d = Seq((1L, "ab"), (2L, "ba"), (3L, "ab")).toDF("doc_id", "text")
     val got = d.select($"doc_id", rolling_hash($"text")).as[(Long, Long)]
