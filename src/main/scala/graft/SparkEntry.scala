@@ -438,6 +438,17 @@ object SparkEntry {
         .agg(max(when(col("cnt").isNotNull, 1L).otherwise(0L))
           .as("recalled"))
     }),
+    "q45_attention_routing" -> ((s, dir) => {
+      val focus = sharedFocus(s, dir)
+      val changes = AaAr.runFromFocus(focus, sketchNum = 64, backWs = 4,
+        numDst = 3)
+      AaAr.attentionRouting(focus, changes)
+        .select(col("wid"), col("pair_id"), col("prank"), col("rnk"),
+          col("account"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"),
+          round(col("past_x"), 6).as("past_x"),
+          round(col("past_y"), 6).as("past_y"))
+    }),
     "q34_focus_scores" -> ((s, dir) =>
       sharedFocus(s, dir)
         .groupBy(col("wid"), col("pair_id"))

@@ -248,6 +248,49 @@ object AaAr {
       .select(col("wid"), col("change_score"), col("max_coord"))
   }
 
+  /** Attention routing (`AA-AR.py:252-266`, SURVEY §3.1 final stage):
+    * at the most anomalous window (argmax change score, A14), rank the
+    * attended feature pairs by total focus score, take the top
+    * `numAccounts` accounts of each of the top `numFigures` pairs, and
+    * attach each account's mean past position over the previous `back`
+    * windows (J3/W4). This IS the data behind the reference's PNG
+    * figures — S6 is presentation, the table is the semantics.
+    */
+  def attentionRouting(focus: DataFrame, changes: DataFrame,
+                       numFigures: Int = 3, numAccounts: Int = 3,
+                       back: Int = 4): DataFrame = {
+    val topWid = changes
+      .orderBy(col("change_score").desc, col("wid").asc)
+      .select(col("wid")).limit(1)
+    val f = focus.join(broadcast(topWid), "wid")
+    val pw = Window.partitionBy(col("wid"))
+      .orderBy(col("pair_score").desc, col("pair_id").asc)
+    val topPairs = f.groupBy(col("wid"), col("pair_id"))
+      .agg(sum(col("score")).as("pair_score"))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= numFigures)
+      .select(col("wid"), col("pair_id"), col("prank"))
+    val aw = Window.partitionBy(col("wid"), col("pair_id"))
+      .orderBy(col("score").desc, col("account").asc)
+    val topAcc = f.join(topPairs, Seq("wid", "pair_id"))
+      .withColumn("rnk", row_number().over(aw))
+      .filter(col("rnk") <= numAccounts)
+      .select(col("wid"), col("pair_id"), col("prank"), col("rnk"),
+        col("account"), col("x"), col("y"))
+    val past = focus.select(col("wid").as("pwid"),
+      col("pair_id").as("ppair"), col("account").as("pacct"),
+      col("x").as("px"), col("y").as("py"))
+    topAcc.join(past,
+        past("ppair") === topAcc("pair_id") &&
+          past("pacct") === topAcc("account") &&
+          past("pwid") >= topAcc("wid") - back &&
+          past("pwid") < topAcc("wid"),
+        "left")
+      .groupBy(topAcc("wid"), topAcc("pair_id"), col("prank"), col("rnk"),
+        topAcc("account"), col("x"), col("y"))
+      .agg(avg(col("px")).as("past_x"), avg(col("py")).as("past_y"))
+  }
+
   /** End-to-end: edges → change scores.
     *
     * The focus table feeds the sketch stage at four+ points (account

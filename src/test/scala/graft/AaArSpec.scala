@@ -57,6 +57,22 @@ class AaArSpec extends SparkSpec {
     assert(Set(5L, 6L, 7L).contains(best), s"best window $best")
   }
 
+  test("attention routing: one window, bounded ranks, burst hub attended") {
+    val feats = Features.accountFeaturesByWindow(
+      Windows.withWindowId(edges, 8, 4))
+    val focus = AaAr.focusScores(feats, numTrees = 20)
+      .persist()
+    val changes = AaAr.runFromFocus(focus, sketchNum = 32, backWs = 3,
+      numDst = 3)
+    val att = AaAr.attentionRouting(focus, changes, numFigures = 2,
+      numAccounts = 3).collect()
+    assert(att.nonEmpty)
+    assert(att.map(_.getAs[Long]("wid")).toSet.size == 1) // one window
+    assert(att.map(_.getAs[Int]("prank")).toSet.subsetOf(Set(1, 2)))
+    assert(att.map(_.getAs[Int]("rnk")).forall(r => r >= 1 && r <= 3))
+    focus.unpersist()
+  }
+
   test("sketch table is dense over (wid × ski)") {
     val feats = Features.accountFeaturesByWindow(
       Windows.withWindowId(edges, 8, 4))
