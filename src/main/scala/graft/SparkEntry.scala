@@ -54,6 +54,15 @@ object SparkEntry {
         Windows.withWindowId(edges(s, dir), 28, 14)), numTrees = 50)
     }
 
+  /** Change-score series over the shared focus table (q31's result),
+    * also consumed by q45's attention routing.
+    */
+  private def sharedChanges(s: SparkSession, dir: String): DataFrame =
+    memoized(s"changes:$dir") {
+      AaAr.runFromFocus(sharedFocus(s, dir), sketchNum = 64, backWs = 4,
+        numDst = 3)
+    }
+
   /** 12-feature table on (w=14, stride=7) windows, shared by q05 + q16. */
   private def sharedFeats14(s: SparkSession, dir: String): DataFrame =
     memoized(s"feats14:$dir") {
@@ -402,9 +411,7 @@ object SparkEntry {
     }),
 
     // ───── the ML pipelines (M1-M8; rows-only checks by design) ─────
-    "q31_aa_ar_change_scores" -> ((s, dir) =>
-      AaAr.runFromFocus(sharedFocus(s, dir), sketchNum = 64,
-        backWs = 4, numDst = 3)),
+    "q31_aa_ar_change_scores" -> ((s, dir) => sharedChanges(s, dir)),
     "q32_smurf_order" -> ((s, dir) =>
       AaSmurf.run(s, smallGraph(s, dir), minCount = 3,
         maxIter = Some(8))),
@@ -439,10 +446,7 @@ object SparkEntry {
           .as("recalled"))
     }),
     "q45_attention_routing" -> ((s, dir) => {
-      val focus = sharedFocus(s, dir)
-      val changes = AaAr.runFromFocus(focus, sketchNum = 64, backWs = 4,
-        numDst = 3)
-      AaAr.attentionRouting(focus, changes)
+      AaAr.attentionRouting(sharedFocus(s, dir), sharedChanges(s, dir))
         .select(col("wid"), col("pair_id"), col("prank"), col("rnk"),
           col("account"), round(col("x"), 6).as("x"),
           round(col("y"), 6).as("y"),

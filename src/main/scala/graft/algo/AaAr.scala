@@ -280,7 +280,7 @@ object AaAr {
     val past = focus.select(col("wid").as("pwid"),
       col("pair_id").as("ppair"), col("account").as("pacct"),
       col("x").as("px"), col("y").as("py"))
-    topAcc.join(past,
+    broadcast(topAcc).join(past,
         past("ppair") === topAcc("pair_id") &&
           past("pacct") === topAcc("account") &&
           past("pwid") >= topAcc("wid") - back &&

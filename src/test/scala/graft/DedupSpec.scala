@@ -77,6 +77,10 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L && got(9L) == 1L)
     assert(got(5L) == 5L && got(7L) == 5L)
     assert(got.size == 6)
+    // the distributed pointer-jumping path must agree with union-find
+    val dist = graft.ext.Dedup.distributedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got)
   }
 
   test("embedding near-dup finds the duplicated vector") {
