@@ -275,6 +275,21 @@ object SparkEntry {
         dim = 64, minCos = 0.2)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // incremental-ingest dedup: which docs of an incoming batch already
+    // exist in the corpus (hash semi-join) — at scale the corpus side is
+    // a bucketed hash table and only the 16-byte digests shuffle
+    "q46_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(md5(col("text")).as("h")).distinct()
+        .withColumn("is_dup", lit(true))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(existing, Seq("h"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    }),
+
     // near-dup CLUSTERS: connected components over the (oracle-
     // expressible) n-gram-Jaccard pair table — min-label propagation
     "q43_neardup_clusters" -> ((s, dir) =>
@@ -745,6 +760,14 @@ object SparkEntry {
          |              JOIN sizes b ON co.doc_b = b.doc_id)
          |SELECT doc_a, doc_b, inter, n_a, n_b, round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= 0.05""".stripMargin,
+
+    "q46_incremental_dedup" ->
+      """WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |           WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, md5(text) AS h FROM documents
+        |        WHERE doc_id % 2 = 1)
+        |SELECT inc.doc_id, (ex.h IS NOT NULL) AS is_dup
+        |FROM inc LEFT JOIN ex ON inc.h = ex.h""".stripMargin,
 
     // transitive closure by recursive CTE (components are tiny; the
     // Spark side is iterative min-label propagation instead)
