@@ -275,6 +275,13 @@ object SparkEntry {
         dim = 64, minCos = 0.2)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // account importance via GraphX static PageRank on the binary edge
+    // graph (vertex-program iteration over a once-partitioned adjacency —
+    // the right engine shape for many-round graph analytics)
+    "q47_pagerank" -> ((s, dir) =>
+      graft.ops.GraphXOps.pageRank(GraphOps.binaryEdges(edges(s, dir)))
+        .select(col("account"), round(col("rank"), 6).as("rank"))),
+
     // incremental-ingest dedup: which docs of an incoming batch already
     // exist in the corpus (hash semi-join) — at scale the corpus side is
     // a bucketed hash table and only the 16-byte digests shuffle
