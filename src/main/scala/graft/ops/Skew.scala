@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities. AQE's skew-join handles the join case at
+  * runtime; for AGGREGATIONS over power-law keys (hub accounts — exactly
+  * the smurf shape), pre-splitting a hot key across `salts` reducers
+  * needs to be explicit: one shuffle sees (key, salt) so no single task
+  * owns a hub, the second shuffle merges `salts` partial rows per key.
+  */
+object Skew {
+
+  /** Two-phase salted sum-aggregation: equivalent to
+    * `df.groupBy(keys).agg(sum(valueCol))` for ANY key distribution, but
+    * the first exchange distributes each key over `salts` partitions.
+    * Sums are associative so partials merge exactly; the same shape works
+    * for count/min/max (any commutative monoid).
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                salts: Int = 16, as: String = "sum"): DataFrame = {
+    val k = keys.map(col)
+    val partial = df
+      .withColumn("__salt", pmod(spark_partition_id() +
+        xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(k :+ col("__salt"): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+    partial.groupBy(k: _*).agg(sum(col("__partial")).as(as))
+  }
+
+  /** Salted count per key — same two-phase shape. */
+  def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16,
+                  as: String = "cnt"): DataFrame = {
+    val k = keys.map(col)
+    df.withColumn("__salt", pmod(spark_partition_id() +
+        xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(k :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(k: _*).agg(sum(col("__partial")).as(as))
+  }
+
+  /** Salted broadcast-side replication join for a skewed LEFT key space:
+    * explode the (small) right side `salts` times so the left's salted
+    * keys all find their match, then join on (key, salt). Use when AQE
+    * skew-join isn't available (e.g. inside a cached subtree) and the
+    * right side is small enough to replicate but too big to broadcast
+    * whole. Returns the same rows as `left.join(right, keys)`.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salts: Int = 16): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(spark_partition_id() + xxhash64(monotonically_increasing_id()),
+        lit(salts)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedLeft.join(replicatedRight, keys :+ "__salt").drop("__salt")
+  }
+}
