@@ -275,6 +275,14 @@ object SparkEntry {
         dim = 64, minCos = 0.2)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))),
 
+    // two-phase salted aggregation over the hub-skewed sender key —
+    // value-identical to the direct groupBy (the oracle is the direct
+    // SQL), but no single reducer owns a hub account
+    "q48_salted_outweight" -> ((s, dir) =>
+      graft.ops.Skew.saltedSum(edges(s, dir), Seq("src"), "weight",
+        salts = 16, as = "total_w")
+        .select(col("src").as("account"), col("total_w"))),
+
     // account importance via GraphX static PageRank on the binary edge
     // graph (vertex-program iteration over a once-partitioned adjacency —
     // the right engine shape for many-round graph analytics)
@@ -767,6 +775,11 @@ object SparkEntry {
          |              JOIN sizes b ON co.doc_b = b.doc_id)
          |SELECT doc_a, doc_b, inter, n_a, n_b, round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= 0.05""".stripMargin,
+
+    "q48_salted_outweight" ->
+      s"""WITH $E
+         |SELECT src AS account, CAST(sum(weight) AS BIGINT) AS total_w
+         |FROM edges GROUP BY 1""".stripMargin,
 
     "q46_incremental_dedup" ->
       """WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents
