@@ -124,14 +124,27 @@ object Dedup {
     * of ±1 according to that bit of the token's hash. Near-dups have small
     * Hamming distance. Computed per doc with one explode + aggregation;
     * the bit loop is a 64-element higher-order transform, no UDF.
+    *
+    * The 64 token-hash bits come from the md5 hex prefix, read as two
+    * 32-bit halves (any uniform 64-bit hash serves SimHash equally; md5 is
+    * chosen because every SQL engine computes the identical digest, so the
+    * signature is exactly reproducible outside Spark — see the q24 oracle).
+    * Two halves rather than one 64-bit parse: a full 16-hex-digit value
+    * can exceed Long.MaxValue, and unsigned→signed wrap-around differs
+    * across engines; 8 hex digits always fit.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val m = md5(col("token"))
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
+      .select(col("doc_id"),
+        conv(substring(m, 1, 8), 16, 10).cast("long").as("h_hi"),
+        conv(substring(m, 9, 8), 16, 10).cast("long").as("h_lo"))
     // per bit: count of tokens with bit set minus count with bit clear
+    // (bits 0-31 from the low half, 32-63 from the high half)
     val bitCols = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), b)) =!= 0L, 1L)
+      val (h, p) = if (b < 32) (col("h_lo"), b) else (col("h_hi"), b - 32)
+      sum(when(h.bitwiseAND(shiftleft(lit(1L), p)) =!= 0L, 1L)
         .otherwise(-1L)).as(s"b$b")
     }
     toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
