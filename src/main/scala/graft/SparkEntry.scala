@@ -490,7 +490,139 @@ object SparkEntry {
           round(avg(col("score")), 2).as("avg_score")))
   )
 
+  /** A 64-element DuckDB DOUBLE[] literal of LSH plane normals for `tag` —
+    * the exact driver-computed constants the Spark plans embed
+    * (SimSearch.planeNormal), so bucket signatures reproduce bit-for-bit:
+    * Double.toString round-trips and DuckDB's decimal→double parse is
+    * correctly rounded, so both engines hold the identical double, and
+    * list_dot_product's sequential fold matches literalDot's aggregate fold.
+    */
+  private def normList(tag: Int, dim: Int = 64, seed: Int = 0): String =
+    (0 until dim).map(i => SimSearch.planeNormal(tag, i, seed))
+      .mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
+    // SimHash mirror: md5 hex prefix split into two unsigned 32-bit halves
+    // (the same split Dedup.simhash does — a full 16-digit parse can
+    // overflow BIGINT), per-bit signed sums, sign → bit, OR-fold. The 64
+    // sum columns and the fold are generated, not hand-written.
+    "q24_simhash" -> {
+      val sums = (0 until 64).map { b =>
+        val h = if (b < 32) "h_lo" else "h_hi"
+        val w = 1L << (if (b < 32) b else b - 32)
+        s"sum(CASE WHEN ($h & CAST($w AS BIGINT)) <> 0 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n  ")
+      // 1L << 63 is Long.MinValue — emitting the signed value keeps every
+      // weight a plain BIGINT literal (DuckDB's `<< 63` raises instead)
+      val fold = (0 until 64).map { b =>
+        s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" | ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h_hi,
+         |    CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h_lo
+         |  FROM toks),
+         |b AS (SELECT doc_id,
+         |  $sums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM b""".stripMargin
+    },
+
+    // Hyperplane-LSH near-dup mirror: bucket = 8 sign bits of dot products
+    // against the plan-literal normals (see normList), then the same
+    // within-bucket join + exact cosine as the Spark side.
+    "q26_embedding_neardup" -> {
+      val bucket = (0 until 8).map { p =>
+        s"CASE WHEN list_dot_product(v, ${normList(p)}) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v, ($bucket) AS bucket FROM e),
+         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        list_dot_product(a.v, b.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) *
+         |           sqrt(list_dot_product(b.v, b.v))) AS cos
+         |      FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cos FROM c WHERE cos >= 0.2""".stripMargin
+    },
+
+    // LSH top-k mirror: 4 bands × 8 sign bits (normals tagged band*97+p,
+    // exactly SimSearch.bandSignatures), OR-amplified candidates from any
+    // matching band, exact cosine re-rank. Queries are corpus rows with
+    // vec_id < 5, so signatures are computed once over the table.
+    "q28_simsearch_lsh" -> {
+      val bandRows = (0 until 4).map { band =>
+        val bh = (0 until 8).map { p =>
+          s"CASE WHEN list_dot_product(v, ${normList(band * 97 + p)}) >= 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString("\n    + ")
+        s"SELECT vec_id, v, $band AS band_id, ($bh) AS band_hash FROM e"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |sig AS (
+         |$bandRows),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+         |         FROM sig c JOIN sig q
+         |           ON c.band_id = q.band_id AND c.band_hash = q.band_hash
+         |         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |sc AS (SELECT cand.query_id, cand.nbr_id,
+         |         list_dot_product(q.v, c.v) /
+         |           (sqrt(list_dot_product(q.v, q.v)) *
+         |            sqrt(list_dot_product(c.v, c.v))) AS cos
+         |       FROM cand JOIN e q ON q.vec_id = cand.query_id
+         |                 JOIN e c ON c.vec_id = cand.nbr_id),
+         |r AS (SELECT query_id, nbr_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
+         |FROM r WHERE rnk <= 10""".stripMargin
+    },
+
+    // GraphX staticPageRank(10, 0.15) unrolled: rank₀ = 1.0, rank_{t+1} =
+    // 0.15 + 0.85·Σ_{u→v} rank_t(u)·(1.0/outdeg(u)). The multiply-by-
+    // reciprocal (not rank/deg) mirrors GraphX's edge weight 1.0/outDegree
+    // ulp-for-ulp; message-sum association still differs, hence round(…, 6)
+    // on both sides (noise ~1e-15 against a 1e-6 grid).
+    "q47_pagerank" -> {
+      val iters = (1 to 10).map { t =>
+        s"""r$t AS (
+           |  SELECT n.id, 0.15 + 0.85 * coalesce(sum(p.rank * (1.0 / od.d)), 0.0) AS rank
+           |  FROM nodes n
+           |  LEFT JOIN b ON b.dst = n.id
+           |  LEFT JOIN r${t - 1} p ON p.id = b.src
+           |  LEFT JOIN od ON od.id = b.src
+           |  GROUP BY n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $E,
+         |b AS (SELECT DISTINCT src, dst FROM edges),
+         |nodes AS (SELECT src AS id FROM b UNION SELECT dst FROM b),
+         |od AS (SELECT src AS id, count(*) AS d FROM b GROUP BY 1),
+         |r0 AS (SELECT id, 1.0 AS rank FROM nodes),
+         |$iters
+         |SELECT id AS account, round(rank, 6) AS rank FROM r10""".stripMargin
+    },
+
+    // Rolling-hash mirror: h ← h·31 + byte over UTF-8 bytes, wrapping in
+    // 64 bits (RollingHashExpr). DuckDB BIGINT ops raise on overflow, so
+    // the fold runs in HUGEINT mod 2⁶⁴ and maps back to signed at the end.
+    // Bytes come from ascii() per character — exact for the (all-ASCII)
+    // test corpus; a non-ASCII corpus would need byte-level access.
+    "q20_doc_fingerprint" ->
+      """WITH ch AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(ascii(c) AS HUGEINT))),
+        |    (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN h - CAST('18446744073709551616' AS HUGEINT)
+        |    ELSE h END AS BIGINT) AS fingerprint
+        |FROM ch""".stripMargin,
+
     "q01_edges_scan" ->
       s"WITH $E SELECT src, dst, weight, ts FROM edges",
 

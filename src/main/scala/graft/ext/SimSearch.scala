@@ -33,7 +33,7 @@ object SimSearch {
     * rows × bits × dim hash evaluations (~100M at sf0.1) for values that
     * are constants of the plan. Same bits, so identical signatures.
     */
-  private[ext] def planeNormal(tag: Int, i: Int, seed: Int): Double = {
+  private[graft] def planeNormal(tag: Int, i: Int, seed: Int): Double = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = new XxHash64(Seq(Literal(tag), Literal(i), Literal(seed)))
       .eval(null).asInstanceOf[Long]
