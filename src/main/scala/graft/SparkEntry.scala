@@ -77,8 +77,11 @@ object SparkEntry {
                              dir: String): (DataFrame, DataFrame) =
     smurfGenMemo.synchronized {
       smurfGenMemo.getOrElseUpdate(dir, {
+        // the reference's FULL evaluation grid (smurf_generator.py:63,
+        // 71-74): middle sizes 10..50 × 10 folds — one distributed table,
+        // fold id riding the keys
         val (ed, lab) = SmurfGen.run(s, smallGraph(s, dir),
-          middleNums = Seq(10), folds = 3)
+          middleNums = Seq(10, 20, 30, 40, 50), folds = 10)
         (ed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
          lab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       })

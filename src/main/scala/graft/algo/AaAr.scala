@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -111,6 +111,49 @@ object AaAr {
       .select(col("ski"), col(colName))
   }
 
+  /** Greedy column pick (M5) for ONE sketch: at each step take the
+    * candidate pair maximizing Σ_acct max(s over picked ∪ {c}). Pure local
+    * function — each sketch's greedy is independent of every other's, so it
+    * runs per-sketch ON EXECUTORS (see [[sketches]]); its input is the
+    * sampled cell set for that sketch, bounded by the (1−sRate)·(1−dRate)
+    * sampling, not by the corpus.
+    *
+    * Accounts are summed in sorted order so the fp accumulation (and any
+    * tie-break it feeds) is deterministic under any partitioning / Scala
+    * Map iteration order.
+    */
+  private[algo] def greedyPick(candSorted: Array[Int],
+                               cells: Array[(Long, Int, Double)],
+                               numDst: Int): Seq[Int] = {
+    // account -> (pair -> s), accounts ascending
+    val byAcct = cells.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rs) => rs.map(r => r._2 -> r._3).toMap }
+    val cand = candSorted.toBuffer
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var continue = true
+    var steps = math.min(cand.size, numDst)
+    while (steps > 0 && continue) {
+      var bestIdx = -1
+      var bestS = 0.0
+      for (c <- cand) {
+        val cols = picked :+ c
+        var s = 0.0
+        for (m <- byAcct) {
+          val mx = cols.iterator.map(cc => m.getOrElse(cc, 0.0))
+            .foldLeft(Double.MinValue)(math.max)
+          if (mx != Double.MinValue) s += mx
+        }
+        if (s > bestS) { bestS = s; bestIdx = c }
+      }
+      // faithful quirk (AA-AR.py:138-146): if no candidate scores > 0 the
+      // reference still removes/appends index 0's value; we instead stop —
+      // documented divergence: empty-score sketches contribute 0 anyway
+      if (bestIdx < 0) continue = false
+      else { cand -= bestIdx; picked += bestIdx; steps -= 1 }
+    }
+    picked.toSeq
+  }
+
   /** Full sketching stage: returns (wid, ski, value) sketch table. */
   def sketches(focus: DataFrame, sketchNum: Int = 256, numDst: Int = 3,
                sRate: Double = 0.995, dRate: Double = 0.8,
@@ -126,48 +169,23 @@ object AaAr {
     val sumGraph = focus.groupBy(col("account"), col("pair_id"))
       .agg(sum(col("score")).as("s"))
 
-    // sampled sub-matrix cells → driver for the greedy pick (M5): rows are
-    // (ski, account, pair, s) limited to sampled src × candidate dst
-    val cells = srcSel.join(sumGraph, "account")
+    // sampled sub-matrix cells, (ski, account, pair, s), limited to
+    // sampled src × candidate dst — NEVER collected: at 10⁹ accounts ×
+    // 256 sketches the sampled cell set is itself billions of rows. Each
+    // sketch's greedy is independent, so the cells and the candidate list
+    // cogroup by ski and the pick runs as one executor task per sketch;
+    // per-task memory is the per-sketch sample (sampling-rate bounded),
+    // the same bound the greedy's own working set needs anyway.
+    val cellRows = srcSel.join(sumGraph, "account")
       .join(dstCand, Seq("ski", "pair_id"))
       .select(col("ski"), col("account"), col("pair_id"), col("s"))
-      .collect()
-    val bySki = cells.groupBy(_.getInt(0))
-    val candBySki = dstCand.collect().groupBy(_.getInt(0))
-      .map { case (k, v) => k -> v.map(_.getInt(1)).sorted }
-
-    val chosen = (0 until sketchNum).flatMap { ski =>
-      val cand = candBySki.getOrElse(ski, Array.empty[Int]).toBuffer
-      val cs = bySki.getOrElse(ski, Array.empty[Row])
-      // account -> (pair -> s)
-      val byAcct = cs.groupBy(_.getLong(1)).map { case (a, rs) =>
-        a -> rs.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+      .as[(Int, Long, Int, Double)]
+    val chosen = dstCand.as[(Int, Int)].groupByKey(_._1)
+      .cogroup(cellRows.groupByKey(_._1)) { (ski, cs, rs) =>
+        val cand = cs.map(_._2).toArray.sorted
+        val cells = rs.map(r => (r._2, r._3, r._4)).toArray
+        greedyPick(cand, cells, numDst).iterator.map(p => (ski, p))
       }
-      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var continue = true
-      var steps = math.min(cand.size, numDst)
-      while (steps > 0 && continue) {
-        // greedy: col maximizing Σ_acct max(s over picked+col)
-        var bestIdx = -1
-        var bestS = 0.0
-        for (c <- cand) {
-          val cols = picked :+ c
-          var s = 0.0
-          for ((_, m) <- byAcct) {
-            val mx = cols.iterator.map(cc => m.getOrElse(cc, 0.0))
-              .foldLeft(Double.MinValue)(math.max)
-            if (mx != Double.MinValue) s += mx
-          }
-          if (s > bestS) { bestS = s; bestIdx = c }
-        }
-        // faithful quirk (AA-AR.py:138-146): if no candidate scores > 0 the
-        // reference still removes/appends index 0's value; we instead stop —
-        // documented divergence: empty-score sketches contribute 0 anyway
-        if (bestIdx < 0) continue = false
-        else { cand -= bestIdx; picked += bestIdx; steps -= 1 }
-      }
-      picked.map(p => (ski, p))
-    }
 
     val chosenDf = broadcast(chosen.toDF("ski", "pair_id"))
     val srcSelB = broadcast(srcSel)

@@ -75,8 +75,13 @@ object AaSmurf {
     * of `compute_mdl` (`AA-Smurf.py:44-84`) over bitset adjacency. `order`
     * must already be extended to all n nodes.
     */
+  /** `extraDOnes`: 1-cells known to lie strictly inside the D-block's
+    * counted range but absent from `adj` — the summarized count of edges
+    * whose endpoints can never be ordered (see [[runModelWithIds]]'s
+    * induced-subgraph collect). 0 when `adj` holds the full matrix.
+    */
   def computeMdl(adj: Adj, order: Array[Int], start: Array[Int],
-                 count: Array[Int]): MdlResult = {
+                 count: Array[Int], extraDOnes: Long = 0L): MdlResult = {
     val n = adj.n
     var mdl = 0.0
     val purities = Array.ofDim[Double](start.length - 1)
@@ -102,7 +107,8 @@ object AaSmurf {
     }
     // D block: count of ZEROS in [start.last, n-1) × [start.last, n-1)
     val dDim = (n - 1 - start.last).max(0).toLong
-    val dOnes = adj.countBlock(order, start.last, n - 1, start.last, n - 1)
+    val dOnes = adj.countBlock(order, start.last, n - 1, start.last, n - 1) +
+      extraDOnes
     mdl += (dDim * dDim - dOnes) * (2.0 * math.ceil(log2(n.toDouble)))
     // header terms
     mdl += math.ceil(logStar(count(0).toDouble)) +
@@ -127,11 +133,13 @@ object AaSmurf {
     * pre-mined candidates (sorted by 2-hop count desc, `AA-Smurf.py:110`).
     */
   def greedyOrder(adj: Adj, candidates: Array[Candidate],
-                  maxIter: Option[Int] = None): SmurfModel = {
+                  maxIter: Option[Int] = None,
+                  restOnes: Long = 0L): SmurfModel = {
     val n = adj.n
     val initMdl = {
-      // zeros(A) · 2⌈log2 n⌉ over the FULL matrix (AA-Smurf.py:133)
-      var ones = 0L
+      // zeros(A) · 2⌈log2 n⌉ over the FULL matrix (AA-Smurf.py:133);
+      // restOnes stands in for edges summarized out of `adj`
+      var ones = restOnes
       var i = 0
       while (i < n) { ones += adj.out(i).cardinality(); i += 1 }
       math.ceil((n.toLong * n - ones).toDouble) * (2.0 * math.ceil(log2(n.toDouble)))
@@ -170,7 +178,7 @@ object AaSmurf {
             val full = tentative.toArray ++ rest
             val tCount = Array(count(0) + 1, count(1) + mids.length,
               count(2) + 1)
-            val r = computeMdl(adj, full, tStart, tCount)
+            val r = computeMdl(adj, full, tStart, tCount, restOnes)
             if (r.mdl < prevMdl) {
               val score = (prevMdl - r.mdl) / prevMdl * r.purity
               Some((score, r.mdl, tentative, tStart, tCount))
@@ -243,15 +251,44 @@ object AaSmurf {
     val nodeIds = graft.ops.GraphOps.nodes(bin)
       .orderBy(col("id")).as[Long].collect()
     val index = nodeIds.zipWithIndex.toMap
-    val adj = new Adj(nodeIds.length)
-    bin.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      .foreach { case (s, d) => adj.add(index(s), index(d)) }
+    val n = nodeIds.length
+
+    // Collect only the CANDIDATE-TOUCHING subgraph, not the full edge set:
+    // the greedy only ever orders nodes of T = candidate endpoints ∪
+    // intermediaries, so any edge with both endpoints outside T can never
+    // appear in a block/cross term — it only feeds the D-block's 1-count,
+    // which a scalar summarizes. T is widened to T′ = T ∪ the |T|+1
+    // largest node ids so the node at the final order position (the
+    // largest UNORDERED dense index, which the D-block's last-row/col
+    // exclusion skips) is provably in the collected set; every uncollected
+    // edge then lies strictly inside the D-block's counted range for every
+    // order the greedy can build, and `restOnes` is exact — greedyOrder
+    // over (touching adj, restOnes) equals greedyOrder over the full
+    // matrix bit-for-bit (AaSmurfSpec cross-checks). At scale this bounds
+    // the driver at O(|edges touching candidates|), not O(|E|).
+    val tIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+    cands.foreach { r =>
+      tIds += r.getLong(0); tIds += r.getLong(1)
+      r.getSeq[Long](3).foreach(tIds += _)
+    }
+    val tPrime = tIds.toSet ++ nodeIds.takeRight(tIds.size + 1)
+    val tDf = broadcast(tPrime.toSeq.toDF("tid"))
+    val touching = bin
+      .join(tDf, bin("src") === tDf("tid"), "left_semi")
+      .union(bin.join(tDf, bin("dst") === tDf("tid"), "left_semi"))
+      .distinct()
+      .as[(Long, Long)].collect()
+    val totalOnes = bin.count()
     bin.unpersist()
+
+    val adj = new Adj(n)
+    touching.foreach { case (s, d) => adj.add(index(s), index(d)) }
+    val restOnes = totalOnes - touching.length
 
     val candidates = cands.map { r =>
       Candidate(index(r.getLong(0)), index(r.getLong(1)), r.getLong(2),
         r.getSeq[Long](3).map(index).toArray)
     }
-    (greedyOrder(adj, candidates, maxIter), nodeIds)
+    (greedyOrder(adj, candidates, maxIter, restOnes), nodeIds)
   }
 }

@@ -75,29 +75,55 @@ object SmurfGen {
           folds: Int = 10, interactProb: Double = 0.9995,
           seed: Long = 0L): (DataFrame, DataFrame) = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
 
+    // The base edge set and the background noise NEVER reach the driver:
+    // only the planted stars (a few thousand seeded RNG draws per fold)
+    // are a driver program. The previous shape collected the whole base
+    // set and ran an O(|bank|²) driver loop for background edges — at
+    // 10⁹-edge scale both are driver OOMs; here base stays a DataFrame and
+    // the background coin is a deterministic per-pair hash evaluated
+    // inside the (bank × bank) crossJoin, so the same seed yields the
+    // same background on any cluster layout. (At extreme |bank| the
+    // crossJoin itself would be replaced by direct sparse pair sampling —
+    // expected output is |bank|²·(1−interactProb) rows either way.)
     val bin = graft.ops.GraphOps.binaryEdges(edges)
-    val base = bin.as[(Long, Long)].collect().toSet
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bankAcc = bin.select(col("dst")).distinct()
       .orderBy(col("dst")).as[Long].collect()
     val clientAcc = bin.select(col("src")).distinct()
       .orderBy(col("src")).as[Long].collect()
 
-    val rng = new Random(seed)
-    val background = for {
-      s <- bankAcc; d <- bankAcc if rng.nextDouble() > interactProb
-    } yield (s, d)
-    val baseAll = base ++ background
+    val banks = bin.select(col("dst").as("b")).distinct()
+    val keepDenom = 1000000L
+    val keepBelow = ((1.0 - interactProb) * keepDenom).toLong
+    val background = banks.select(col("b").as("src"))
+      .crossJoin(banks.select(col("b").as("dst")))
+      .filter(pmod(xxhash64(col("src"), col("dst"), lit(seed)),
+        lit(keepDenom)) < lit(keepBelow))
+    val baseBg = bin.select(col("src"), col("dst")).union(background)
 
+    // planted stars: RNG-identical to the previous driver construction —
+    // generateFolds' draw sequence never depended on the base content
     val allFolds = middleNums.flatMap(mn =>
-      generateFolds(baseAll, bankAcc, clientAcc, mn, folds, seed))
-    val edgeRows = allFolds.flatMap(f =>
+      generateFolds(Set.empty, bankAcc, clientAcc, mn, folds, seed))
+    val plantedRows = allFolds.flatMap(f =>
       f.edges.toSeq.sorted.map { case (s, d) => (f.middleNum, f.fold, s, d) })
+    val planted = spark.createDataFrame(plantedRows)
+      .toDF("middle_num", "fold", "src", "dst")
+
+    val foldKeys = allFolds.map(f => (f.middleNum, f.fold))
+      .toDF("middle_num", "fold")
+    // every fold carries base+background; distinct dedups planted ∩ base
+    // (the reference's `el` is a set, smurf_generator.py:23-37)
+    val injected = broadcast(foldKeys).crossJoin(baseBg)
+      .select(col("middle_num"), col("fold"), col("src"), col("dst"))
+      .union(planted)
+      .distinct()
+
     val labelRows = allFolds.map(f =>
       (f.middleNum, f.fold, f.label._1, f.label._2))
-    (spark.createDataFrame(edgeRows)
-       .toDF("middle_num", "fold", "src", "dst"),
+    (injected,
      spark.createDataFrame(labelRows)
        .toDF("middle_num", "fold", "label_src", "label_dst"))
   }

@@ -51,6 +51,35 @@ class AaSmurfSpec extends SparkSpec {
     assert(model.order.sorted.toSeq == (0 until 12))
   }
 
+  test("induced-subgraph collect equals full-matrix greedy bit-for-bit") {
+    // planted star on nodes 0..5 + a long chain among nodes 10..60: the
+    // chain never yields a ≥3-count candidate, so most of its edges have
+    // BOTH endpoints outside T′ and are summarized by restOnes rather than
+    // collected — exactly the path runModelWithIds takes at scale
+    val star = Seq(0 -> 1, 0 -> 2, 0 -> 3, 0 -> 4,
+      1 -> 5, 2 -> 5, 3 -> 5, 4 -> 5)
+    val chain = (10 until 60).map(i => i -> (i + 1))
+    val all = (star ++ chain).map { case (s, d) => (s.toLong, d.toLong) }
+    val edges = all.map { case (s, d) => (s, d, 1L, 0L) }
+      .toDF("src", "dst", "weight", "ts")
+
+    val model = AaSmurf.runModel(spark, edges, minCount = 3)
+
+    // local reference: FULL adjacency, no summarization
+    val ids = all.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val index = ids.zipWithIndex.toMap
+    val adjFull = new Adj(ids.length)
+    all.foreach { case (s, d) => adjFull.add(index(s), index(d)) }
+    val cand = Array(Candidate(index(0L), index(5L), 4,
+      Array(1L, 2L, 3L, 4L).map(index)))
+    val ref = AaSmurf.greedyOrder(adjFull, cand)
+
+    assert(model.mdlTrace.toSeq == ref.mdlTrace.toSeq)
+    assert(model.finalMdl == ref.finalMdl)
+    assert(model.order.toSeq == ref.order.toSeq)
+    assert(model.iterations == ref.iterations)
+  }
+
   test("end-to-end run recovers the planted star from an edge DataFrame") {
     val edges = Seq(
       (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
