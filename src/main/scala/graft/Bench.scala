@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query timed over two passes.
+  *
+  * Pass 1 (cold) pays JIT, parquet-footer reads, and the one-time build of
+  * the shared persisted intermediates (focus table, fold tables); pass 2
+  * (warm) is the steady-state a long-running deployment sees. `value`
+  * stays the COLD total — methodology-compatible with earlier rounds'
+  * single-pass numbers — and `warm_value`/`warm_queries` ride alongside so
+  * round-over-round comparisons have a number that isn't dominated by
+  * this box's documented >±20 % co-tenant swing and ~10 s first-query
+  * JIT/footer warm-up.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +24,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // deterministic name order: round-over-round comparability, and the
     // cheap scan/filter queries warm the JIT before the heavy ML ones
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val cold = pass()
+    val warm = pass()
+    def fmt(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val coldTotal = cold.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -484,7 +484,10 @@ object SparkEntry {
           col("account"), round(col("x"), 6).as("x"),
           round(col("y"), 6).as("y"),
           round(col("past_x"), 6).as("past_x"),
-          round(col("past_y"), 6).as("past_y"))
+          round(col("past_y"), 6).as("past_y"),
+          round(col("fit_slope"), 6).as("fit_slope"),
+          round(col("fit_intercept"), 6).as("fit_intercept"),
+          round(col("fit_r2"), 6).as("fit_r2"))
     }),
     "q34_focus_scores" -> ((s, dir) =>
       sharedFocus(s, dir)

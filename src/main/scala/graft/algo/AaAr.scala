@@ -288,6 +288,19 @@ object AaAr {
       .withColumn("prank", row_number().over(pw))
       .filter(col("prank") <= numFigures)
       .select(col("wid"), col("pair_id"), col("prank"))
+    // per-FIGURE power-law overlay (`AA-AR.py:188-193`): each attended
+    // pair's full point set gets its own ln-space OLS. The focus coords
+    // are log10(feature+1), an affine rescale of the reference's
+    // ln(feature+1) regression variables — slope and R² are invariant
+    // under it; the intercept is the same fit in log10 units.
+    val slope = try_divide(covar_pop(col("x"), col("y")),
+      var_pop(col("x")))
+    val fits = f.join(topPairs, Seq("wid", "pair_id"))
+      .groupBy(col("wid"), col("pair_id"))
+      .agg(slope.as("fit_slope"),
+        (avg(col("y")) - slope * avg(col("x"))).as("fit_intercept"),
+        (corr(col("x"), col("y")) * corr(col("x"), col("y")))
+          .as("fit_r2"))
     val aw = Window.partitionBy(col("wid"), col("pair_id"))
       .orderBy(col("score").desc, col("account").asc)
     val topAcc = f.join(topPairs, Seq("wid", "pair_id"))
@@ -295,6 +308,7 @@ object AaAr {
       .filter(col("rnk") <= numAccounts)
       .select(col("wid"), col("pair_id"), col("prank"), col("rnk"),
         col("account"), col("x"), col("y"))
+      .join(broadcast(fits), Seq("wid", "pair_id"))
     val past = focus.select(col("wid").as("pwid"),
       col("pair_id").as("ppair"), col("account").as("pacct"),
       col("x").as("px"), col("y").as("py"))
@@ -305,7 +319,8 @@ object AaAr {
           past("pwid") < topAcc("wid"),
         "left")
       .groupBy(topAcc("wid"), topAcc("pair_id"), col("prank"), col("rnk"),
-        topAcc("account"), col("x"), col("y"))
+        topAcc("account"), col("x"), col("y"), col("fit_slope"),
+        col("fit_intercept"), col("fit_r2"))
       .agg(avg(col("px")).as("past_x"), avg(col("py")).as("past_y"))
   }
 

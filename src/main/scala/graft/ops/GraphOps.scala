@@ -38,14 +38,44 @@ object GraphOps {
     * (`AA-Smurf.py:108`) into the aggregation (HAVING), so the candidate
     * set never materializes sub-threshold pairs.
     */
-  def twoHopCounts(edges: DataFrame, minCount: Long = 3): DataFrame = {
-    val b = binaryEdges(edges)
-    val a1 = b.select(col("src").as("i"), col("dst").as("m"))
-    val a2 = b.select(col("src").as("m"), col("dst").as("j"))
+  def twoHopCounts(edges: DataFrame, minCount: Long = 3,
+                   maxMidDegree: Option[Long] = None): DataFrame = {
+    val (a1, a2) = twoHopSides(binaryEdges(edges), maxMidDegree)
     a1.join(a2, "m")
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+  }
+
+  /** The two sides of the 2-hop self-join, optionally restricted to
+    * middle vertices with in- AND out-degree ≤ `maxMidDegree`.
+    *
+    * The guard is the standard 2-hop/triangle-enumeration hub cap: one
+    * mid with in/out degree 10⁶ alone emits 10¹² path rows through the
+    * join — at 100 TB a single hub account (an exchange, a clearing
+    * house) would dwarf the rest of the job. Degrees come from one
+    * aggregation of the edge set; the filter is a semi-join, so the edge
+    * table itself never re-shuffles. Capped-out hubs are EXCLUDED, not
+    * split: smurf semantics look for many *moderate* intermediaries, and a
+    * hub that intermediates everything carries no signal for them (handle
+    * hubs in a dedicated dense pass if a workload needs them).
+    */
+  private def twoHopSides(b: DataFrame, maxMidDegree: Option[Long])
+      : (DataFrame, DataFrame) = {
+    val a1 = b.select(col("src").as("i"), col("dst").as("m"))
+    val a2 = b.select(col("src").as("m"), col("dst").as("j"))
+    maxMidDegree match {
+      case None => (a1, a2)
+      case Some(cap) =>
+        // inner join: a node missing either side has no 2-hop path anyway
+        val ok = b.groupBy(col("dst").as("m")).agg(count(lit(1)).as("ind"))
+          .join(b.groupBy(col("src").as("m")).agg(count(lit(1)).as("outd")),
+            "m")
+          .filter(col("ind") <= cap && col("outd") <= cap)
+          .select(col("m"))
+        (a1.join(ok, Seq("m"), "left_semi"),
+         a2.join(ok, Seq("m"), "left_semi"))
+    }
   }
 
   /** Intermediary extraction (SURVEY J2, `AA-Smurf.py:109`): for each
@@ -53,10 +83,9 @@ object GraphOps {
     * Sorting makes the array deterministic under any partitioning
     * (collect_set order is not).
     */
-  def twoHopMids(edges: DataFrame, minCount: Long = 3): DataFrame = {
-    val b = binaryEdges(edges)
-    val a1 = b.select(col("src").as("i"), col("dst").as("m"))
-    val a2 = b.select(col("src").as("m"), col("dst").as("j"))
+  def twoHopMids(edges: DataFrame, minCount: Long = 3,
+                 maxMidDegree: Option[Long] = None): DataFrame = {
+    val (a1, a2) = twoHopSides(binaryEdges(edges), maxMidDegree)
     a1.join(a2, "m")
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("cnt"),

@@ -47,6 +47,32 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("2-hop hub cap bounds pair fan-out on a planted hub") {
+    // planted smurf: 0 → {1,2,3} → 4, plus a hub mid 100 that everything
+    // routes through (in/out degree 30 → 900 pairs through it alone)
+    val smurf = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L,
+      1L -> 4L, 2L -> 4L, 3L -> 4L)
+    val hubIn = (200L until 230L).map(s => s -> 100L)
+    val hubOut = (300L until 330L).map(d => 100L -> d)
+    val edges = (smurf ++ hubIn ++ hubOut)
+      .map { case (s, d) => (s, d, 1L, 0L) }
+      .toDF("src", "dst", "weight", "ts")
+
+    val uncapped = graft.ops.GraphOps.twoHopCounts(edges, minCount = 1)
+    // every (hub-in × hub-out) pair materializes without the guard
+    assert(uncapped.count() >= 900L)
+
+    val capped = graft.ops.GraphOps.twoHopCounts(edges, minCount = 1,
+      maxMidDegree = Some(10L))
+    val pairs = capped.select($"i", $"j").as[(Long, Long)].collect().toSet
+    // hub paths are gone; the moderate-degree smurf mids survive intact
+    assert(pairs == Set((0L, 4L)))
+    val mids = graft.ops.GraphOps.twoHopMids(edges, minCount = 1,
+      maxMidDegree = Some(10L))
+      .select($"mids").collect().head.getSeq[Long](0)
+    assert(mids == Seq(1L, 2L, 3L))
+  }
+
   test("bucketed tables co-locate the join: no shuffle on the join keys") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket")
     val db = "graft_bucket_test"
