@@ -229,6 +229,10 @@ object AaAr {
       .select(col("wid"),
         transform(col("sv"), s => s.getField("value")).as("sketch"))
 
+    // global (un-partitioned) windows are deliberate: rows here are ONE
+    // per time window (the sketch table is pre-aggregated), so the single
+    // task sees #windows rows — thousands even at 100 TB of edges. The
+    // time axis, not the data volume, bounds this stage.
     val w = Window.orderBy(col("wid")).rowsBetween(-backWs, -2)
     val rnW = Window.orderBy(col("wid"))
     val withFrame = vecs
@@ -283,32 +287,33 @@ object AaAr {
     val f = focus.join(broadcast(topWid), "wid")
     val pw = Window.partitionBy(col("wid"))
       .orderBy(col("pair_score").desc, col("pair_id").asc)
-    val topPairs = f.groupBy(col("wid"), col("pair_id"))
-      .agg(sum(col("score")).as("pair_score"))
-      .withColumn("prank", row_number().over(pw))
-      .filter(col("prank") <= numFigures)
-      .select(col("wid"), col("pair_id"), col("prank"))
-    // per-FIGURE power-law overlay (`AA-AR.py:188-193`): each attended
-    // pair's full point set gets its own ln-space OLS. The focus coords
+    // ONE aggregation pass computes both the pair ranking and each
+    // figure's power-law overlay (`AA-AR.py:188-193`): the focus coords
     // are log10(feature+1), an affine rescale of the reference's
     // ln(feature+1) regression variables — slope and R² are invariant
-    // under it; the intercept is the same fit in log10 units.
+    // under it; the intercept is the same fit in log10 units. Fitting all
+    // pairs before the rank filter is ≤66 extra tiny aggregates, cheaper
+    // than a second scan of the focus table for just the attended ones.
     val slope = try_divide(covar_pop(col("x"), col("y")),
       var_pop(col("x")))
-    val fits = f.join(topPairs, Seq("wid", "pair_id"))
-      .groupBy(col("wid"), col("pair_id"))
-      .agg(slope.as("fit_slope"),
+    val topPairs = f.groupBy(col("wid"), col("pair_id"))
+      .agg(sum(col("score")).as("pair_score"),
+        slope.as("fit_slope"),
         (avg(col("y")) - slope * avg(col("x"))).as("fit_intercept"),
         (corr(col("x"), col("y")) * corr(col("x"), col("y")))
           .as("fit_r2"))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= numFigures)
+      .select(col("wid"), col("pair_id"), col("prank"), col("fit_slope"),
+        col("fit_intercept"), col("fit_r2"))
     val aw = Window.partitionBy(col("wid"), col("pair_id"))
       .orderBy(col("score").desc, col("account").asc)
-    val topAcc = f.join(topPairs, Seq("wid", "pair_id"))
+    val topAcc = f.join(broadcast(topPairs), Seq("wid", "pair_id"))
       .withColumn("rnk", row_number().over(aw))
       .filter(col("rnk") <= numAccounts)
       .select(col("wid"), col("pair_id"), col("prank"), col("rnk"),
-        col("account"), col("x"), col("y"))
-      .join(broadcast(fits), Seq("wid", "pair_id"))
+        col("account"), col("x"), col("y"), col("fit_slope"),
+        col("fit_intercept"), col("fit_r2"))
     val past = focus.select(col("wid").as("pwid"),
       col("pair_id").as("ppair"), col("account").as("pacct"),
       col("x").as("px"), col("y").as("py"))

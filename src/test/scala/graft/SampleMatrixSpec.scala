@@ -51,7 +51,7 @@ class SampleMatrixSpec extends SparkSpec {
     // has isolated rows; compute expected with the adj's own n
     val nn = nodeIds.length.toLong
     var cells = 0L
-    (0 until adj.n).foreach(i => cells += adj.out(i).cardinality())
+    (0 until adj.n).foreach(i => cells += adj.rowOnes(i))
     val expectedAdj = (nn * nn - cells).toDouble *
       (2.0 * math.ceil(math.log(nn.toDouble) / math.log(2.0)))
     assert(math.abs(model.mdlTrace(0) - expectedAdj) < 1e-6)
