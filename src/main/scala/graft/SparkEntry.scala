@@ -508,6 +508,54 @@ object SparkEntry {
       .mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
+    // MinHash+LSH mirror: identical md5-prefix h1/h2 halves and
+    // Kirsch–Mitzenmacher h1 + i·h2 minima as Dedup.minhashLshPairs, band
+    // buckets as md5-of-concat, then the same candidate join + exact
+    // shingle-Jaccard. The 32 min columns and 8 band selects are
+    // generated, not hand-written.
+    "q23_minhash_pairs" -> {
+      val k = 32; val bands = 8; val rws = k / bands
+      val minCols = (0 until k)
+        .map(i => s"min(h1 + $i*h2) AS h$i").mkString(",\n    ")
+      val bandSelects = (0 until bands).map { b =>
+        val cols = (b * rws until (b + 1) * rws).map(i => s"h$i")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', $cols, $b)) AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |    i -> array_to_string(t[i:i+2], ' '))) AS s
+         |  FROM toks WHERE len(t) >= 3)),
+         |h AS (SELECT doc_id, s,
+         |    CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h1,
+         |    CAST(('0x' || substr(md5(s), 8, 7)) AS BIGINT) AS h2
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $minCols
+         |  FROM h GROUP BY doc_id),
+         |band AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_int
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |j AS (SELECT i.doc_a, i.doc_b,
+         |    CAST(i.n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_int)
+         |      AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= 0.2""".stripMargin
+    },
+
     // SimHash mirror: md5 hex prefix split into two unsigned 32-bit halves
     // (the same split Dedup.simhash does — a full 16-digit parse can
     // overflow BIGINT), per-bit signed sums, sign → bit, OR-fold. The 64

@@ -35,12 +35,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
            count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: k seeded xxhash64 functions, min over shingles.
+  /** MinHash signature: k hash functions via the Kirsch–Mitzenmacher
+    * two-hash scheme h_i(x) = h1(x) + i·h2(x), min over shingles.
     * Returned as array<bigint> of length k. Pure column expressions.
+    *
+    * h1/h2 are 28-bit values from the md5 hex prefix (digits 1–7 and
+    * 8–14): md5 because every SQL engine computes the identical digest,
+    * so signatures are exactly reproducible outside Spark (see the q23
+    * oracle); 28 bits so h1 + 31·h2 < 2³³ stays a plain BIGINT in every
+    * engine — no overflow-wrap semantics to match.
     */
-  def minhashSignature(sh: Column, k: Int = 32, seed: Int = 0): Column =
+  def minhashSignature(sh: Column, k: Int = 32): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i, lit(seed)))))
+      i => array_min(transform(sh, s => {
+        val m = md5(s)
+        conv(substring(m, 1, 7), 16, 10).cast("long") +
+          i * conv(substring(m, 8, 7), 16, 10).cast("long")
+      })))
 
   /** MinHash + LSH banding: signatures of k hashes split into `bands`
     * bands of k/bands rows; docs sharing any band bucket are candidate
@@ -64,19 +75,26 @@ object Dedup {
     // and BOTH sides of the intersection join — persist it or every
     // consumer re-tokenizes and re-shingles the corpus (at 100 TB this
     // would be a persisted/checkpointed intermediate table too)
+    // shingle → two 28-bit md5-prefix halves (h1, h2); hash function i is
+    // Kirsch–Mitzenmacher h1 + i·h2 (see minhashSignature's doc for why
+    // md5 and why 28 bits — exact cross-engine reproducibility)
     val docSh = docs
       .select(col("doc_id"), explode(shingles(col(textCol))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh_h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("s")), 8, 7), 16, 10).cast("long").as("h2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minCols = (0 until k).map(i =>
-      min(xxhash64(col("sh_h"), lit(i))).as(s"h$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     val sig = docSh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
-    // band hashes from the k signature columns; candidates carry IDS ONLY
+    // band hashes from the k signature columns; candidates carry IDS ONLY.
+    // md5-of-concat rather than a native hash: the band bucket is only an
+    // equality key, and this exact string is what the oracle reproduces.
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
-        xxhash64((b * rows until (b + 1) * rows)
-          .map(i => col(s"h$i")) :+ lit(b): _*).as("band_hash"))
+        md5(concat_ws("|", (b * rows until (b + 1) * rows)
+          .map(i => col(s"h$i")) :+ lit(b): _*)).as("band_hash"))
     }
     val banded = sig.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band"))
@@ -96,9 +114,10 @@ object Dedup {
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(docSh.select(col("doc_id").as("doc_a"), col("sh_h")), "doc_a")
-      .join(docSh.select(col("doc_id").as("doc_b"), col("sh_h")),
-        Seq("doc_b", "sh_h"))
+      .join(docSh.select(col("doc_id").as("doc_a"), col("h1"), col("h2")),
+        "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("h1"), col("h2")),
+        Seq("doc_b", "h1", "h2"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
