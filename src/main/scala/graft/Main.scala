@@ -44,39 +44,62 @@ object Main {
         case "aa-ar" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
-          val out = opt("--o", "results")
-          val w = opt("--w", "14").toInt
-          val numDst = opt("--a", "3").toInt
-          val edges = graft.sources.Sources.edgeCsv(spark, in)
-          // same staging as SparkEntry: ONE persisted focus table feeds
-          // both the sketch stage and the routing stage
-          val focus = AaAr.focusScores(
-            Features.accountFeaturesByWindow(
-              Windows.withWindowId(edges, w, w / 2)),
-            numTrees = 100).persist(StorageLevel.MEMORY_AND_DISK)
-          val changes = AaAr.runFromFocus(focus,
+          val (nChanges, nRouted) = runAaAr(spark, in, opt("--o", "results"),
+            windowSize = opt("--w", "14").toInt,
             sketchNum = opt("--s", "256").toInt,
-            backWs = opt("--b", "4").toInt, numDst = numDst)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val routing = AaAr.attentionRouting(focus, changes,
-            numFigures = numDst, numAccounts = opt("--c", "3").toInt)
-          changes.write.mode("overwrite").parquet(s"$out/change_score")
-          routing.write.mode("overwrite").parquet(s"$out/attention_routing")
-          println(s"AA-AR: ${changes.count()} change-score windows, " +
-            s"${routing.count()} attended accounts -> $out")
+            backWs = opt("--b", "4").toInt,
+            numFigures = opt("--a", "3").toInt,
+            numAccounts = opt("--c", "3").toInt)
+          println(s"AA-AR: $nChanges change-score windows, " +
+            s"$nRouted attended accounts -> ${opt("--o", "results")}")
         case "aa-smurf" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
-          val out = opt("--o", "results")
-          val edges = graft.sources.Sources.denseMatrix(spark, in)
-          val order = AaSmurf.run(spark, edges, minCount = 3,
+          val n = runAaSmurf(spark, in, opt("--o", "results"),
             maxIter = opts.get("--i").map(_.toInt))
-          order.write.mode("overwrite").parquet(s"$out/smurf_order")
-          println(s"AA-Smurf: ${order.count()} positions -> $out")
+          println(s"AA-Smurf: $n positions -> ${opt("--o", "results")}")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
       }
     } finally spark.stop()
+  }
+
+  /** aa-ar pipeline on an arbitrary session (main's happy path, and the
+    * MainSpec entry — main itself owns/stops its session and exits on bad
+    * flags, so tests drive this instead). Returns (change-score rows,
+    * attended-account rows) after writing both tables under `out`.
+    */
+  def runAaAr(spark: SparkSession, in: String, out: String,
+              windowSize: Int = 14, sketchNum: Int = 256, backWs: Int = 4,
+              numFigures: Int = 3, numAccounts: Int = 3): (Long, Long) = {
+    val edges = graft.sources.Sources.edgeCsv(spark, in)
+    // same staging as SparkEntry: ONE persisted focus table feeds
+    // both the sketch stage and the routing stage
+    val focus = AaAr.focusScores(
+      Features.accountFeaturesByWindow(
+        Windows.withWindowId(edges, windowSize, windowSize / 2)),
+      numTrees = 100).persist(StorageLevel.MEMORY_AND_DISK)
+    val changes = AaAr.runFromFocus(focus, sketchNum = sketchNum,
+      backWs = backWs, numDst = numFigures)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val routing = AaAr.attentionRouting(focus, changes,
+      numFigures = numFigures, numAccounts = numAccounts)
+    changes.write.mode("overwrite").parquet(s"$out/change_score")
+    routing.write.mode("overwrite").parquet(s"$out/attention_routing")
+    val n = (changes.count(), routing.count())
+    focus.unpersist(); changes.unpersist()
+    n
+  }
+
+  /** aa-smurf pipeline on an arbitrary session; returns the number of
+    * reordered positions after writing the table under `out`.
+    */
+  def runAaSmurf(spark: SparkSession, in: String, out: String,
+                 maxIter: Option[Int] = None): Long = {
+    val edges = graft.sources.Sources.denseMatrix(spark, in)
+    val order = AaSmurf.run(spark, edges, minCount = 3, maxIter = maxIter)
+    order.write.mode("overwrite").parquet(s"$out/smurf_order")
+    order.count()
   }
 }

@@ -64,6 +64,34 @@ object LocalPropsSpec extends Properties("local-invariants") {
     }
 
   // ── universal code length / path length (scalar fns) ──
+  // ── word-parallel Adj.countBlock ──
+  // the mask-and-popcount wide path (cols ≥ 64) and the bit-probe narrow
+  // path must agree with the brute-force double loop for any permutation
+  // and any block; n up to 160 exercises both paths and word boundaries
+  private val blockCaseGen = for {
+    (n0, es) <- edgeSetGen
+    n = n0 + 120 // push past one 64-bit word so wide blocks occur
+    order <- Gen.const(new scala.util.Random(n0.toLong).shuffle(
+      (0 until n).toVector).toArray)
+    r0 <- Gen.choose(0, n - 1); r1 <- Gen.choose(r0, n)
+    c0 <- Gen.choose(0, n - 1); c1 <- Gen.choose(c0, n)
+  } yield (n, es, order, r0, r1, c0, c1)
+
+  property("countBlock equals brute-force over any permuted block") =
+    forAll(blockCaseGen) { case (n, es, order, r0, r1, c0, c1) =>
+      val adj = adjOf(n, es)
+      var expect = 0L
+      for (i <- r0 until r1; j <- c0 until c1)
+        if (adj.has(order(i), order(j))) expect += 1
+      adj.countBlock(order, r0, r1, c0, c1) == expect
+    }
+
+  property("rowOnes counts each row's set bits") =
+    forAll(edgeSetGen) { case (n, es) =>
+      val adj = adjOf(n, es)
+      (0 until n).forall(i => adj.rowOnes(i) == es.count(_._1 == i))
+    }
+
   property("logStar is 2·log2(x)+1 and monotone for x>1") =
     forAll(Gen.choose(1.001, 1e9)) { x =>
       val v = AaSmurf.logStar(x)
