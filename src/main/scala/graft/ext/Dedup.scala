@@ -225,12 +225,19 @@ object Dedup {
     // avoids paying one Spark job per propagation round; above it, the
     // distributed pointer-jumping loop below takes over. Both produce
     // min-doc_id component labels.
-    val nPairs = pairs.count()
+    //
+    // Persist before the count: the threshold probe and the consumer that
+    // follows (collect here, or the checkpoint in distributedComponents)
+    // would otherwise each evaluate the full upstream similarity pipeline
+    // — the LSH self-join ran twice end-to-end before this.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count()
     if (nPairs <= localThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = pairs.select(col("doc_a"), col("doc_b"))
+      val es = p.select(col("doc_a"), col("doc_b"))
         .as[(Long, Long)].collect()
+      p.unpersist(false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -245,7 +252,11 @@ object Dedup {
       return parent.keys.toSeq.sorted
         .map(k => (k, find(k))).toDF("doc_id", "cluster_id")
     }
-    distributedComponents(pairs, maxIter)
+    // distributedComponents eagerly localCheckpoints its undirected edge
+    // table as its first step, so p is consumed exactly once more
+    val labels = distributedComponents(p, maxIter)
+    p.unpersist(false)
+    labels
   }
 
   /** Distributed min-label propagation with pointer jumping — the
