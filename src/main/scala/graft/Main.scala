@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.algo.{AaAr, AaSmurf}
@@ -88,18 +89,101 @@ object Main {
     changes.write.mode("overwrite").parquet(s"$out/change_score")
     routing.write.mode("overwrite").parquet(s"$out/attention_routing")
     val n = (changes.count(), routing.count())
+    writeAaArPngs(changes, routing, focus, out)
     focus.unpersist(); changes.unpersist()
     n
+  }
+
+  /** The reference's PNG figures (S6, `AA-AR.py:177-248`): the change-score
+    * series and one 2-D figure per attended pair, rendered from the same
+    * result tables the parquet sinks just wrote. Everything collected here
+    * is already attention-filtered or capped: the routing table is
+    * numFigures × numAccounts rows, the per-figure cloud is one (window,
+    * pair)'s accounts, sampled down to `cloudCap` points — a plot has a
+    * bounded pixel budget no matter the corpus size.
+    */
+  private def writeAaArPngs(changes: org.apache.spark.sql.DataFrame,
+                            routing: org.apache.spark.sql.DataFrame,
+                            focus: org.apache.spark.sql.DataFrame,
+                            out: String, cloudCap: Int = 100000): Unit = {
+    import graft.sinks.Plots
+    val series = changes.select(col("wid"), col("change_score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    if (series.nonEmpty)
+      Plots.linePlot(series, "Change Score", "Timestamp", "Change Score",
+        new java.io.File(s"$out/change_score.png"))
+
+    val routed = routing.collect()
+    val fnames = ops.Features.featureCols
+    routed.groupBy(r => (r.getAs[Number]("wid").longValue,
+        r.getAs[Number]("pair_id").intValue))
+      .foreach { case ((wid, pid), rows) =>
+        val (_, f1, f2) = AaAr.pairs(pid)
+        val cloudDf = focus
+          .filter(col("wid") === wid && col("pair_id") === pid)
+          .select(col("x"), col("y"))
+        val total = cloudDf.count()
+        val cloud = (if (total > cloudCap)
+            cloudDf.sample(cloudCap.toDouble / total, seed = 7L)
+          else cloudDf)
+          .collect().map(r => Plots.P(r.getDouble(0), r.getDouble(1))).toSeq
+        if (cloud.nonEmpty) {
+          // power-of-2 binned means of the RAW y values (AA-AR.py:182-185;
+          // coords are log10(f+1), so raw = 10^coord), re-logged for the
+          // log-log canvas
+          val l2 = math.log10(2.0)
+          val binned = cloud.groupBy(p => math.ceil(p.x / l2).toLong)
+            .map { case (bin, ps) =>
+              Plots.P(bin * l2,
+                math.log10(ps.map(p => math.pow(10, p.y)).sum / ps.size))
+            }.toSeq
+          val attended = rows.map(r => (Plots.P(r.getAs[Double]("x"),
+            r.getAs[Double]("y")),
+            r.getAs[Number]("account").toString)).toSeq
+          val past = rows.filter(r => !r.isNullAt(r.fieldIndex("past_x")))
+            .map(r => (Plots.P(r.getAs[Double]("past_x"),
+              r.getAs[Double]("past_y")),
+              Plots.P(r.getAs[Double]("x"), r.getAs[Double]("y")))).toSeq
+          val prank = rows.head.getAs[Number]("prank").intValue
+          Plots.twodPlot(cloud, attended, past, binned,
+            rows.head.getAs[Double]("fit_slope"),
+            rows.head.getAs[Double]("fit_intercept"),
+            s"Window $wid — ${fnames(f2)} vs ${fnames(f1)}",
+            fnames(f1), fnames(f2),
+            new java.io.File(s"$out/figure${prank}_pair$pid.png"))
+        }
+      }
   }
 
   /** aa-smurf pipeline on an arbitrary session; returns the number of
     * reordered positions after writing the table under `out`.
     */
   def runAaSmurf(spark: SparkSession, in: String, out: String,
-                 maxIter: Option[Int] = None): Long = {
+                 maxIter: Option[Int] = None,
+                 spyCap: Long = 10000): Long = {
     val edges = graft.sources.Sources.denseMatrix(spark, in)
     val order = AaSmurf.run(spark, edges, minCount = 3, maxIter = maxIter)
     order.write.mode("overwrite").parquet(s"$out/smurf_order")
-    order.count()
+    val n = order.count()
+    // S6 spy figure (AA-Smurf.py:168-178): a raster of the FULL matrix is
+    // only renderable (and only legible) for matrices up to ~spyCap nodes
+    // — the reference materializes the dense n×n picture, which caps it
+    // identically. Above the cap the parquet order table is the output.
+    if (n > 0 && n <= spyCap) {
+      val posOf = order.select(col("node"), col("pos")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      val idxOf = posOf.keys.toSeq.sorted.zipWithIndex.toMap
+      val cells = graft.ops.GraphOps.binaryEdges(edges)
+        .select(col("src"), col("dst")).collect()
+        .flatMap { r =>
+          val (s, d) = (r.getLong(0), r.getLong(1))
+          if (idxOf.contains(s) && idxOf.contains(d))
+            Some((idxOf(s), idxOf(d))) else None
+        }.toSeq
+      val nodes = posOf.keys.toSeq.sorted
+      graft.sinks.Plots.spyPair(posOf.size, cells,
+        i => posOf(nodes(i)), new java.io.File(s"$out/reorder.png"))
+    }
+    n
   }
 }

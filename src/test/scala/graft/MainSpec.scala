@@ -38,6 +38,17 @@ class MainSpec extends SparkSpec {
     // per-figure power-law overlay columns are part of the contract
     Seq("fit_slope", "fit_intercept", "fit_r2")
       .foreach(c => assert(routing.columns.contains(c)))
+    // S6 PNG sinks: the change-score series and one figure per attended
+    // (wid, pair); every PNG must decode to a non-trivial raster
+    val pngs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".png"))
+    assert(pngs.exists(_.getName == "change_score.png"))
+    assert(pngs.exists(_.getName.startsWith("figure")))
+    pngs.foreach { f =>
+      val img = javax.imageio.ImageIO.read(f)
+      assert(img != null && img.getWidth > 100 && img.getHeight > 100,
+        s"unreadable png ${f.getName}")
+    }
   }
 
   test("aa-smurf CLI pipeline runs from the reference's dense matrix") {
@@ -50,5 +61,9 @@ class MainSpec extends SparkSpec {
     // a permutation: positions are distinct
     val pos = order.select(col("pos")).distinct().count()
     assert(pos == n)
+    // S6 spy figure: before/after raster of the reference's own matrix
+    val spy = javax.imageio.ImageIO.read(
+      new java.io.File(s"$tmp/out/reorder.png"))
+    assert(spy != null && spy.getWidth > 200)
   }
 }
