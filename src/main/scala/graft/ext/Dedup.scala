@@ -77,7 +77,10 @@ object Dedup {
     // would be a persisted/checkpointed intermediate table too)
     // shingle → two 28-bit md5-prefix halves (h1, h2); hash function i is
     // Kirsch–Mitzenmacher h1 + i·h2 (see minhashSignature's doc for why
-    // md5 and why 28 bits — exact cross-engine reproducibility)
+    // md5 and why 28 bits — exact cross-engine reproducibility). md5 costs
+    // ~2× xxhash64 on this scan, but the scan is linear, map-side-only and
+    // embarrassingly parallel — the price of end-to-end verifiability, not
+    // a scale bottleneck.
     val docSh = docs
       .select(col("doc_id"), explode(shingles(col(textCol))).as("s"))
       .select(col("doc_id"),

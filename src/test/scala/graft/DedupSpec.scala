@@ -47,6 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("minhash signature: k KM-scheme minima, permutation-invariant") {
+    val sig = Seq((1L, Seq("a b c", "b c d")), (2L, Seq("b c d", "a b c")))
+      .toDF("doc_id", "sh")
+      .select($"doc_id", Dedup.minhashSignature($"sh", k = 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L).length == 8)
+    assert(sig(1L) == sig(2L)) // set semantics: order of shingles irrelevant
+    assert(sig(1L).forall(v => v >= 0)) // 28-bit halves: never negative
+  }
+
   test("simhash: identical docs get identical signatures, similar docs " +
     "have small hamming distance") {
     val sigs = Dedup.simhash(docs).collect()
