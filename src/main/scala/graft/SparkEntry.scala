@@ -257,6 +257,8 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.bpeishTokenCount(col("text")).cast("bigint")
             .as("n_subtokens"))),
+    "q49_repetition_stats" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
 
     // ───── dedup family (extension surface) ─────
     "q22_dedup_exact" -> ((s, dir) =>
@@ -916,6 +918,39 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens
         |FROM documents""".stripMargin,
+
+    // Gopher-style repetition stats mirror: non-distinct word n-grams via
+    // list slicing, per-(doc, gram) counts, duplicated/top fractions;
+    // LEFT JOINs reproduce the null fracs of sub-n-token docs.
+    "q49_repetition_stats" -> {
+      def gramCte(n: Int): String = {
+        val (stop, hi) = (s"len(t) - ${n - 2}", s"i + ${n - 1}")
+        s"""g$n AS (SELECT doc_id,
+           |  unnest(list_transform(range(1, $stop),
+           |    i -> array_to_string(t[i:$hi], ' '))) AS g
+           |  FROM toks WHERE len(t) >= $n),
+           |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2),
+           |s$n AS (SELECT doc_id,
+           |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+           |    / sum(cnt), 6) AS dup_frac_$n,
+           |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_frac_$n
+           |  FROM c$n GROUP BY doc_id)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |tstat AS (SELECT doc_id,
+         |  round(1.0 - CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+         |    AS dup_token_frac
+         |  FROM tok GROUP BY doc_id),
+         |${gramCte(2)},
+         |${gramCte(3)}
+         |SELECT t.doc_id, t.dup_token_frac, s2.dup_frac_2, s2.top_frac_2,
+         |  s3.dup_frac_3, s3.top_frac_3
+         |FROM tstat t
+         |LEFT JOIN s2 ON s2.doc_id = t.doc_id
+         |LEFT JOIN s3 ON s3.doc_id = t.doc_id""".stripMargin
+    },
 
     "q44_lang_id_ngram" -> {
       val profValues = TextOps.langTrigrams

@@ -14,16 +14,8 @@ object Dedup {
   /** Word n-gram shingles of a text column (lowercased, whitespace
     * tokenized). Distinct per doc.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    // guard: sequence(0, negative) would be DESCENDING in Spark, so short
-    // docs get an empty shingle set instead of a broken slice
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(TextOps.wordNgrams(text, n))
 
   /** Exact dedup: group by the full text, keep the smallest doc_id as the
     * canonical representative. At scale, group by a 128-bit hash of the

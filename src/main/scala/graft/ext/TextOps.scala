@@ -14,6 +14,56 @@ object TextOps {
   /** Whitespace tokenizer (lowercased). */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Word n-grams of the token stream, NON-distinct (every occurrence,
+    * in order) — the multiset the repetition statistics count over.
+    * Short docs (< n tokens) get an empty list, guarding Spark's
+    * descending `sequence(0, negative)`.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition statistics — the Gopher-style repetition quality signals
+    * (Rae et al. 2021 §A1.1: fraction of duplicated n-grams, fraction in
+    * the most frequent n-gram, duplicate-token fraction). Filtering on
+    * these is the standard "remove degenerate/boilerplate text" pass of
+    * an LLM data pipeline.
+    *
+    * Per doc: dup_frac_n = occurrences belonging to n-grams seen more
+    * than once / total n-grams (n ∈ {2,3}); top_frac_n = max n-gram
+    * count / total; dup_token_frac = 1 − distinct/total tokens. The
+    * shuffle is keyed on (doc_id, gram) with map-side combine — linear
+    * in corpus size, no doc-level skew beyond document length itself.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def gramStats(n: Int): DataFrame =
+      docs.select(col("doc_id"),
+          explode(wordNgrams(col(textCol), n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(try_divide(sum(when(col("cnt") > 1, col("cnt"))
+            .otherwise(0L)).cast("double"), sum(col("cnt"))), 6)
+            .as(s"dup_frac_$n"),
+          round(try_divide(max(col("cnt")).cast("double"),
+            sum(col("cnt"))), 6).as(s"top_frac_$n"))
+    val tokStats = docs.select(col("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(lit(1.0) - try_divide(
+        count_distinct(col("tok")).cast("double"), count(lit(1))), 6)
+        .as("dup_token_frac"))
+    tokStats.join(gramStats(2), Seq("doc_id"), "left")
+      .join(gramStats(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_token_frac"), col("dup_frac_2"),
+        col("top_frac_2"), col("dup_frac_3"), col("top_frac_3"))
+  }
+
   /** BPE-ish subword count: word tokens + digit runs + punctuation are
     * separate tokens, approximating a byte-pair-encoding tokenizer's
     * granularity without a vocab: count of maximal runs of

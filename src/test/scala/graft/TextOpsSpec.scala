@@ -20,6 +20,25 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 20) < 1e-12)
   }
 
+  test("repetition stats: hand-computed dup/top n-gram fractions") {
+    val d = Seq((1L, "the the the a"), (2L, "x y")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    val r1 = r(1L)
+    // tokens [the,the,the,a]: distinct 2/4 → dup_token_frac 0.5
+    assert(r1.getAs[Double]("dup_token_frac") == 0.5)
+    // 2-grams: (the the)×2, (the a) → total 3, dup 2, top 2
+    assert(r1.getAs[Double]("dup_frac_2") == 0.666667)
+    assert(r1.getAs[Double]("top_frac_2") == 0.666667)
+    // 3-grams: (the the the), (the the a) → no dups, top 1/2
+    assert(r1.getAs[Double]("dup_frac_3") == 0.0)
+    assert(r1.getAs[Double]("top_frac_3") == 0.5)
+    // 2-token doc: one 2-gram, no 3-grams → null frac_3
+    val r2 = r(2L)
+    assert(r2.getAs[Double]("top_frac_2") == 1.0)
+    assert(r2.isNullAt(r2.fieldIndex("dup_frac_3")))
+  }
+
   test("bpe-ish token count splits words / digits / punctuation") {
     val d = Seq((1L, "hello world42, ok!")).toDF("doc_id", "text")
     val n = d.select(TextOps.bpeishTokenCount($"text")).as[Int]
