@@ -339,6 +339,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
+    // rows-only like q40 (KMeans codebooks are data-dependent); the
+    // ADC-vs-exact contract is golden-tested in SimSearchSpec
+    "q50_simsearch_ivfpq" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      SimSearch.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
+        k = 10)
+        .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
+          col("nbr_id"), round(col("adc_cos"), 6).as("adc_cos"))
+    }),
 
     // ───── multimodal plumbing (extension surface) ─────
     "q29_multimodal_meta" -> ((s, dir) =>

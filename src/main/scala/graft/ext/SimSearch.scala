@@ -148,6 +148,111 @@ object SimSearch {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** IVF-PQ: the memory-bound 100 TB ANN path. IVF-Flat (above) still
+    * reads full float vectors at re-rank; product quantization replaces
+    * them with m sub-space code bytes (dim=64 float64 → m=8 codes is a
+    * 64× scan-width cut), and ranks by asymmetric distance (ADC) — the
+    * query stays exact, each candidate is its reconstruction from the
+    * per-subspace codebooks (Jégou et al. 2011).
+    *
+    * Spark shape, all codegen column expressions:
+    *   - train: one MLlib KMeans per subspace (m tiny fits) + the coarse
+    *     nlist quantizer; every codebook ships as plan literals;
+    *   - encode: per subspace, argmin over literal sub-centroids → the
+    *     code column (shuffle-free map over the corpus; at rest this is
+    *     the m-byte column a deployment would store instead of the
+    *     embedding);
+    *   - query: the m × ksub table of sub-dot-products is computed ON THE
+    *     QUERY ROWS before the cell join (m·ksub dots per query, not per
+    *     candidate), so scoring a candidate is m element_at lookups + a
+    *     sum — the ADC scan;
+    *   - rank: approximate cosine = ADC dot / (|q| · |reconstruction|),
+    *     with |reconstruction| carried per code at encode time.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
+                k: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                ksub: Int = 16, seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusV = corpus.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("v"))
+
+    def subCol(v: org.apache.spark.sql.Column, j: Int) =
+      slice(v, j * dsub + 1, dsub)
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def argminCell(v: org.apache.spark.sql.Column,
+                   cs: Array[Array[Double]]) = {
+      val ds = array(cs.map(c => dist2(v, c)): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+
+    // coarse quantizer + one product sub-quantizer per subspace
+    def fitCenters(df: DataFrame, colName: String, kk: Int,
+                   s: Long): Array[Array[Double]] =
+      new KMeans().setK(kk).setSeed(s).setMaxIter(10)
+        .setFeaturesCol("features")
+        .fit(df.select(array_to_vector(col(colName)).as("features")))
+        .clusterCenters.map(_.toArray)
+    val coarse = fitCenters(corpusV, "v", nlist, seed)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      fitCenters(corpusV.withColumn("sub", subCol(col("v"), j)), "sub",
+        ksub, seed + 1 + j)
+    }
+
+    // encode: cell + m codes + reconstruction norm (all from literals)
+    val codeCols = (0 until m).map(j =>
+      argminCell(subCol(col("v"), j), books(j)).as(s"c$j"))
+    val encoded = corpusV
+      .withColumn("cell", argminCell(col("v"), coarse))
+      .select(Seq(col("nbr_id"), col("cell")) ++ codeCols: _*)
+    val norm2Lits = books.map(_.map(c => c.map(x => x * x).sum))
+    val reconNorm = sqrt((0 until m).map(j =>
+      element_at(array(norm2Lits(j).map(lit): _*), col(s"c$j") + 1))
+      .reduce(_ + _))
+    val withNorm = encoded.withColumn("recon_norm", reconNorm)
+
+    // queries: probe nprobe nearest cells and precompute the ADC table
+    // lut[j][c] = dot(q_sub_j, books[j][c])
+    def subDot(q: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(q, array(c.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val lut = array((0 until m).map { j =>
+      array(books(j).map(c => subDot(subCol(col("v_q"), j), c)): _*)
+    }: _*)
+    val qNorm = sqrt(aggregate(col("v_q"), lit(0.0),
+      (acc, x) => acc + x * x))
+    val probed = queries
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("v_q"))
+      .withColumn("lut", lut)
+      .withColumn("q_norm", qNorm)
+      .withColumn("probe", explode(slice(
+        array_sort(array(coarse.zipWithIndex.map { case (c, i) =>
+          struct(dist2(col("v_q"), c).as("d"), lit(i).as("cell"))
+        }: _*)), 1, nprobe)))
+      .select(col("query_id"), col("lut"), col("q_norm"),
+        col("probe.cell").as("cell"))
+
+    // ADC scan: m lookups + sum per candidate; no embedding is read
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val cand = withNorm.join(broadcast(probed), "cell")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("adc_cos",
+        try_divide(adc, col("q_norm") * col("recon_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("nbr_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("adc_cos"))
+  }
+
   /** ANN top-k via hyperplane LSH buckets + exact re-rank of candidates. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
               bands: Int = 4, bitsPerBand: Int = 8,

@@ -68,6 +68,30 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ recall@1 on clustered data; ADC cosine tracks true cosine") {
+    val q = corpus.filter($"vec_id" === 0L || $"vec_id" === 5L)
+    val exact = SimSearch.bruteForceTopK(corpus, q, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("nbr_id")).toMap
+    // dim 8 → m=4 subspaces of 2 dims, ksub=4 codes; 3 coarse cells
+    val pq = SimSearch.ivfPqTopK(corpus, q, dim = 8, k = 1, nlist = 3,
+      nprobe = 2, m = 4, ksub = 4).collect()
+    assert(pq.nonEmpty)
+    pq.foreach { r =>
+      assert(r.getAs[Long]("nbr_id") == exact(r.getAs[Long]("query_id")))
+      // quantized cosine of tight same-axis clusters stays high
+      assert(r.getAs[Double]("adc_cos") > 0.8)
+    }
+  }
+
+  test("IVF-PQ is deterministic under a fixed seed") {
+    val q = corpus.filter($"vec_id" === 0L)
+    def run() = SimSearch.ivfPqTopK(corpus, q, dim = 8, k = 3, nlist = 3,
+      nprobe = 3, m = 4, ksub = 4).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("adc_cos"))).toSeq
+    assert(run() == run())
+  }
+
   test("IVF candidate set is cell-bounded: nprobe=nlist degrades to exact") {
     val q = corpus.filter($"vec_id" === 3L)
     val exact = SimSearch.bruteForceTopK(corpus, q, 3).collect()
