@@ -49,6 +49,105 @@ object SimSearch {
       zip_with(v, array(normals.map(lit): _*), (x, n) => x * n),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Bounded, deterministic training sample for quantizer fitting: the
+    * `maxN` corpus vectors with the smallest xxhash64(vec_id). Order is a
+    * pure function of ids, so the sample is stable across partitionings;
+    * the plan is TakeOrderedAndProject (per-partition partial top-n, one
+    * scan, no shuffle of the full data) and the driver holds at most
+    * maxN × dim doubles regardless of corpus size — the FAISS-style
+    * train-on-a-sample discipline that keeps quantizer training O(1) in
+    * corpus scale.
+    */
+  private def trainSample(corpusV: DataFrame, maxN: Int): Array[Array[Double]] =
+    corpusV.orderBy(xxhash64(col("nbr_id")), col("nbr_id"))
+      .limit(maxN).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Driver-local Lloyd's k-means with seeded k-means++ init. Quantizer
+    * training runs on the bounded [[trainSample]] (≤ tens of thousands of
+    * small vectors), where local iteration is microseconds per pass —
+    * distributed KMeans here would spend 10 iterations × k fits of pure
+    * job-scheduling overhead on kilobytes of data. Deterministic under
+    * (points, k, seed); empty clusters keep their previous center.
+    */
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
+                                 iters: Int = 20,
+                                 seed: Long = 42L): Array[Array[Double]] = {
+    require(points.nonEmpty, "localKMeans: empty training sample")
+    val kk = math.min(k, points.length)
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val d = points(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center ∝ squared distance to nearest chosen
+    val centers = Array.ofDim[Array[Double]](kk)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < n) {
+        val dd = d2(points(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        i += 1
+      }
+      val total = minD.sum
+      val next =
+        if (total <= 0) rnd.nextInt(n) // degenerate: all points coincide
+        else {
+          var r = rnd.nextDouble() * total
+          var j = 0
+          while (j < n - 1 && r > minD(j)) { r -= minD(j); j += 1 }
+          j
+        }
+      centers(c) = points(next).clone()
+      c += 1
+    }
+    val assign = Array.fill(n)(-1)
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val dd = d2(points(i), centers(j))
+          if (dd < bd) { bd = dd; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(kk)(new Array[Double](d))
+        val cnts = new Array[Int](kk)
+        i = 0
+        while (i < n) {
+          val a = assign(i); cnts(a) += 1
+          var t = 0
+          while (t < d) { sums(a)(t) += points(i)(t); t += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (cnts(j) > 0) {
+            var t = 0
+            while (t < d) { centers(j)(t) = sums(j)(t) / cnts(j); t += 1 }
+          }
+          j += 1
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self-match).
     * `queries` and `corpus` both need (vec_id, embedding).
     */
@@ -95,29 +194,23 @@ object SimSearch {
     * recall/latency trade-off: data-adaptive cells vs data-oblivious
     * hyperplanes).
     *
-    * Spark shape: KMeans fit is MLlib's distributed Lloyd's; centroids
-    * (nlist × dim doubles — KBs) come back to the driver and ship as
-    * broadcast literals inside the assignment expressions, so cell
+    * Spark shape: the quantizer trains driver-locally on the bounded
+    * [[trainSample]] ([[localKMeans]]); centroids (nlist × dim doubles —
+    * KBs) ship as literals inside the assignment expressions, so cell
     * assignment is a codegen'd projection over the corpus — no join, no
     * shuffle. The candidate join keys on cell id, and only
     * |corpus|·nprobe/nlist rows reach the exact re-rank.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L)
-      : DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              trainMax: Int = 65536): DataFrame = {
     val corpusV = corpus.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("v"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features")
-    val model = km.fit(corpusV.select(
-      array_to_vector(col("v")).as("features")))
-    val centers = model.clusterCenters.map(_.toArray)
+    val centers = localKMeans(trainSample(corpusV, trainMax), nlist,
+      seed = seed)
 
     // squared L2 distance to each centroid as literal-array expressions;
-    // cell = argmin (first index on ties, matching KMeans.predict)
+    // cell = argmin (first index on ties)
     def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
       aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
@@ -156,8 +249,10 @@ object SimSearch {
     * per-subspace codebooks (Jégou et al. 2011).
     *
     * Spark shape, all codegen column expressions:
-    *   - train: one MLlib KMeans per subspace (m tiny fits) + the coarse
-    *     nlist quantizer; every codebook ships as plan literals;
+    *   - train: ONE bounded corpus sample ([[trainSample]]) feeds the
+    *     coarse quantizer and all m sub-quantizers via driver-local
+    *     [[localKMeans]] (sub-vectors are sliced locally) — no per-fit
+    *     Spark jobs; every codebook ships as plan literals;
     *   - encode: per subspace, argmin over literal sub-centroids → the
     *     code column (shuffle-free map over the corpus; at rest this is
     *     the m-byte column a deployment would store instead of the
@@ -171,11 +266,10 @@ object SimSearch {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
                 k: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
-                ksub: Int = 16, seed: Long = 42L): DataFrame = {
+                ksub: Int = 16, seed: Long = 42L,
+                trainMax: Int = 65536): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
     val corpusV = corpus.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("v"))
@@ -191,17 +285,13 @@ object SimSearch {
       (array_position(ds, array_min(ds)) - 1).cast("int")
     }
 
-    // coarse quantizer + one product sub-quantizer per subspace
-    def fitCenters(df: DataFrame, colName: String, kk: Int,
-                   s: Long): Array[Array[Double]] =
-      new KMeans().setK(kk).setSeed(s).setMaxIter(10)
-        .setFeaturesCol("features")
-        .fit(df.select(array_to_vector(col(colName)).as("features")))
-        .clusterCenters.map(_.toArray)
-    val coarse = fitCenters(corpusV, "v", nlist, seed)
+    // coarse quantizer + one product sub-quantizer per subspace, all
+    // trained locally on one bounded sample (sub-vectors sliced in-place)
+    val sample = trainSample(corpusV, trainMax)
+    val coarse = localKMeans(sample, nlist, seed = seed)
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      fitCenters(corpusV.withColumn("sub", subCol(col("v"), j)), "sub",
-        ksub, seed + 1 + j)
+      localKMeans(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub,
+        seed = seed + 1 + j)
     }
 
     // encode: cell + m codes + reconstruction norm (all from literals)

@@ -17,6 +17,18 @@ class SimSearchSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  test("localKMeans recovers separated cluster means; deterministic; k>n clamps") {
+    // two tight 1-D clusters around 0 and 10
+    val pts = Array(0.0, 0.1, -0.1, 10.0, 10.1, 9.9).map(Array(_))
+    val cs = SimSearch.localKMeans(pts, 2, seed = 7L).map(_(0)).sorted
+    assert(math.abs(cs(0) - 0.0) < 1e-9 && math.abs(cs(1) - 10.0) < 1e-9)
+    val again = SimSearch.localKMeans(pts, 2, seed = 7L).map(_(0)).sorted
+    assert(cs.sameElements(again))
+    // more centers than points: clamp, every center is a point mean
+    val clamped = SimSearch.localKMeans(Array(Array(1.0), Array(2.0)), 5)
+    assert(clamped.length == 2)
+  }
+
   test("brute force top-k ranks same-axis vectors first, excludes self") {
     val q = corpus.filter($"vec_id" === 0L)
     val got = SimSearch.bruteForceTopK(corpus, q, 3).collect()
