@@ -29,6 +29,47 @@ object SparkEntry {
 
   private val E = Tables.edgesSqlCte
 
+  /** q05's full oracle SQL — also the base relation of q55's unpivot. */
+  private lazy val featuresByWindowSql: String =
+    s"""WITH $E,
+       |${Windows.sqlCte(14, 7)},
+       |wnodes AS (SELECT wid, src AS account FROM wedges
+       |           UNION SELECT wid, dst FROM wedges),
+       |ins AS (
+       |  SELECT wid, dst AS account,
+       |    count(DISTINCT src) AS unique_in_degree,
+       |    count(*) AS multi_in_degree,
+       |    CAST(sum(weight) AS BIGINT) AS total_in_weight,
+       |    CAST(sum(weight) AS DOUBLE) / count(*) AS mean_in_weight,
+       |    quantile_cont(weight, 0.5) AS median_in_weight,
+       |    (CAST(sum(weight*weight) AS DOUBLE) - CAST(sum(weight) AS DOUBLE) * CAST(sum(weight) AS DOUBLE) / count(*)) / count(*) AS var_in_weight
+       |  FROM wedges GROUP BY 1, 2),
+       |outs AS (
+       |  SELECT wid, src AS account,
+       |    count(DISTINCT dst) AS unique_out_degree,
+       |    count(*) AS multi_out_degree,
+       |    CAST(sum(weight) AS BIGINT) AS total_out_weight,
+       |    CAST(sum(weight) AS DOUBLE) / count(*) AS mean_out_weight,
+       |    quantile_cont(weight, 0.5) AS median_out_weight,
+       |    (CAST(sum(weight*weight) AS DOUBLE) - CAST(sum(weight) AS DOUBLE) * CAST(sum(weight) AS DOUBLE) / count(*)) / count(*) AS var_out_weight
+       |  FROM wedges GROUP BY 1, 2)
+       |SELECT n.wid, n.account,
+       |  coalesce(unique_in_degree, 0) AS unique_in_degree,
+       |  coalesce(multi_in_degree, 0) AS multi_in_degree,
+       |  coalesce(unique_out_degree, 0) AS unique_out_degree,
+       |  coalesce(multi_out_degree, 0) AS multi_out_degree,
+       |  coalesce(total_in_weight, 0) AS total_in_weight,
+       |  coalesce(mean_in_weight, 0.0) AS mean_in_weight,
+       |  coalesce(median_in_weight, 0.0) AS median_in_weight,
+       |  coalesce(var_in_weight, 0.0) AS var_in_weight,
+       |  coalesce(total_out_weight, 0) AS total_out_weight,
+       |  coalesce(mean_out_weight, 0.0) AS mean_out_weight,
+       |  coalesce(median_out_weight, 0.0) AS median_out_weight,
+       |  coalesce(var_out_weight, 0.0) AS var_out_weight
+       |FROM wnodes n
+       |LEFT JOIN ins USING (wid, account)
+       |LEFT JOIN outs USING (wid, account)""".stripMargin
+
   // a deterministic ≤ ~300-node subgraph for the driver-side iterative
   // algorithms (MDL reorder); mining stays distributed on the full graph
   private def smallGraph(s: SparkSession, dir: String): DataFrame =
@@ -347,6 +388,82 @@ object SparkEntry {
         k = 10)
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("adc_cos"), 6).as("adc_cos"))
+    }),
+
+    // ───── oracle-checkable faces of the driver-side algo operators ─────
+    // A15 + M7: every MDL bit-cost term is a conditional count over the
+    // position-labeled edge list once the order is fixed (identity) and
+    // the blocks are literal position ranges; AaSmurfSpec ties this table
+    // to AaSmurf.computeMdl bit-for-bit
+    "q51_mdl_block_costs" -> ((s, dir) =>
+      AaSmurf.mdlBlockCosts(edges(s, dir), blockSize = 20, numBlocks = 2)
+        .select(col("blk"), col("ones_mid"), col("ones_below"),
+          col("ones_right"), col("ones_core"),
+          round(col("mdl_term"), 6).as("mdl_term"),
+          round(col("purity"), 6).as("purity"))),
+
+    // M8: symmetric permutation under a deterministic total order
+    // (out-degree desc, id asc) — the same permuteEdges the MDL reorder
+    // presents its result through, here with an oracle-computable ordering
+    "q52_permute_degree" -> ((s, dir) => {
+      val b = GraphOps.binaryEdges(edges(s, dir))
+      val outd = b.groupBy(col("src").as("id")).agg(count(lit(1)).as("outd"))
+      val pos = GraphOps.nodes(b).join(outd, Seq("id"), "left")
+        .withColumn("pos",
+          row_number().over(Window.orderBy(
+            coalesce(col("outd"), lit(0L)).desc, col("id").asc))
+            .cast("long") - 1)
+        .select(col("id"), col("pos"))
+      GraphOps.permuteEdges(b, pos)
+    }),
+
+    // P8 + A9 + A11: the sketch-sum pipeline shape with the
+    // engine-portable md5 coin and exact integer scores (see
+    // AaAr.sketchProjection's doc for why this variant is the oracle face)
+    "q53_sketch_projection" -> ((s, dir) =>
+      AaAr.sketchProjection(
+        Windows.withWindowId(edges(s, dir), 14, 7)
+          .groupBy(col("wid"), col("dst").as("account"))
+          .agg(sum(col("weight")).as("s")),
+        sketchNum = 64, keepPpm = 20000L)),
+
+    // §2.6: the model-selection ordered scan (10%-of-final rule with the
+    // python -1 wrap) over a deterministic series — per-window edge
+    // counts stand in for the MDL trace; the scan is the SAME
+    // AaSmurf.selectIteration the greedy uses
+    "q54_model_select" -> ((s, dir) => {
+      import s.implicits._
+      val series = Windows.withWindowId(edges(s, dir), 14, 7)
+        .groupBy(col("wid")).agg(count(lit(1)).as("v"))
+        .orderBy(col("wid"))
+        .as[(Long, Long)].collect()
+      val idx = AaSmurf.selectIteration(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          series.map(_._2.toDouble)))
+      Seq((series(idx)._1, idx.toLong, series(idx)._2))
+        .toDF("wid", "sel_idx", "sel_value")
+    }),
+
+    // P6: the pairwise both-non-zero filter counted per (window, feature
+    // pair) — the focus stage's candidate mask, isolated from the
+    // (intrinsically random) forest that consumes it
+    "q55_pair_nonzero" -> ((s, dir) => {
+      val fcols = Features.featureCols
+      val melted = sharedFeats14(s, dir).select(col("wid"), col("account"),
+          explode(array(fcols.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("fidx"), col(c).cast("double").as("v"))
+          }: _*)).as("fv"))
+        .select(col("wid"), col("account"), col("fv.fidx").as("fidx"),
+          col("fv.v").as("v"))
+        .filter(col("v") =!= 0.0)
+      melted.as("a").join(melted.as("b"),
+          col("a.wid") === col("b.wid") &&
+            col("a.account") === col("b.account") &&
+            col("a.fidx") < col("b.fidx"))
+        .select(col("a.wid").as("wid"), col("a.fidx").as("f1"),
+          col("b.fidx").as("f2"))
+        .groupBy(col("wid"), col("f1"), col("f2"))
+        .agg(count(lit(1)).as("cnt"))
     }),
 
     // ───── multimodal plumbing (extension surface) ─────
@@ -721,46 +838,7 @@ object SparkEntry {
          |LEFT JOIN outs USING (account)""".stripMargin
     },
 
-    "q05_features_by_window" -> {
-      s"""WITH $E,
-         |${Windows.sqlCte(14, 7)},
-         |wnodes AS (SELECT wid, src AS account FROM wedges
-         |           UNION SELECT wid, dst FROM wedges),
-         |ins AS (
-         |  SELECT wid, dst AS account,
-         |    count(DISTINCT src) AS unique_in_degree,
-         |    count(*) AS multi_in_degree,
-         |    CAST(sum(weight) AS BIGINT) AS total_in_weight,
-         |    CAST(sum(weight) AS DOUBLE) / count(*) AS mean_in_weight,
-         |    quantile_cont(weight, 0.5) AS median_in_weight,
-         |    (CAST(sum(weight*weight) AS DOUBLE) - CAST(sum(weight) AS DOUBLE) * CAST(sum(weight) AS DOUBLE) / count(*)) / count(*) AS var_in_weight
-         |  FROM wedges GROUP BY 1, 2),
-         |outs AS (
-         |  SELECT wid, src AS account,
-         |    count(DISTINCT dst) AS unique_out_degree,
-         |    count(*) AS multi_out_degree,
-         |    CAST(sum(weight) AS BIGINT) AS total_out_weight,
-         |    CAST(sum(weight) AS DOUBLE) / count(*) AS mean_out_weight,
-         |    quantile_cont(weight, 0.5) AS median_out_weight,
-         |    (CAST(sum(weight*weight) AS DOUBLE) - CAST(sum(weight) AS DOUBLE) * CAST(sum(weight) AS DOUBLE) / count(*)) / count(*) AS var_out_weight
-         |  FROM wedges GROUP BY 1, 2)
-         |SELECT n.wid, n.account,
-         |  coalesce(unique_in_degree, 0) AS unique_in_degree,
-         |  coalesce(multi_in_degree, 0) AS multi_in_degree,
-         |  coalesce(unique_out_degree, 0) AS unique_out_degree,
-         |  coalesce(multi_out_degree, 0) AS multi_out_degree,
-         |  coalesce(total_in_weight, 0) AS total_in_weight,
-         |  coalesce(mean_in_weight, 0.0) AS mean_in_weight,
-         |  coalesce(median_in_weight, 0.0) AS median_in_weight,
-         |  coalesce(var_in_weight, 0.0) AS var_in_weight,
-         |  coalesce(total_out_weight, 0) AS total_out_weight,
-         |  coalesce(mean_out_weight, 0.0) AS mean_out_weight,
-         |  coalesce(median_out_weight, 0.0) AS median_out_weight,
-         |  coalesce(var_out_weight, 0.0) AS var_out_weight
-         |FROM wnodes n
-         |LEFT JOIN ins USING (wid, account)
-         |LEFT JOIN outs USING (wid, account)""".stripMargin
-    },
+    "q05_features_by_window" -> featuresByWindowSql,
 
     "q06_window_assign" ->
       s"""WITH $E,
@@ -1126,6 +1204,128 @@ object SparkEntry {
     "q42_event_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n, round(avg(value), 6) AS avg_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // MDL block bit costs under the identity order: positions via
+    // dense rank, each region count a FILTERed count over the
+    // position-labeled edges, bit weights as ceiling(log2 ·) exactly as
+    // AaSmurf.computeMdl (blockSize 20, 2 pattern blocks + D)
+    "q51_mdl_block_costs" -> {
+      val b = 20
+      val blockSelects = (0 until 2).map { blk =>
+        val s0 = blk * b
+        val e = s0 + b - 1
+        s"""SELECT $blk AS blk,
+           |  CAST(count(*) FILTER (WHERE pi >= ${s0 + 1} AND pi < $e AND pj >= $s0 AND pj < ${e - 1}) AS BIGINT) AS ones_mid,
+           |  CAST(count(*) FILTER (WHERE pi >= ${e + 1} AND pi < n - 1 AND pj >= $s0 AND pj < $e) AS BIGINT) AS ones_below,
+           |  CAST(count(*) FILTER (WHERE pi >= $s0 AND pi < $e AND pj >= ${e + 1} AND pj < n - 1) AS BIGINT) AS ones_right,
+           |  CAST(count(*) FILTER (WHERE pi >= $s0 AND pi < $e AND pj >= $s0 AND pj < $e) AS BIGINT) AS ones_core,
+           |  2 * ceiling(log2($b - 1.0)) AS e1_bits,
+           |  ceiling(log2(CAST(n AS DOUBLE))) + ceiling(log2(CAST(n AS DOUBLE) - $b)) AS x_bits,
+           |  n FROM pe CROSS JOIN nn GROUP BY n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val dStart = 2 * b
+      s"""WITH $E,
+         |b AS (SELECT DISTINCT src, dst FROM edges),
+         |nodes AS (SELECT src AS id FROM b UNION SELECT dst FROM b),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pos AS (SELECT id,
+         |          CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS pos
+         |        FROM nodes),
+         |pe AS (SELECT ps.pos AS pi, pd.pos AS pj
+         |       FROM b JOIN pos ps ON ps.id = b.src
+         |              JOIN pos pd ON pd.id = b.dst),
+         |blkc AS (
+         |$blockSelects
+         |),
+         |dc AS (SELECT
+         |  CAST(count(*) FILTER (WHERE pi >= $dStart AND pi < n - 1 AND pj >= $dStart AND pj < n - 1) AS BIGINT) AS ones_core,
+         |  n FROM pe CROSS JOIN nn GROUP BY n)
+         |SELECT blk, ones_mid, ones_below, ones_right, ones_core,
+         |  round(ones_mid * e1_bits + (ones_below + ones_right) * x_bits, 6)
+         |    AS mdl_term,
+         |  round(CASE WHEN (ones_core + ones_below + ones_right) = 0 THEN 0.0
+         |    ELSE ($b - 2.0) * 2.0 / (ones_core + ones_below + ones_right)
+         |    END, 6) AS purity
+         |FROM blkc
+         |UNION ALL
+         |SELECT 2 AS blk, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT), ones_core,
+         |  round((CAST(n - 1 - $dStart AS DOUBLE) * (n - 1 - $dStart)
+         |      - ones_core) * (2 * ceiling(log2(CAST(n AS DOUBLE)))), 6),
+         |  CAST(NULL AS DOUBLE)
+         |FROM dc""".stripMargin
+    },
+
+    // symmetric permutation: the same (out-degree desc, id asc) dense
+    // rank, applied to both endpoints
+    "q52_permute_degree" ->
+      s"""WITH $E,
+         |b AS (SELECT DISTINCT src, dst FROM edges),
+         |nodes AS (SELECT src AS id FROM b UNION SELECT dst FROM b),
+         |od AS (SELECT src AS id, count(*) AS outd FROM b GROUP BY 1),
+         |pos AS (SELECT n.id,
+         |          CAST(row_number() OVER (ORDER BY coalesce(od.outd, 0)
+         |            DESC, n.id ASC) AS BIGINT) - 1 AS pos
+         |        FROM nodes n LEFT JOIN od USING (id))
+         |SELECT b.src, b.dst, ps.pos AS src_pos, pd.pos AS dst_pos
+         |FROM b JOIN pos ps ON ps.id = b.src
+         |       JOIN pos pd ON pd.id = b.dst""".stripMargin,
+
+    // sketch projection: md5 hex-prefix coin (15 digits < 2^63), exact
+    // BIGINT sums, densified over every (wid × ski) slot
+    "q53_sketch_projection" ->
+      s"""WITH $E,
+         |${Windows.sqlCte(14, 7)},
+         |sc AS (SELECT wid, dst AS account, CAST(sum(weight) AS BIGINT) AS s
+         |       FROM wedges GROUP BY 1, 2),
+         |ski AS (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS ski),
+         |sel AS (SELECT k.ski, a.account
+         |        FROM (SELECT DISTINCT account FROM sc) a CROSS JOIN ski k
+         |        WHERE CAST(('0x' || substr(md5(a.account || '|' || k.ski
+         |            || '|gsk'), 1, 15)) AS BIGINT) % 1000000 < 20000),
+         |sums AS (SELECT sc.wid, sel.ski, CAST(sum(sc.s) AS BIGINT) AS v
+         |         FROM sc JOIN sel USING (account) GROUP BY 1, 2)
+         |SELECT sl.wid, sl.ski, coalesce(v, CAST(0 AS BIGINT)) AS value
+         |FROM (SELECT w.wid, k.ski
+         |      FROM (SELECT DISTINCT wid FROM sc) w CROSS JOIN ski k) sl
+         |LEFT JOIN sums ON sums.wid = sl.wid AND sums.ski = sl.ski""".stripMargin,
+
+    // model-selection scan: first index strictly under 1.1 × final,
+    // minus one, wrapping to the last index (python idx-1 = -1)
+    "q54_model_select" ->
+      s"""WITH $E,
+         |${Windows.sqlCte(14, 7)},
+         |series AS (SELECT wid, count(*) AS v FROM wedges GROUP BY wid),
+         |idx AS (SELECT wid, v,
+         |          CAST(row_number() OVER (ORDER BY wid) AS BIGINT) - 1 AS rn
+         |        FROM series),
+         |fin AS (SELECT v AS fv FROM idx ORDER BY rn DESC LIMIT 1),
+         |fst AS (SELECT coalesce(min(rn), CAST(-1 AS BIGINT)) AS fi
+         |        FROM idx, fin WHERE idx.v < 1.1 * fin.fv),
+         |sel AS (SELECT CASE WHEN fi - 1 < 0 THEN (SELECT max(rn) FROM idx)
+         |          ELSE fi - 1 END AS si FROM fst)
+         |SELECT i.wid, i.rn AS sel_idx, i.v AS sel_value
+         |FROM idx i JOIN sel ON i.rn = sel.si""".stripMargin,
+
+    // P6 mirror: unpivot the q05 features to (wid, account, fidx, v),
+    // drop zeros, pair via a fidx1 < fidx2 self-join; the generated melt
+    // preserves Features.featureCols order
+    "q55_pair_nonzero" -> {
+      val melt = Features.featureCols.zipWithIndex.map { case (c, i) =>
+        s"SELECT wid, account, $i AS fidx, CAST($c AS DOUBLE) AS v FROM f"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f AS (
+         |$featuresByWindowSql
+         |),
+         |m AS (
+         |$melt
+         |),
+         |mz AS (SELECT * FROM m WHERE v <> 0)
+         |SELECT a.wid, a.fidx AS f1, b.fidx AS f2, count(*) AS cnt
+         |FROM mz a JOIN mz b
+         |  ON a.wid = b.wid AND a.account = b.account AND a.fidx < b.fidx
+         |GROUP BY 1, 2, 3""".stripMargin
+    }
   )
 }

@@ -154,6 +154,43 @@ object AaAr {
     picked.toSeq
   }
 
+  /** The sketch-sum surface (P8 coin + A9 keyed accumulation + A11
+    * projection sums + densify) as an oracle-checkable query: per sketch
+    * `ski`, keep the accounts whose deterministic coin lands below
+    * `keepPpm`/10⁶ and emit Σ of an integer per-(wid, account) score over
+    * the kept accounts, densified to every (wid × ski) slot.
+    *
+    * Differences from the production [[sketches]] stage, both deliberate:
+    * the coin is the md5 hex-prefix halve (engine-portable — any SQL
+    * engine reproduces the selection bit-for-bit; the production path
+    * keeps the faster Spark-native xxhash64), and the scores are BIGINT so
+    * the keyed sums are exact under any aggregation order — this is the
+    * same pipeline SHAPE with the two sources of engine-dependence
+    * removed, which is what lets the driver's DuckDB oracle hash-confirm
+    * the operator.
+    *
+    * `scores` needs (wid, account, s BIGINT).
+    */
+  def sketchProjection(scores: DataFrame, sketchNum: Int = 64,
+                       keepPpm: Long = 20000L,
+                       seed: String = "gsk"): DataFrame = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    val skis = broadcast((0 until sketchNum).toDF("ski"))
+    val coin = conv(substring(md5(concat_ws("|", col("account"), col("ski"),
+      lit(seed))), 1, 15), 16, 10).cast("bigint") % 1000000L
+    val sel = scores.select(col("account")).distinct()
+      .crossJoin(skis).filter(coin < keepPpm)
+      .select(col("ski"), col("account"))
+    val sums = scores.join(broadcast(sel), "account")
+      .groupBy(col("wid"), col("ski"))
+      .agg(sum(col("s")).as("v"))
+    scores.select(col("wid")).distinct().crossJoin(skis)
+      .join(sums, Seq("wid", "ski"), "left")
+      .select(col("wid"), col("ski"),
+        coalesce(col("v"), lit(0L)).as("value"))
+  }
+
   /** Full sketching stage: returns (wid, ski, value) sketch table. */
   def sketches(focus: DataFrame, sketchNum: Int = 256, numDst: Int = 3,
                sRate: Double = 0.995, dRate: Double = 0.8,

@@ -162,6 +162,87 @@ object AaSmurf {
     MdlResult(mdl, pu)
   }
 
+  /** Model selection (§2.6, `AA-Smurf.py:162`): the iteration BEFORE the
+    * first whose value is strictly within 10% of the final; python's
+    * `idx - 1 = -1` wraps to the LAST element (faithful quirk). Shared by
+    * [[greedyOrder]] and the q54 oracle query.
+    */
+  def selectIteration(trace: IndexedSeq[Double]): Int = {
+    val fin = trace.last
+    val firstIdx = trace.indexWhere(_ < fin * 1.1)
+    if (firstIdx - 1 < 0) trace.length - 1 else firstIdx - 1
+  }
+
+  /** The MDL bit-cost block sums (A15) + purity (M7) as a DISTRIBUTED
+    * conditional aggregation — the oracle-checkable face of [[computeMdl]]:
+    * with the identity order (nodes dense-ranked ascending, numpy.unique's
+    * order) and fixed pattern blocks of `blockSize` at positions
+    * [b·B, (b+1)·B), every term of the description length is a conditional
+    * count over the position-labeled edge list. AaSmurfSpec cross-checks
+    * this table against `computeMdl` on the same matrix bit-for-bit.
+    *
+    * Output: one row per pattern block (blk = 0..numBlocks−1) with the
+    * three cross-count regions, the core count, the block's MDL bit term
+    * and its purity, plus the D-block row (blk = numBlocks, zeros encoded,
+    * last row/col excluded — the reference's quirk) with purity NULL.
+    *
+    * Scale shape: one global dense-rank of the (small) node set, two
+    * broadcast joins to position-label edges, one aggregation pass per
+    * block over the edge list — no shuffle of the edge table beyond the
+    * position lookups.
+    */
+  def mdlBlockCosts(edgesDf: DataFrame, blockSize: Int = 20,
+                    numBlocks: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bin = graft.ops.GraphOps.binaryEdges(edgesDf)
+    val nodes = graft.ops.GraphOps.nodes(bin)
+    val n = nodes.count()
+    require(n > (numBlocks.toLong * blockSize) + 1,
+      s"mdlBlockCosts: n=$n too small for $numBlocks blocks of $blockSize")
+    val pos = broadcast(nodes.withColumn("pos",
+      row_number().over(Window.orderBy(col("id"))).cast("long") - 1))
+    val pe = bin
+      .join(pos.select(col("id").as("src"), col("pos").as("pi")), "src")
+      .join(pos.select(col("id").as("dst"), col("pos").as("pj")), "dst")
+      .select(col("pi"), col("pj"))
+
+    def cnt(r0: Long, r1: Long, c0: Long, c1: Long) =
+      sum(when(col("pi") >= r0 && col("pi") < r1 &&
+        col("pj") >= c0 && col("pj") < c1, 1L).otherwise(0L))
+
+    val blocks = (0 until numBlocks).map { blk =>
+      val s = blk.toLong * blockSize
+      val e = s + blockSize - 1 // inclusive block end, as computeMdl's
+      val k = blockSize.toDouble
+      val e1Bits = 2.0 * math.ceil(math.log(k - 1.0) / math.log(2.0))
+      val bits = math.ceil(math.log(n.toDouble) / math.log(2.0)) +
+        math.ceil(math.log(n.toDouble - k) / math.log(2.0))
+      pe.agg(
+          cnt(s + 1, e, s, e - 1).as("ones_mid"),
+          cnt(e + 1, n - 1, s, e).as("ones_below"),
+          cnt(s, e, e + 1, n - 1).as("ones_right"),
+          cnt(s, e, s, e).as("ones_core"))
+        .select(lit(blk).as("blk"), col("ones_mid"), col("ones_below"),
+          col("ones_right"), col("ones_core"),
+          (col("ones_mid") * e1Bits +
+            (col("ones_below") + col("ones_right")) * bits).as("mdl_term"),
+          // computeMdl maps an empty block to purity 0.0, not null
+          coalesce(try_divide(lit((k - 2.0) * 2.0),
+            col("ones_core") + col("ones_below") + col("ones_right")),
+            lit(0.0)).as("purity"))
+    }
+    val dStart = numBlocks.toLong * blockSize
+    val dDim = (n - 1 - dStart).max(0L)
+    val nBits = 2.0 * math.ceil(math.log(n.toDouble) / math.log(2.0))
+    val dRow = pe.agg(cnt(dStart, n - 1, dStart, n - 1).as("ones_core"))
+      .select(lit(numBlocks).as("blk"), lit(0L).as("ones_mid"),
+        lit(0L).as("ones_below"), lit(0L).as("ones_right"),
+        col("ones_core"),
+        ((lit(dDim * dDim) - col("ones_core")) * nBits).as("mdl_term"),
+        lit(null).cast("double").as("purity"))
+    blocks.reduce(_.union(_)).union(dRow)
+  }
+
   final case class Candidate(i: Int, j: Int, cnt: Long, mids: Array[Int])
 
   final case class SmurfModel(
@@ -245,10 +326,7 @@ object AaSmurf {
     }
 
     // model selection: iteration BEFORE the first within 10% of final MDL
-    // (AA-Smurf.py:162); python's idx-1 = -1 wraps to the last element.
-    val finalMdl = mdlTrace.last
-    val firstIdx = mdlTrace.indexWhere(_ < finalMdl * 1.1)
-    val selIdx = if (firstIdx - 1 < 0) mdlTrace.length - 1 else firstIdx - 1
+    val selIdx = selectIteration(mdlTrace.toIndexedSeq)
     val selOrder = orderTrace(selIdx)
     val selStart = startTrace(selIdx)
     val inSel = selOrder.toSet

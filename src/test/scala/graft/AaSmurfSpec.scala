@@ -80,6 +80,48 @@ class AaSmurfSpec extends SparkSpec {
     assert(model.iterations == ref.iterations)
   }
 
+  test("selectIteration: 10%-of-final rule with the python -1 wrap") {
+    // first value within 10% of final (=10.0, threshold <11.0) is idx 2 →
+    // select idx 1
+    assert(AaSmurf.selectIteration(IndexedSeq(100.0, 50.0, 10.5, 10.0)) == 1)
+    // idx 0 already within 10% → 0-1 = -1 wraps to LAST
+    assert(AaSmurf.selectIteration(IndexedSeq(10.5, 10.2, 10.0)) == 2)
+    // no index strictly below the threshold (final = 0) → wrap to last
+    assert(AaSmurf.selectIteration(IndexedSeq(5.0, 0.0)) == 1)
+  }
+
+  test("mdlBlockCosts matches computeMdl bit-for-bit under identity order") {
+    val n = 50
+    val blockSize = 5
+    val edges = (for {
+      i <- 0 until n; j <- 0 until n
+      if i != j && (i * 31 + j * 17) % 23 < 3
+    } yield (i.toLong, j.toLong, 1L, 0L)).toDF("src", "dst", "weight", "ts")
+
+    val table = AaSmurf.mdlBlockCosts(edges, blockSize, numBlocks = 2)
+      .collect().map(r => r.getAs[Int]("blk") -> r).toMap
+    assert(table.size == 3)
+
+    val adj = new Adj(n)
+    edges.select($"src", $"dst").as[(Long, Long)].collect()
+      .foreach { case (s, d) => adj.add(s.toInt, d.toInt) }
+    val start = Array(0, blockSize, 2 * blockSize)
+    val count = Array(2, 2 * (blockSize - 2), 2)
+    val ref = AaSmurf.computeMdl(adj, (0 until n).toArray, start, count)
+
+    // per-block terms + the header terms reconstruct the full MDL exactly
+    val headers = math.ceil(AaSmurf.logStar(count(0).toDouble)) +
+      math.ceil(AaSmurf.logStar(count(1).toDouble)) +
+      count.map(_.toLong).sum *
+        math.ceil(math.log(n.toDouble) / math.log(2.0)) +
+      math.ceil(AaSmurf.logStar((start.length - 1).toDouble))
+    val total = table.values.map(_.getAs[Double]("mdl_term")).sum + headers
+    assert(total == ref.mdl)
+    val purities = Seq(0, 1).map(table(_).getAs[Double]("purity"))
+    assert(purities.sum / purities.length == ref.purity)
+    assert(table(2).isNullAt(table(2).fieldIndex("purity")))
+  }
+
   test("end-to-end run recovers the planted star from an edge DataFrame") {
     val edges = Seq(
       (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
