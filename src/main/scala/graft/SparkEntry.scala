@@ -145,6 +145,36 @@ object SparkEntry {
         .select(col("i"), col("j"), col("mid"))
     }
 
+  /** q53's oracle SQL — also the base CTE of q56's trailing frame. */
+  private lazy val sketchProjectionSql: String =
+    s"""WITH $E,
+       |${Windows.sqlCte(14, 7)},
+       |sc AS (SELECT wid, dst AS account, CAST(sum(weight) AS BIGINT) AS s
+       |       FROM wedges GROUP BY 1, 2),
+       |ski AS (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS ski),
+       |sel AS (SELECT k.ski, a.account
+       |        FROM (SELECT DISTINCT account FROM sc) a CROSS JOIN ski k
+       |        WHERE CAST(('0x' || substr(md5(a.account || '|' || k.ski
+       |            || '|gsk'), 1, 15)) AS BIGINT) % 1000000 < 20000),
+       |sums AS (SELECT sc.wid, sel.ski, CAST(sum(sc.s) AS BIGINT) AS v
+       |         FROM sc JOIN sel USING (account) GROUP BY 1, 2)
+       |SELECT sl.wid, sl.ski, coalesce(v, CAST(0 AS BIGINT)) AS value
+       |FROM (SELECT w.wid, k.ski
+       |      FROM (SELECT DISTINCT wid FROM sc) w CROSS JOIN ski k) sl
+       |LEFT JOIN sums ON sums.wid = sl.wid AND sums.ski = sl.ski""".stripMargin
+
+  /** Deterministic (md5-coin, integer-score) sketch projection, shared by
+    * q53 + its trailing-frame consumer q56.
+    */
+  private def sharedSketchProj(s: SparkSession, dir: String): DataFrame =
+    memoized(s"sketchproj:$dir") {
+      AaAr.sketchProjection(
+        Windows.withWindowId(edges(s, dir), 14, 7)
+          .groupBy(col("wid"), col("dst").as("account"))
+          .agg(sum(col("weight")).as("s")),
+        sketchNum = 64, keepPpm = 20000L)
+    }
+
   /** Flagship: the full AA-AR change-score pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     AaAr.run(edges(spark, "/root/testdata/sf0.001"),
@@ -420,12 +450,54 @@ object SparkEntry {
     // P8 + A9 + A11: the sketch-sum pipeline shape with the
     // engine-portable md5 coin and exact integer scores (see
     // AaAr.sketchProjection's doc for why this variant is the oracle face)
-    "q53_sketch_projection" -> ((s, dir) =>
-      AaAr.sketchProjection(
-        Windows.withWindowId(edges(s, dir), 14, 7)
-          .groupBy(col("wid"), col("dst").as("account"))
-          .agg(sum(col("weight")).as("s")),
-        sketchNum = 64, keepPpm = 20000L)),
+    "q53_sketch_projection" -> ((s, dir) => sharedSketchProj(s, dir)),
+
+    // W2 + A10: the change-score stage's trailing frame
+    // (rowsBetween(-backWs, -2), changeScores) as its own checkable
+    // aggregation — per-ski trailing sums over the densified sketch
+    // table (dense wids make row offsets ≡ window offsets)
+    "q56_trailing_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ski")).orderBy(col("wid"))
+        .rowsBetween(-4, -2)
+      sharedSketchProj(s, dir)
+        .select(col("wid"), col("ski"),
+          coalesce(sum(col("value")).over(w), lit(0L)).as("frame_sum"))
+    }),
+
+    // M5 + A12: the greedy column-utility pick run by the REAL per-sketch
+    // cogroup + AaAr.greedyPick, on a deterministic integer-score cell
+    // matrix (account × day-of-week weight sums) with md5-coin
+    // candidate/account selection — the numDst=3 steps unroll exactly in
+    // the oracle SQL (each step = one argmax with the same
+    // strictly-greater/first-candidate tie rule)
+    "q57_greedy_pick" -> ((s, dir) => {
+      import s.implicits._
+      val g = edges(s, dir)
+        .groupBy(col("src").as("account"),
+          (col("ts") % 7).cast("int").as("pid"))
+        .agg(sum(col("weight")).cast("double").as("s"))
+      def coin(c1: Column, seed: String) =
+        conv(substring(md5(concat_ws("|", c1, col("ski"), lit(seed))),
+          1, 15), 16, 10).cast("bigint") % 1000000L
+      val skis = broadcast((0 until 64).toDF("ski"))
+      val asel = g.select(col("account")).distinct().crossJoin(skis)
+        .filter(coin(col("account"), "gpk-a") < 20000L)
+        .select(col("ski"), col("account"))
+      val csel = g.select(col("pid")).distinct().crossJoin(skis)
+        .filter(coin(col("pid"), "gpk-p") < 500000L)
+        .select(col("ski"), col("pid"))
+      val cells = g.join(asel, "account").join(csel, Seq("ski", "pid"))
+        .select(col("ski"), col("account"), col("pid"), col("s"))
+        .as[(Int, Long, Int, Double)]
+      csel.select(col("ski"), col("pid")).as[(Int, Int)].groupByKey(_._1)
+        .cogroup(cells.groupByKey(_._1)) { (ski, cs, rs) =>
+          val cand = cs.map(_._2).toArray.sorted
+          val cellArr = rs.map(r => (r._2, r._3, r._4)).toArray
+          AaAr.greedyPick(cand, cellArr, numDst = 3).iterator.zipWithIndex
+            .map { case (p, i) => (ski, i, p) }
+        }
+        .toDF("ski", "step", "pid")
+    }),
 
     // §2.6: the model-selection ordered scan (10%-of-final rule with the
     // python -1 wrap) over a deterministic series — per-window edge
@@ -1274,22 +1346,88 @@ object SparkEntry {
 
     // sketch projection: md5 hex-prefix coin (15 digits < 2^63), exact
     // BIGINT sums, densified over every (wid × ski) slot
-    "q53_sketch_projection" ->
+    "q53_sketch_projection" -> sketchProjectionSql,
+
+    // trailing frame over the sketch projection: the changeScores frame
+    // spec (ROWS BETWEEN backWs PRECEDING AND 2 PRECEDING) per ski
+    // (plain concatenation: an outer stripMargin would re-strip the
+    // embedded SQL's `||`-continuation lines down to a bitwise `|`)
+    "q56_trailing_frame" ->
+      ("WITH sk AS (\n" + sketchProjectionSql + "\n)\n" +
+        """SELECT wid, ski,
+          |  CAST(coalesce(sum(value) OVER (PARTITION BY ski ORDER BY wid
+          |    ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING), 0) AS BIGINT)
+          |    AS frame_sum
+          |FROM sk""".stripMargin),
+
+    // greedy pick unrolled: step k = argmax over remaining candidates of
+    // Σ_accounts greatest(scores of picked ∪ {candidate}, 0-filled),
+    // strictly-positive utility required, ties to the smallest pid —
+    // exactly AaAr.greedyPick's loop
+    "q57_greedy_pick" ->
       s"""WITH $E,
-         |${Windows.sqlCte(14, 7)},
-         |sc AS (SELECT wid, dst AS account, CAST(sum(weight) AS BIGINT) AS s
-         |       FROM wedges GROUP BY 1, 2),
+         |sc AS (SELECT src AS account, CAST(ts % 7 AS INTEGER) AS pid,
+         |              CAST(sum(weight) AS DOUBLE) AS s
+         |       FROM edges GROUP BY 1, 2),
          |ski AS (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS ski),
-         |sel AS (SELECT k.ski, a.account
-         |        FROM (SELECT DISTINCT account FROM sc) a CROSS JOIN ski k
-         |        WHERE CAST(('0x' || substr(md5(a.account || '|' || k.ski
-         |            || '|gsk'), 1, 15)) AS BIGINT) % 1000000 < 20000),
-         |sums AS (SELECT sc.wid, sel.ski, CAST(sum(sc.s) AS BIGINT) AS v
-         |         FROM sc JOIN sel USING (account) GROUP BY 1, 2)
-         |SELECT sl.wid, sl.ski, coalesce(v, CAST(0 AS BIGINT)) AS value
-         |FROM (SELECT w.wid, k.ski
-         |      FROM (SELECT DISTINCT wid FROM sc) w CROSS JOIN ski k) sl
-         |LEFT JOIN sums ON sums.wid = sl.wid AND sums.ski = sl.ski""".stripMargin,
+         |asel AS (SELECT k.ski, a.account
+         |         FROM (SELECT DISTINCT account FROM sc) a CROSS JOIN ski k
+         |         WHERE CAST(('0x' || substr(md5(a.account || '|' || k.ski
+         |             || '|gpk-a'), 1, 15)) AS BIGINT) % 1000000 < 20000),
+         |csel AS (SELECT k.ski, p.pid
+         |         FROM (SELECT DISTINCT pid FROM sc) p CROSS JOIN ski k
+         |         WHERE CAST(('0x' || substr(md5(p.pid || '|' || k.ski
+         |             || '|gpk-p'), 1, 15)) AS BIGINT) % 1000000 < 500000),
+         |cells AS (SELECT a.ski, sc.account, sc.pid, sc.s
+         |          FROM sc JOIN asel a ON a.account = sc.account
+         |                  JOIN csel c ON c.ski = a.ski AND c.pid = sc.pid),
+         |accts AS (SELECT DISTINCT ski, account FROM cells),
+         |u1 AS (SELECT ski, pid, sum(s) AS util FROM cells GROUP BY 1, 2),
+         |p1 AS (SELECT ski, pid FROM (
+         |         SELECT ski, pid, row_number() OVER (PARTITION BY ski
+         |           ORDER BY util DESC, pid ASC) AS rn
+         |         FROM u1 WHERE util > 0) WHERE rn = 1),
+         |s1 AS (SELECT c.ski, c.account, c.s FROM cells c
+         |       JOIN p1 ON p1.ski = c.ski AND p1.pid = c.pid),
+         |r2 AS (SELECT cs.ski, cs.pid FROM csel cs
+         |       LEFT JOIN p1 ON p1.ski = cs.ski AND p1.pid = cs.pid
+         |       WHERE p1.pid IS NULL),
+         |u2 AS (SELECT d.ski, d.pid,
+         |         sum(greatest(coalesce(s1.s, 0), coalesce(c.s, 0))) AS util
+         |       FROM r2 d
+         |       JOIN accts a ON a.ski = d.ski
+         |       LEFT JOIN s1 ON s1.ski = a.ski AND s1.account = a.account
+         |       LEFT JOIN cells c ON c.ski = a.ski
+         |            AND c.account = a.account AND c.pid = d.pid
+         |       GROUP BY 1, 2),
+         |p2 AS (SELECT ski, pid FROM (
+         |         SELECT ski, pid, row_number() OVER (PARTITION BY ski
+         |           ORDER BY util DESC, pid ASC) AS rn
+         |         FROM u2 WHERE util > 0) WHERE rn = 1),
+         |s2 AS (SELECT c.ski, c.account, c.s FROM cells c
+         |       JOIN p2 ON p2.ski = c.ski AND p2.pid = c.pid),
+         |m12 AS (SELECT a.ski, a.account,
+         |          greatest(coalesce(s1.s, 0), coalesce(s2.s, 0)) AS s
+         |        FROM accts a
+         |        LEFT JOIN s1 ON s1.ski = a.ski AND s1.account = a.account
+         |        LEFT JOIN s2 ON s2.ski = a.ski AND s2.account = a.account),
+         |r3 AS (SELECT r2.ski, r2.pid FROM r2
+         |       LEFT JOIN p2 ON p2.ski = r2.ski AND p2.pid = r2.pid
+         |       WHERE p2.pid IS NULL),
+         |u3 AS (SELECT d.ski, d.pid,
+         |         sum(greatest(m12.s, coalesce(c.s, 0))) AS util
+         |       FROM r3 d
+         |       JOIN m12 ON m12.ski = d.ski
+         |       LEFT JOIN cells c ON c.ski = d.ski
+         |            AND c.account = m12.account AND c.pid = d.pid
+         |       GROUP BY 1, 2),
+         |p3 AS (SELECT ski, pid FROM (
+         |         SELECT ski, pid, row_number() OVER (PARTITION BY ski
+         |           ORDER BY util DESC, pid ASC) AS rn
+         |         FROM u3 WHERE util > 0) WHERE rn = 1)
+         |SELECT ski, 0 AS step, pid FROM p1
+         |UNION ALL SELECT ski, 1 AS step, pid FROM p2
+         |UNION ALL SELECT ski, 2 AS step, pid FROM p3""".stripMargin,
 
     // model-selection scan: first index strictly under 1.1 × final,
     // minus one, wrapping to the last index (python idx-1 = -1)

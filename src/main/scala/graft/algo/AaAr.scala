@@ -122,7 +122,7 @@ object AaAr {
     * tie-break it feeds) is deterministic under any partitioning / Scala
     * Map iteration order.
     */
-  private[algo] def greedyPick(candSorted: Array[Int],
+  private[graft] def greedyPick(candSorted: Array[Int],
                                cells: Array[(Long, Int, Double)],
                                numDst: Int): Seq[Int] = {
     // account -> (pair -> s), accounts ascending
