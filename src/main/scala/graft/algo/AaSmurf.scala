@@ -194,7 +194,10 @@ object AaSmurf {
   def mdlBlockCosts(edgesDf: DataFrame, blockSize: Int = 20,
                     numBlocks: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted across the two actions below (node count, region agg) —
+    // otherwise each re-derives the upstream edge join + distinct
     val bin = graft.ops.GraphOps.binaryEdges(edgesDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = graft.ops.GraphOps.nodes(bin)
     val n = nodes.count()
     require(n > (numBlocks.toLong * blockSize) + 1,
@@ -210,37 +213,54 @@ object AaSmurf {
       sum(when(col("pi") >= r0 && col("pi") < r1 &&
         col("pj") >= c0 && col("pj") < c1, 1L).otherwise(0L))
 
-    val blocks = (0 until numBlocks).map { blk =>
-      val s = blk.toLong * blockSize
-      val e = s + blockSize - 1 // inclusive block end, as computeMdl's
-      val k = blockSize.toDouble
-      val e1Bits = 2.0 * math.ceil(math.log(k - 1.0) / math.log(2.0))
-      val bits = math.ceil(math.log(n.toDouble) / math.log(2.0)) +
-        math.ceil(math.log(n.toDouble - k) / math.log(2.0))
-      pe.agg(
-          cnt(s + 1, e, s, e - 1).as("ones_mid"),
-          cnt(e + 1, n - 1, s, e).as("ones_below"),
-          cnt(s, e, e + 1, n - 1).as("ones_right"),
-          cnt(s, e, s, e).as("ones_core"))
-        .select(lit(blk).as("blk"), col("ones_mid"), col("ones_below"),
-          col("ones_right"), col("ones_core"),
-          (col("ones_mid") * e1Bits +
-            (col("ones_below") + col("ones_right")) * bits).as("mdl_term"),
-          // computeMdl maps an empty block to purity 0.0, not null
-          coalesce(try_divide(lit((k - 2.0) * 2.0),
-            col("ones_core") + col("ones_below") + col("ones_right")),
-            lit(0.0)).as("purity"))
+    // ONE aggregation pass computes every region count (a per-block
+    // union of aggregates would re-evaluate the position-labeling
+    // pipeline once per block); the single bounded row (4·blocks+1
+    // longs) comes to the driver and the bit-cost arithmetic — the same
+    // expressions computeMdl evaluates — assembles the output rows.
+    val defs = (0 until numBlocks).map { blk =>
+      (blk, blk.toLong * blockSize, blk.toLong * blockSize + blockSize - 1)
     }
     val dStart = numBlocks.toLong * blockSize
+    val aggs = defs.flatMap { case (blk, s, e) =>
+      Seq(cnt(s + 1, e, s, e - 1).as(s"mid_$blk"),
+        cnt(e + 1, n - 1, s, e).as(s"below_$blk"),
+        cnt(s, e, e + 1, n - 1).as(s"right_$blk"),
+        cnt(s, e, s, e).as(s"core_$blk"))
+    } :+ cnt(dStart, n - 1, dStart, n - 1).as("core_d")
+    val r = pe.agg(aggs.head, aggs.tail: _*).collect()(0)
+    bin.unpersist(blocking = false)
+    def g(c: String) = r.getAs[Long](c)
+
+    val k = blockSize.toDouble
+    val e1Bits = 2.0 * math.ceil(math.log(k - 1.0) / math.log(2.0))
+    val bits = math.ceil(math.log(n.toDouble) / math.log(2.0)) +
+      math.ceil(math.log(n.toDouble - k) / math.log(2.0))
     val dDim = (n - 1 - dStart).max(0L)
     val nBits = 2.0 * math.ceil(math.log(n.toDouble) / math.log(2.0))
-    val dRow = pe.agg(cnt(dStart, n - 1, dStart, n - 1).as("ones_core"))
-      .select(lit(numBlocks).as("blk"), lit(0L).as("ones_mid"),
-        lit(0L).as("ones_below"), lit(0L).as("ones_right"),
-        col("ones_core"),
-        ((lit(dDim * dDim) - col("ones_core")) * nBits).as("mdl_term"),
-        lit(null).cast("double").as("purity"))
-    blocks.reduce(_.union(_)).union(dRow)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = defs.map { case (blk, _, _) =>
+      val sumAbc = g(s"core_$blk") + g(s"below_$blk") + g(s"right_$blk")
+      Row(blk, g(s"mid_$blk"), g(s"below_$blk"), g(s"right_$blk"),
+        g(s"core_$blk"),
+        g(s"mid_$blk") * e1Bits +
+          (g(s"below_$blk") + g(s"right_$blk")) * bits,
+        // computeMdl maps an empty block to purity 0.0, not null
+        if (sumAbc == 0L) 0.0 else (k - 2.0) * 2.0 / sumAbc)
+    } :+ Row(numBlocks, 0L, 0L, 0L, g("core_d"),
+      (dDim * dDim - g("core_d")) * nBits, null)
+    val schema = StructType(Seq(
+      StructField("blk", IntegerType, nullable = false),
+      StructField("ones_mid", LongType, nullable = false),
+      StructField("ones_below", LongType, nullable = false),
+      StructField("ones_right", LongType, nullable = false),
+      StructField("ones_core", LongType, nullable = false),
+      StructField("mdl_term", DoubleType, nullable = false),
+      StructField("purity", DoubleType, nullable = true)))
+    val spark = edgesDf.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   final case class Candidate(i: Int, j: Int, cnt: Long, mids: Array[Int])
