@@ -438,13 +438,14 @@ object SparkEntry {
     "q52_permute_degree" -> ((s, dir) => {
       val b = GraphOps.binaryEdges(edges(s, dir))
       val outd = b.groupBy(col("src").as("id")).agg(count(lit(1)).as("outd"))
-      val pos = GraphOps.nodes(b).join(outd, Seq("id"), "left")
-        .withColumn("pos",
-          row_number().over(Window.orderBy(
-            coalesce(col("outd"), lit(0L)).desc, col("id").asc))
-            .cast("long") - 1)
+      // distributed rank over the full node universe (see
+      // GraphOps.withPosition) — and no broadcast hint on a node-scale
+      // position table; AQE broadcasts it iff small at runtime
+      val pos = GraphOps.withPosition(
+          GraphOps.nodes(b).join(outd, Seq("id"), "left"),
+          "pos", coalesce(col("outd"), lit(0L)).desc, col("id").asc)
         .select(col("id"), col("pos"))
-      GraphOps.permuteEdges(b, pos)
+      GraphOps.permuteEdges(b, pos, broadcastPositions = false)
     }),
 
     // P8 + A9 + A11: the sketch-sum pipeline shape with the

@@ -202,8 +202,13 @@ object AaSmurf {
     val n = nodes.count()
     require(n > (numBlocks.toLong * blockSize) + 1,
       s"mdlBlockCosts: n=$n too small for $numBlocks blocks of $blockSize")
-    val pos = broadcast(nodes.withColumn("pos",
-      row_number().over(Window.orderBy(col("id"))).cast("long") - 1))
+    // distributed rank, not row_number over a global window (which would
+    // funnel every node through one task); persisted because it is joined
+    // on both endpoints below. No broadcast hint: the position table is
+    // the FULL node universe — AQE auto-broadcasts it iff it's small.
+    val pos = graft.ops.GraphOps
+      .withPosition(nodes, "pos", col("id").asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pe = bin
       .join(pos.select(col("id").as("src"), col("pos").as("pi")), "src")
       .join(pos.select(col("id").as("dst"), col("pos").as("pj")), "dst")
@@ -230,6 +235,7 @@ object AaSmurf {
     } :+ cnt(dStart, n - 1, dStart, n - 1).as("core_d")
     val r = pe.agg(aggs.head, aggs.tail: _*).collect()(0)
     bin.unpersist(blocking = false)
+    pos.unpersist(blocking = false)
     def g(c: String) = r.getAs[Long](c)
 
     val k = blockSize.toDouble

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Graph primitives over the canonical edge-list model (SURVEY O1, J1, J2,
   * M8). The reference materializes a dense n×n adjacency matrix and
@@ -96,15 +97,41 @@ object GraphOps {
   /** Symmetric permutation (SURVEY M8, `AA-Smurf.py:59,165`): relabel both
     * endpoints by a position table `positions(id, pos)`. The output is the
     * position-labeled edge list — the dense reordered picture is
-    * presentation, not data. `positions` is small (it's an ordering of the
-    * node set actually reordered) → broadcast hash joins, no shuffle of the
-    * edge table.
+    * presentation, not data. When `positions` covers only the candidate
+    * subgraph actually reordered (the MDL path) it is small → keep the
+    * default broadcast hint, no shuffle of the edge table. When it is the
+    * FULL node universe (q51/q52's identity/degree orders) pass
+    * `broadcastPositions = false`: a 10⁹-node position table must arrive
+    * via a shuffle join, and AQE still auto-broadcasts it when it turns
+    * out small at runtime.
     */
-  def permuteEdges(edges: DataFrame, positions: DataFrame): DataFrame = {
-    val p = broadcast(positions)
+  def permuteEdges(edges: DataFrame, positions: DataFrame,
+                   broadcastPositions: Boolean = true): DataFrame = {
+    val p = if (broadcastPositions) broadcast(positions) else positions
     edges
       .join(p.withColumnRenamed("id", "src").withColumnRenamed("pos", "src_pos"), "src")
       .join(p.withColumnRenamed("id", "dst").withColumnRenamed("pos", "dst_pos"), "dst")
       .select(col("src"), col("dst"), col("src_pos"), col("dst_pos"))
+  }
+
+  /** Dense 0-based rank of every row under `order` — the distributed
+    * replacement for `row_number().over(Window.orderBy(...))`, which moves
+    * the whole table through ONE task (Spark itself warns "No Partition
+    * Defined for Window operation"). Here the table is range-partitioned
+    * and sorted on `order` (a real distributed sort), then indexed by the
+    * two-pass `zipWithIndex` idiom: one cheap job counts rows per sorted
+    * partition, the map side adds the partition's offset. Wherever the
+    * range boundaries land, the global index equals the rank — provided
+    * `order` is a TOTAL order (include a unique tiebreak column), which is
+    * also what makes the rank well-defined in the first place.
+    */
+  def withPosition(df: DataFrame, posCol: String,
+                   order: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(posCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 }
