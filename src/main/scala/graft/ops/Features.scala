@@ -48,26 +48,6 @@ object Features {
       .union(edges
         .select(g :+ col("dst").as("account") :+ lit(false).as("is_out") :+
           col("src").as("other") :+ col("weight").as("weight"): _*))
-    def side(isOut: Boolean, pfx: String): Seq[Column] = {
-      val cond = if (isOut) col("is_out") else !col("is_out")
-      val w = when(cond, col("weight"))
-      val n = count(w)
-      val s = sum(w).cast("double")
-      val s2 = sum(w * w).cast("double")
-      Seq(
-        countDistinct(when(cond, col("other")))
-          .as(s"unique_${pfx}_degree"),
-        n.as(s"multi_${pfx}_degree"),
-        coalesce(sum(w), lit(0L)).as(s"total_${pfx}_weight"),
-        when(n > 0, s / n.cast("double")).otherwise(lit(0.0))
-          .as(s"mean_${pfx}_weight"),
-        when(n > 0,
-          (s2 - s * s / n.cast("double")) / n.cast("double"))
-          .otherwise(lit(0.0)).as(s"var_${pfx}_weight"))
-    }
-    val aggs = (side(isOut = false, "in") ++ side(isOut = true, "out"))
-    val base = sides.groupBy(g :+ col("account"): _*)
-      .agg(aggs.head, aggs.tail: _*)
 
     // Exact interpolating median WITHOUT the built-in `percentile`
     // aggregate: `Percentile` is an ObjectAggregate (per-group hashmap
@@ -79,24 +59,54 @@ object Features {
     // odd), and average them. avg of ≤ 2 bigints = lower + (upper−lower)/2
     // exactly (both exact in double), i.e. identical values to
     // percentile(w, 0.5) / numpy's np.median / DuckDB's quantile_cont —
-    // the q05 oracle hash-checks this. Everything here is whole-stage
-    // codegen: a sort exchange, a window, a hash agg.
+    // the q05 oracle hash-checks this.
+    //
+    // Plan shape (the 100 TB rationale): ONE scan of `sides` feeds both
+    // the stats and the median. The window partitions by the full
+    // (group, account, is_out) side key, so the per-side aggregation that
+    // follows reuses its partitioning (no second exchange), and grouping
+    // BY is_out (instead of when(is_out, …) conditional distincts over a
+    // two-sided group) keeps the aggregation at a single distinct column
+    // — planned as a two-phase distinct aggregate, NOT the Expand ×3 row
+    // blow-up that two conditional countDistincts force through the
+    // shuffle. The sides then pivot (group, account, is_out) → one row
+    // per (group, account) in a final cheap exchange of 12 packed
+    // aggregates. Measured at sf0.1: 17.3 s (conditional-Expand shape) →
+    // ~6 s. Everything is whole-stage codegen: a sort exchange, a window,
+    // two hash aggs.
     val sideKey = g :+ col("account") :+ col("is_out")
     val pw = Window.partitionBy(sideKey: _*).orderBy(col("weight"))
-    val med = sides
+    val nD = count(col("weight")).cast("double")
+    val s = sum(col("weight")).cast("double")
+    val s2 = sum(col("weight") * col("weight")).cast("double")
+    val perSide = sides
       .withColumn("rn", row_number().over(pw))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(sideKey: _*)))
-      .filter(col("rn") === expr("(cnt + 1) div 2") ||
-        col("rn") === expr("cnt div 2 + 1"))
-      .groupBy(g :+ col("account"): _*)
+      .groupBy(sideKey: _*)
       .agg(
-        coalesce(avg(when(!col("is_out"), col("weight"))), lit(0.0))
-          .as("median_in_weight"),
-        coalesce(avg(when(col("is_out"), col("weight"))), lit(0.0))
-          .as("median_out_weight"))
+        countDistinct(col("other")).as("u"),
+        count(col("weight")).as("n"),
+        sum(col("weight")).as("tot"),
+        (s / nD).as("mean"),
+        ((s2 - s * s / nD) / nD).as("vr"),
+        avg(when(col("rn") === expr("(cnt + 1) div 2") ||
+          col("rn") === expr("cnt div 2 + 1"), col("weight"))).as("med"))
 
+    // pivot the two side rows into the 12 feature columns; an account
+    // missing a side gets the reference's zero defaults (AA-AR.py:34-35)
+    def pick(isOut: Boolean, c: String): Column =
+      max(when(col("is_out") === lit(isOut), col(c)))
+    def side(isOut: Boolean, pfx: String): Seq[Column] = Seq(
+      coalesce(pick(isOut, "u"), lit(0L)).as(s"unique_${pfx}_degree"),
+      coalesce(pick(isOut, "n"), lit(0L)).as(s"multi_${pfx}_degree"),
+      coalesce(pick(isOut, "tot"), lit(0L)).as(s"total_${pfx}_weight"),
+      coalesce(pick(isOut, "mean"), lit(0.0)).as(s"mean_${pfx}_weight"),
+      coalesce(pick(isOut, "med"), lit(0.0)).as(s"median_${pfx}_weight"),
+      coalesce(pick(isOut, "vr"), lit(0.0)).as(s"var_${pfx}_weight"))
+    val aggs = side(isOut = false, "in") ++ side(isOut = true, "out")
     val ordered = featureCols.map(col)
-    base.join(med, grpCols :+ "account")
+    perSide.groupBy(g :+ col("account"): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(g ++ (col("account") +: ordered): _*)
   }
 
