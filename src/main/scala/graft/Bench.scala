@@ -24,10 +24,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // deterministic name order: round-over-round comparability, and the
     // cheap scan/filter queries warm the JIT before the heavy ML ones
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a query that throws must not silently bench as "fast": record it
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errors += name }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val cold = pass()
@@ -36,7 +39,8 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

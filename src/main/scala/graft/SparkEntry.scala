@@ -24,8 +24,12 @@ import graft.ops.{Features, GraphOps, Scoring, Windows}
   */
 object SparkEntry {
 
+  // The canonical edge table is memoized + persisted per sfDir (see
+  // dfMemo below): ~25 of the queries start from it, and a deployment
+  // would materialize it once as its own table rather than re-deriving
+  // the orders⋈lineitem join per query. ~20 MB at sf0.1 — cache-trivial.
   private def edges(s: SparkSession, dir: String): DataFrame =
-    Tables.edges(s, dir)
+    memoized(s"edges:$dir")(Tables.edges(s, dir))
 
   private val E = Tables.edgesSqlCte
 
