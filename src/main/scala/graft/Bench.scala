@@ -39,8 +39,13 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = cold.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    // per-query min over the passes: the noise-robust estimator on a box
+    // with documented >±20 % co-tenant swing (each query's floor is the
+    // honest steady-state; a single co-tenant burst can't inflate it)
+    val bestTotal = cold.zip(warm)
+      .map { case ((_, c), (_, w)) => math.min(c, w) }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"best_value":$bestTotal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

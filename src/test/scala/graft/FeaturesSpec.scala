@@ -101,4 +101,54 @@ class FeaturesSpec extends SparkSpec {
     // ts 0 → wid 0 only; ts 20 is past last window start (range(0, 6, 7)={0})
     assert(f.contains((0L, 1L, 10L)))
   }
+
+  test("random graphs: every stat equals the brute-force per-account value") {
+    // seeded random multigraphs with deliberate degenerate shapes: heavy
+    // duplicate weights (small weight range), accounts that appear on one
+    // side only, parallel edges, self-loops
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 2 + rng.nextInt(8)
+      val m = 1 + rng.nextInt(40)
+      val es = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong,
+        1L + rng.nextInt(5).toLong, rng.nextInt(10).toLong))
+      val got = Features.accountFeatures(es.toDF("src", "dst", "weight", "ts"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+
+      def stats(ws: Seq[Long]): (Long, Long, Double, Double, Double) =
+        if (ws.isEmpty) (0L, 0L, 0.0, 0.0, 0.0)
+        else {
+          val s = ws.sorted.map(_.toDouble)
+          val mean = s.sum / s.size
+          val med = if (s.size % 2 == 1) s(s.size / 2)
+                    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+          val vr = s.map(x => (x - mean) * (x - mean)).sum / s.size
+          (ws.sum, ws.size.toLong, mean, med, vr)
+        }
+
+      val accounts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(got.keySet == accounts.toSet)
+      for (a <- accounts) {
+        val ins = es.filter(_._2 == a)
+        val outs = es.filter(_._1 == a)
+        val (ti, ni, mi, di, vi) = stats(ins.map(_._3))
+        val (to, no, mo, dm, vo) = stats(outs.map(_._3))
+        val r = got(a)
+        assert(r.getAs[Long]("unique_in_degree") == ins.map(_._1).distinct.size)
+        assert(r.getAs[Long]("unique_out_degree") == outs.map(_._2).distinct.size)
+        assert(r.getAs[Long]("multi_in_degree") == ni)
+        assert(r.getAs[Long]("multi_out_degree") == no)
+        assert(r.getAs[Long]("total_in_weight") == ti)
+        assert(r.getAs[Long]("total_out_weight") == to)
+        assert(math.abs(r.getAs[Double]("mean_in_weight") - mi) < 1e-12)
+        assert(math.abs(r.getAs[Double]("mean_out_weight") - mo) < 1e-12)
+        assert(r.getAs[Double]("median_in_weight") == di,
+          s"trial $trial acct $a median_in")
+        assert(r.getAs[Double]("median_out_weight") == dm,
+          s"trial $trial acct $a median_out")
+        assert(math.abs(r.getAs[Double]("var_in_weight") - vi) < 1e-9)
+        assert(math.abs(r.getAs[Double]("var_out_weight") - vo) < 1e-9)
+      }
+    }
+  }
 }
