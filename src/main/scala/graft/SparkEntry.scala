@@ -504,6 +504,16 @@ object SparkEntry {
         .toDF("ski", "step", "pid")
     }),
 
+    // S5/O4: the generator's distributed background-noise mechanism,
+    // isolated — bank × bank pairs kept by the engine-portable md5 coin
+    // (the planted stars stay a seeded driver program and rows-only; this
+    // hash-checks the part that runs ON the cluster)
+    "q58_smurfgen_background" -> ((s, dir) => {
+      val banks = GraphOps.binaryEdges(smallGraph(s, dir))
+        .select(col("dst").as("b")).distinct()
+      SmurfGen.backgroundEdges(banks)
+    }),
+
     // §2.6: the model-selection ordered scan (10%-of-final rule with the
     // python -1 wrap) over a deterministic series — per-window edge
     // counts stand in for the MDL trace; the scan is the SAME
@@ -1469,6 +1479,19 @@ object SparkEntry {
          |FROM mz a JOIN mz b
          |  ON a.wid = b.wid AND a.account = b.account AND a.fidx < b.fidx
          |GROUP BY 1, 2, 3""".stripMargin
-    }
+    },
+
+    // S5/O4 background mechanism: banks = distinct dst of the ≤300-node
+    // binary subgraph; coin mirrors SmurfGen.backgroundEdges exactly
+    // (md5 of "src|dst|bg|0", 15-hex-digit prefix, ppm < 500)
+    "q58_smurfgen_background" ->
+      s"""WITH $E,
+         |bin AS (SELECT DISTINCT src, dst FROM edges
+         |        WHERE src <= 300 AND dst <= 300),
+         |banks AS (SELECT DISTINCT dst AS b FROM bin)
+         |SELECT a.b AS src, c.b AS dst
+         |FROM banks a CROSS JOIN banks c
+         |WHERE CAST(('0x' || substr(md5(a.b || '|' || c.b || '|bg|0'),
+         |  1, 15)) AS BIGINT) % 1000000 < 500""".stripMargin
   )
 }

@@ -62,6 +62,26 @@ object SmurfGen {
     }
   }
 
+  /** Deterministic background noise among bank accounts
+    * (`smurf_generator.py:57-60`): every ordered (src, dst) bank pair is
+    * kept with probability 1−interactProb by an engine-portable md5 coin
+    * (the same idiom as `AaAr.sketchProjection` — any SQL engine
+    * reproduces the exact edge set; see the q58 oracle). Evaluated inside
+    * the (bank × bank) crossJoin on executors, so the same seed yields
+    * the same background on any cluster layout. `banks` needs one column
+    * `b`.
+    */
+  def backgroundEdges(banks: DataFrame, interactProb: Double = 0.9995,
+                      seed: String = "bg|0"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keepBelow = ((1.0 - interactProb) * 1000000L).toLong
+    val coin = conv(substring(md5(concat_ws("|", col("src"), col("dst"),
+      lit(seed))), 1, 15), 16, 10).cast("bigint") % 1000000L
+    banks.select(col("b").as("src"))
+      .crossJoin(banks.select(col("b").as("dst")))
+      .filter(coin < keepBelow)
+  }
+
   /** Full generator over driver-provided tables: bank accounts =
     * suppliers, client accounts = customers, base edge set = the distinct
     * customer→supplier edges (FIXTURES.md §1.4 remodel). Background random
@@ -95,12 +115,7 @@ object SmurfGen {
       .orderBy(col("src")).as[Long].collect()
 
     val banks = bin.select(col("dst").as("b")).distinct()
-    val keepDenom = 1000000L
-    val keepBelow = ((1.0 - interactProb) * keepDenom).toLong
-    val background = banks.select(col("b").as("src"))
-      .crossJoin(banks.select(col("b").as("dst")))
-      .filter(pmod(xxhash64(col("src"), col("dst"), lit(seed)),
-        lit(keepDenom)) < lit(keepBelow))
+    val background = backgroundEdges(banks, interactProb, s"bg|$seed")
     val baseBg = bin.select(col("src"), col("dst")).union(background)
 
     // planted stars: RNG-identical to the previous driver construction —
