@@ -149,6 +149,35 @@ object SparkEntry {
         .select(col("i"), col("j"), col("mid"))
     }
 
+  /** q43's oracle CTE chain (3-gram Jaccard pairs → undirected closure →
+    * min-id cluster labels), ending in a `clusters(doc_id, cluster_id)`
+    * CTE — shared by q43 and q60. Callers prepend `WITH RECURSIVE`.
+    */
+  private lazy val neardupClusterCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         array_to_string(list_slice(tk, i, i + 2), ' ') AS sh
+      |       FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |co AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         count(*) AS inter
+      |       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b
+      |      FROM co JOIN sizes a ON co.doc_a = a.doc_id
+      |              JOIN sizes b ON co.doc_b = b.doc_id
+      |      WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.05),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |      UNION SELECT doc_b, doc_a FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |             FROM reach GROUP BY a)""".stripMargin
+
   /** q53's oracle SQL — also the base CTE of q56's trailing frame. */
   private lazy val sketchProjectionSql: String =
     s"""WITH $E,
@@ -392,6 +421,30 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"),
           n = 3, minJaccard = 0.05)
           .select(col("doc_a"), col("doc_b")))),
+
+    // the dedup END-STEP: of each near-dup cluster keep the best doc —
+    // q43's clusters joined to the q18 quality score, representative =
+    // max rounded quality, ties to the smallest doc_id
+    "q60_cluster_representative" -> ((s, dir) => {
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"),
+          n = 3, minJaccard = 0.05)
+          .select(col("doc_a"), col("doc_b")))
+      val qual = TextOps.qualityScore(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      val scored = clusters.join(qual, "doc_id")
+        .withColumn("rn", row_number().over(
+          byCluster.orderBy(col("q").desc, col("doc_id").asc)))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+      scored.filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+          col("n_members"), col("q").as("rep_quality"))
+    }),
+
+    // deterministic 90/5/5 train/val/test assignment (Splits.hashSplit)
+    "q59_hash_split" -> ((s, dir) =>
+      graft.ext.Splits.hashSplit(Tables.table(s, dir, "documents"))),
 
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
@@ -1187,29 +1240,47 @@ object SparkEntry {
     // transitive closure by recursive CTE (components are tiny; the
     // Spark side is iterative min-label propagation instead)
     "q43_neardup_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
-         |  FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         array_to_string(list_slice(tk, i, i + 2), ' ') AS sh
-         |       FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |co AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |         count(*) AS inter
-         |       FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |       GROUP BY 1, 2),
-         |p AS (SELECT doc_a, doc_b
-         |      FROM co JOIN sizes a ON co.doc_a = a.doc_id
-         |              JOIN sizes b ON co.doc_b = b.doc_id
-         |      WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.05),
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin,
+      s"""WITH RECURSIVE $neardupClusterCtes
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+
+    // near-dup representative selection: per cluster keep the max-quality
+    // doc (rounded score; ties to the smallest doc_id) — same CTE chain
+    // as q43 plus the q18 quality formula
+    "q60_cluster_representative" ->
+      s"""WITH RECURSIVE $neardupClusterCtes,
+         |qt AS (SELECT doc_id, text,
+         |         string_split_regex(lower(text), '\\s+') AS toks
+         |       FROM documents),
+         |qf AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, tk -> tk IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_token_ratio
+         |  FROM qt),
+         |qual AS (SELECT doc_id,
+         |  round(least(1.0, greatest(0.0,
+         |    0.4 * least(stopword_ratio * 4.0, 1.0) +
+         |    0.3 * distinct_token_ratio +
+         |    0.3 * (1.0 - least(digit_ratio * 5.0, 1.0)))), 6) AS q
+         |  FROM qf),
+         |scored AS (SELECT c.cluster_id, c.doc_id, qual.q,
+         |             row_number() OVER (PARTITION BY c.cluster_id
+         |               ORDER BY qual.q DESC, c.doc_id ASC) AS rn,
+         |             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |           FROM clusters c JOIN qual USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep_doc_id,
+         |       CAST(n_members AS BIGINT) AS n_members, q AS rep_quality
+         |FROM scored WHERE rn = 1""".stripMargin,
+
+    // deterministic 90/5/5 split assignment by the md5 ppm coin
+    "q59_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN coin < 900000 THEN 'train'
+        |       WHEN coin < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(doc_id || '|split'), 1, 15))
+        |          AS BIGINT) % 1000000 AS coin
+        |      FROM documents)""".stripMargin,
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

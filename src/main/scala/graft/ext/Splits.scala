@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training-data pipelines.
+  *
+  * A train/val/test assignment must be (a) stable under reruns and
+  * re-partitioning, (b) independent of cluster layout, and (c)
+  * reproducible by any engine that needs to join against it (a labeling
+  * job in one system, an eval harness in another). `rand()` satisfies
+  * none of these; a hash coin on the id satisfies all three. The coin is
+  * the repo's engine-portable md5 idiom (15-hex-digit prefix mod 10⁶ —
+  * exactly mirrored by the q59 DuckDB oracle), the same recipe as
+  * `AaAr.sketchProjection` and `SmurfGen.backgroundEdges`.
+  */
+object Splits {
+
+  /** Ppm coin on the id: uniform in [0, 10⁶) per (id, seed). */
+  def ppmCoin(id: Column, seed: String): Column =
+    conv(substring(md5(concat_ws("|", id, lit(seed))), 1, 15), 16, 10)
+      .cast("bigint") % 1000000L
+
+  /** Assign each row a split label by hash: coin < trainPpm → "train",
+    * < valPpm → "val", else "test". Defaults: 90/5/5.
+    */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+                trainPpm: Long = 900000L, valPpm: Long = 950000L,
+                seed: String = "split"): DataFrame = {
+    val coin = ppmCoin(col(idCol), seed)
+    df.select(col(idCol),
+      when(coin < trainPpm, lit("train"))
+        .when(coin < valPpm, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+}
