@@ -18,7 +18,9 @@ object Explain {
         "q08_two_hop_pairs", "q09_two_hop_mids", "q15_topk_parts_per_brand",
         "q23_minhash_pairs", "q25_ngram_jaccard", "q27_simsearch_topk",
         "q30_events_hourly", "q39_smurf_recall", "q40_simsearch_ivf",
-        "q41_event_sessions", "q42_event_props")
+        "q41_event_sessions", "q42_event_props", "q49_repetition_stats",
+        "q50_simsearch_ivfpq", "q58_smurfgen_background", "q59_hash_split",
+        "q60_cluster_representative")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
