@@ -446,6 +446,27 @@ object SparkEntry {
     "q59_hash_split" -> ((s, dir) =>
       graft.ext.Splits.hashSplit(Tables.table(s, dir, "documents"))),
 
+    // token-budget curation — the step after dedup/quality scoring in a
+    // training-data pipeline: per language, keep the highest-quality docs
+    // (rounded score, ties to smallest doc_id) until a 2000-token budget
+    // fills. Cumulative sum over a unique ordering → frame semantics
+    // identical across engines.
+    "q61_token_budget" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val lang = TextOps.langId(docs)
+      val qual = TextOps.qualityScore(docs)
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      val toks = TextOps.qualityFeatures(docs)
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
+      val w = Window.partitionBy(col("lang_pred"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      lang.join(qual, "doc_id").join(toks, "doc_id")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 2000L)
+        .select(col("lang_pred"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1281,6 +1302,45 @@ object SparkEntry {
         |        CAST(('0x' || substr(md5(doc_id || '|split'), 1, 15))
         |          AS BIGINT) % 1000000 AS coin
         |      FROM documents)""".stripMargin,
+
+    // per-language quality-ranked cumulative token budget: the q19 lang
+    // CTEs + the q18 quality formula + q17's whitespace token count
+    "q61_token_budget" -> {
+      val lexValues = TextOps.langLexicon
+        .map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+      s"""WITH lex(lex_lang, token) AS (VALUES $lexValues),
+         |t AS (SELECT doc_id, text,
+         |        string_split_regex(lower(text), '\\s+') AS toks
+         |      FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |hits AS (SELECT doc_id, lex_lang, count(*) AS hits
+         |         FROM tk JOIN lex USING (token) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(hits) AS max_hits FROM hits GROUP BY 1),
+         |pred AS (SELECT h.doc_id, min(h.lex_lang) AS lang_pred
+         |         FROM hits h JOIN best b
+         |           ON h.doc_id = b.doc_id AND h.hits = b.max_hits
+         |         GROUP BY 1),
+         |lang AS (SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred
+         |         FROM documents d LEFT JOIN pred p USING (doc_id)),
+         |qf AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_token_ratio
+         |  FROM t),
+         |qual AS (SELECT doc_id,
+         |  round(least(1.0, greatest(0.0,
+         |    0.4 * least(stopword_ratio * 4.0, 1.0) +
+         |    0.3 * distinct_token_ratio +
+         |    0.3 * (1.0 - least(digit_ratio * 5.0, 1.0)))), 6) AS q
+         |  FROM qf),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |c AS (SELECT lang.lang_pred, lang.doc_id, n.n_tokens,
+         |        sum(n.n_tokens) OVER (PARTITION BY lang.lang_pred
+         |          ORDER BY qual.q DESC, lang.doc_id ASC) AS cum_tokens
+         |      FROM lang JOIN qual USING (doc_id) JOIN n USING (doc_id))
+         |SELECT lang_pred, doc_id, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 2000""".stripMargin
+    },
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,
