@@ -35,17 +35,25 @@ object Bench {
       }
     val cold = pass()
     val warm = pass()
+    // an errored query's partial elapsed time must not deflate (or
+    // inflate) the headline totals — totals aggregate successes only
+    def ok(rs: Seq[(String, Double)]): Seq[(String, Double)] =
+      rs.filterNot { case (k, _) => errors.contains(k) }
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val coldTotal = cold.map(_._2).sum
-    val warmTotal = warm.map(_._2).sum
+    val coldTotal = ok(cold).map(_._2).sum
+    val warmTotal = ok(warm).map(_._2).sum
     // per-query min over the passes: the noise-robust estimator on a box
     // with documented >±20 % co-tenant swing (each query's floor is the
     // honest steady-state; a single co-tenant burst can't inflate it)
-    val bestTotal = cold.zip(warm)
+    val bestTotal = ok(cold).zip(ok(warm))
       .map { case ((_, c), (_, w)) => math.min(c, w) }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"best_value":$bestTotal,"errors":$errs,"sf":"$sfDir"}""")
+    // totals-only line LAST: the full line above leads with the totals and
+    // r03's artifact lost them to tail truncation — any tail capture of
+    // this output keeps all three totals + the error list
+    println(s"""{"metric":"totals_tail","cold":$coldTotal,"warm":$warmTotal,"best":$bestTotal,"n_queries":${cold.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.algo.{AaAr, AaSmurf}
 import graft.ops.{Features, Windows}
+import graft.streaming.StreamOps
 
 /** User-facing CLI — the parity surface for the reference's runnable
   * programs (`/root/reference/AA-AR.py:270-287` and
@@ -26,6 +27,7 @@ object Main {
     """usage:
       |  graft.Main aa-ar    --f <edges.csv>  [--o <outdir>] [--w 14] [--s 256] [--b 4] [--a 3] [--c 3]
       |  graft.Main aa-smurf --f <matrix.txt> [--o <outdir>] [--i <maxIter>]
+      |  graft.Main stream   --f <eventsDir>  [--o <outdir>] [--w "1 hour"] [--m "2 hours"]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -59,6 +61,13 @@ object Main {
           val n = runAaSmurf(spark, in, opt("--o", "results"),
             maxIter = opts.get("--i").map(_.toInt))
           println(s"AA-Smurf: $n positions -> ${opt("--o", "results")}")
+        case "stream" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStream(spark, in, opt("--o", "results"),
+            size = opt("--w", "1 hour"), watermark = opt("--m", "2 hours"))
+          println(s"stream: $n finalized window rows -> " +
+            s"${opt("--o", "results")}/stream_counts")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -153,6 +162,39 @@ object Main {
             new java.io.File(s"$out/figure${prank}_pair$pid.png"))
         }
       }
+  }
+
+  /** §2.10 user-reachable streaming path: a CSV file stream of events
+    * (`ts TIMESTAMP, event_type STRING, value DOUBLE`, header row) →
+    * `StreamOps.windowedEventCounts` (event-time windows + watermark) →
+    * append-mode parquet sink, with `Trigger.AvailableNow` so a finite
+    * directory processes to completion and exits. Append semantics: only
+    * windows the final watermark has PASSED are finalized — rows whose
+    * windows are still open stay in checkpointed state and flush on the
+    * next run over a grown directory (exactly the incremental-ingest
+    * contract a deployment wants; the same command is the forever-running
+    * job under the default micro-batch trigger when pointed at a live
+    * directory). Returns finalized window rows written so far.
+    */
+  def runStream(spark: SparkSession, in: String, out: String,
+                size: String = "1 hour",
+                watermark: String = "2 hours"): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL(
+      "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val events = spark.readStream.schema(schema)
+      .option("header", "true").csv(in)
+    val counts = StreamOps.windowedEventCounts(events, size, watermark)
+    val q = counts.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/stream_counts")
+      .option("checkpointLocation", s"$out/_stream_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/stream_counts").count()
   }
 
   /** aa-smurf pipeline on an arbitrary session; returns the number of

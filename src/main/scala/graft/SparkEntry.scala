@@ -29,7 +29,7 @@ object SparkEntry {
   // would materialize it once as its own table rather than re-deriving
   // the orders⋈lineitem join per query. ~20 MB at sf0.1 — cache-trivial.
   private def edges(s: SparkSession, dir: String): DataFrame =
-    memoized(s"edges:$dir")(Tables.edges(s, dir))
+    memoized(s, s"edges:$dir")(Tables.edges(s, dir))
 
   private val E = Tables.edgesSqlCte
 
@@ -86,15 +86,20 @@ object SparkEntry {
   // closure embeds a fresh function object per call, so plan-identical
   // builds never cache-hit on their own.
   private val dfMemo = scala.collection.mutable.Map.empty[String, DataFrame]
-  private def memoized(key: String)(build: => DataFrame): DataFrame =
+  // keys carry the session's UUID: a cached DataFrame is bound to the
+  // SparkSession that built it, so a second session in the same JVM
+  // (sequential Bench/Main runs, test suites) must rebuild rather than
+  // receive a handle tied to a possibly-stopped session
+  private def memoized(s: SparkSession, key: String)
+                      (build: => DataFrame): DataFrame =
     dfMemo.synchronized {
-      dfMemo.getOrElseUpdate(key,
+      dfMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$key",
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
   /** Focus-score table (windowSize 28), shared by q31 + q34. */
   private def sharedFocus(s: SparkSession, dir: String): DataFrame =
-    memoized(s"focus:$dir") {
+    memoized(s, s"focus:$dir") {
       AaAr.focusScores(Features.accountFeaturesByWindow(
         Windows.withWindowId(edges(s, dir), 28, 14)), numTrees = 50)
     }
@@ -103,14 +108,14 @@ object SparkEntry {
     * also consumed by q45's attention routing.
     */
   private def sharedChanges(s: SparkSession, dir: String): DataFrame =
-    memoized(s"changes:$dir") {
+    memoized(s, s"changes:$dir") {
       AaAr.runFromFocus(sharedFocus(s, dir), sketchNum = 64, backWs = 4,
         numDst = 3)
     }
 
   /** 12-feature table on (w=14, stride=7) windows, shared by q05 + q16. */
   private def sharedFeats14(s: SparkSession, dir: String): DataFrame =
-    memoized(s"feats14:$dir") {
+    memoized(s, s"feats14:$dir") {
       Features.accountFeaturesByWindow(
         Windows.withWindowId(edges(s, dir), 14, 7))
     }
@@ -121,7 +126,7 @@ object SparkEntry {
   private def sharedSmurfGen(s: SparkSession,
                              dir: String): (DataFrame, DataFrame) =
     smurfGenMemo.synchronized {
-      smurfGenMemo.getOrElseUpdate(dir, {
+      smurfGenMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir", {
         // the reference's FULL evaluation grid (smurf_generator.py:63,
         // 71-74): middle sizes 10..50 × 10 folds — one distributed table,
         // fold id riding the keys
@@ -138,7 +143,7 @@ object SparkEntry {
     * twice and shuffles three times.
     */
   private def sharedTwoHopMids(s: SparkSession, dir: String): DataFrame =
-    memoized(s"twohop:$dir") {
+    memoized(s, s"twohop:$dir") {
       val b = GraphOps.binaryEdges(edges(s, dir))
       val p = b.select(col("src").as("i"), col("dst").as("m"))
         .join(b.select(col("src").as("m"), col("dst").as("j")), "m")
@@ -147,6 +152,35 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("i"), col("j"))))
         .filter(col("cnt") >= 3)
         .select(col("i"), col("j"), col("mid"))
+    }
+
+  /** Near-dup cluster table (doc_id, cluster_id) — the q43 result, also
+    * the q60 base. One pipeline build (shingle table → inverted-index
+    * Jaccard pairs → union-find CC) instead of two.
+    */
+  private def sharedNeardupClusters(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"neardup:$dir") {
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"),
+          n = 3, minJaccard = 0.05)
+          .select(col("doc_a"), col("doc_b")))
+    }
+
+  /** Per-doc curation features (lang_pred, rounded quality q, n_tokens)
+    * — the table a deployment would persist between the scoring and
+    * selection phases of a data pipeline. Shared by q60 (quality lookup)
+    * and q61 (full input), so `documents` is scanned once per session
+    * for the whole curation family instead of per query.
+    */
+  private def sharedDocCuration(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"curation:$dir") {
+      val docs = Tables.table(s, dir, "documents")
+      val lang = TextOps.langId(docs)
+      val qual = TextOps.qualityScore(docs)
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      val toks = TextOps.qualityFeatures(docs)
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
+      lang.join(qual, "doc_id").join(toks, "doc_id")
     }
 
   /** q43's oracle CTE chain (3-gram Jaccard pairs → undirected closure →
@@ -200,7 +234,7 @@ object SparkEntry {
     * q53 + its trailing-frame consumer q56.
     */
   private def sharedSketchProj(s: SparkSession, dir: String): DataFrame =
-    memoized(s"sketchproj:$dir") {
+    memoized(s, s"sketchproj:$dir") {
       AaAr.sketchProjection(
         Windows.withWindowId(edges(s, dir), 14, 7)
           .groupBy(col("wid"), col("dst").as("account"))
@@ -224,6 +258,16 @@ object SparkEntry {
     "q04_features" -> ((s, dir) =>
       Features.accountFeatures(edges(s, dir))),
     "q05_features_by_window" -> ((s, dir) => sharedFeats14(s, dir)),
+
+    // the APPROXIMATE feature mode (Features.accountFeaturesApprox —
+    // HLL++ distincts + KLL medians, the fixed-state escape hatch for
+    // extreme group cardinalities at 100 TB). Same (14,7) windows as
+    // q05. NOT oracle-comparable by construction (sketch outputs);
+    // rows-only here, tolerance-pinned against the exact operator in
+    // FeaturesSpec.
+    "q62_features_approx" -> ((s, dir) =>
+      Features.accountFeaturesApprox(
+        Windows.withWindowId(edges(s, dir), 14, 7))),
 
     // ───── sliding windows (W1) ─────
     "q06_window_assign" -> ((s, dir) =>
@@ -416,22 +460,14 @@ object SparkEntry {
 
     // near-dup CLUSTERS: connected components over the (oracle-
     // expressible) n-gram-Jaccard pair table — min-label propagation
-    "q43_neardup_clusters" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"),
-          n = 3, minJaccard = 0.05)
-          .select(col("doc_a"), col("doc_b")))),
+    "q43_neardup_clusters" -> ((s, dir) => sharedNeardupClusters(s, dir)),
 
     // the dedup END-STEP: of each near-dup cluster keep the best doc —
     // q43's clusters joined to the q18 quality score, representative =
     // max rounded quality, ties to the smallest doc_id
     "q60_cluster_representative" -> ((s, dir) => {
-      val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(Tables.table(s, dir, "documents"),
-          n = 3, minJaccard = 0.05)
-          .select(col("doc_a"), col("doc_b")))
-      val qual = TextOps.qualityScore(Tables.table(s, dir, "documents"))
-        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      val clusters = sharedNeardupClusters(s, dir)
+      val qual = sharedDocCuration(s, dir).select(col("doc_id"), col("q"))
       val byCluster = Window.partitionBy(col("cluster_id"))
       val scored = clusters.join(qual, "doc_id")
         .withColumn("rn", row_number().over(
@@ -452,15 +488,9 @@ object SparkEntry {
     // fills. Cumulative sum over a unique ordering → frame semantics
     // identical across engines.
     "q61_token_budget" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
-      val lang = TextOps.langId(docs)
-      val qual = TextOps.qualityScore(docs)
-        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
-      val toks = TextOps.qualityFeatures(docs)
-        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
       val w = Window.partitionBy(col("lang_pred"))
         .orderBy(col("q").desc, col("doc_id").asc)
-      lang.join(qual, "doc_id").join(toks, "doc_id")
+      sharedDocCuration(s, dir)
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 2000L)
         .select(col("lang_pred"), col("doc_id"), col("n_tokens"),
@@ -1335,8 +1365,8 @@ object SparkEntry {
          |  FROM qf),
          |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
          |c AS (SELECT lang.lang_pred, lang.doc_id, n.n_tokens,
-         |        sum(n.n_tokens) OVER (PARTITION BY lang.lang_pred
-         |          ORDER BY qual.q DESC, lang.doc_id ASC) AS cum_tokens
+         |        CAST(sum(n.n_tokens) OVER (PARTITION BY lang.lang_pred
+         |          ORDER BY qual.q DESC, lang.doc_id ASC) AS BIGINT) AS cum_tokens
          |      FROM lang JOIN qual USING (doc_id) JOIN n USING (doc_id))
          |SELECT lang_pred, doc_id, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 2000""".stripMargin

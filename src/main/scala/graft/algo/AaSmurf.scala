@@ -368,8 +368,10 @@ object AaSmurf {
     * table `(pos, node, mdl, iterations)`.
     */
   def run(spark: SparkSession, edges: DataFrame, minCount: Long = 3,
-          maxIter: Option[Int] = None): DataFrame = {
-    val (model, nodeIds) = runModelWithIds(spark, edges, minCount, maxIter)
+          maxIter: Option[Int] = None,
+          maxCandidates: Option[Int] = None): DataFrame = {
+    val (model, nodeIds) =
+      runModelWithIds(spark, edges, minCount, maxIter, maxCandidates)
     val rows = model.order.zipWithIndex.map { case (node, pos) =>
       (pos.toLong, nodeIds(node), model.finalMdl, model.iterations.toLong)
     }
@@ -381,17 +383,27 @@ object AaSmurf {
     * indices) for tests/diagnostics.
     */
   def runModel(spark: SparkSession, edges: DataFrame, minCount: Long = 3,
-               maxIter: Option[Int] = None): SmurfModel =
-    runModelWithIds(spark, edges, minCount, maxIter)._1
+               maxIter: Option[Int] = None,
+               maxCandidates: Option[Int] = None): SmurfModel =
+    runModelWithIds(spark, edges, minCount, maxIter, maxCandidates)._1
 
   private def runModelWithIds(spark: SparkSession, edges: DataFrame,
-                              minCount: Long, maxIter: Option[Int])
+                              minCount: Long, maxIter: Option[Int],
+                              maxCandidates: Option[Int] = None)
       : (SmurfModel, Array[Long]) = {
     import spark.implicits._
     val bin = graft.ops.GraphOps.binaryEdges(edges).cache()
-    val cands = graft.ops.GraphOps.twoHopMids(bin, minCount)
+    // Candidate list is the one driver collect whose SIZE the data
+    // controls: a hub-dense graph can mint O(|V|²) qualifying (i,j)
+    // pairs. `maxCandidates` caps it as a TOP-K in the same cnt-desc
+    // priority the reference already processes candidates in
+    // (`AA-Smurf.py:110`), so when the cap isn't hit the result is
+    // bit-identical, and when it is hit the greedy sees exactly the
+    // prefix it would have explored first anyway (the tie-broken
+    // orderBy makes the truncation deterministic).
+    val candsDf = graft.ops.GraphOps.twoHopMids(bin, minCount)
       .orderBy(col("cnt").desc, col("i"), col("j"))
-      .collect()
+    val cands = maxCandidates.fold(candsDf)(candsDf.limit).collect()
 
     // node universe: SORTED ascending (numpy.unique order, AA-Smurf.py:38)
     val nodeIds = graft.ops.GraphOps.nodes(bin)

@@ -71,10 +71,19 @@ object SmurfGen {
     * the same background on any cluster layout. `banks` needs one column
     * `b`.
     */
+  /** Keep-probability as an integer ppm threshold. Rounds rather than
+    * truncates: 1.0-0.9995 = 4.999…e-4 in double, and a toLong truncation
+    * would give 499 while the q58 oracle (and the documented contract)
+    * uses ppm < 500 — the threshold must be the same integer in both
+    * engines.
+    */
+  def ppmThreshold(interactProb: Double): Long =
+    math.round((1.0 - interactProb) * 1000000L)
+
   def backgroundEdges(banks: DataFrame, interactProb: Double = 0.9995,
                       seed: String = "bg|0"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val keepBelow = ((1.0 - interactProb) * 1000000L).toLong
+    val keepBelow = ppmThreshold(interactProb)
     val coin = conv(substring(md5(concat_ws("|", col("src"), col("dst"),
       lit(seed))), 1, 15), 16, 10).cast("bigint") % 1000000L
     banks.select(col("b").as("src"))

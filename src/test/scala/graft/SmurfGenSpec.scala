@@ -47,6 +47,16 @@ class SmurfGenSpec extends SparkSpec {
     }
   }
 
+  test("ppmThreshold rounds, matching the q58 oracle's integer threshold") {
+    // 1.0-0.9995 = 4.999…e-4 in double; truncation would give 499 and
+    // silently drop pairs whose md5 ppm coin is exactly 499 — diverging
+    // from the oracle's `< 500`
+    assert(SmurfGen.ppmThreshold(0.9995) == 500L)
+    assert(SmurfGen.ppmThreshold(0.999) == 1000L)
+    assert(SmurfGen.ppmThreshold(0.99) == 10000L)
+    assert(SmurfGen.ppmThreshold(1.0) == 0L)
+  }
+
   test("run() emits long-form fold tables with consistent keys") {
     val edges = Seq((0L, 100L), (1L, 101L), (2L, 102L), (100L, 3L))
       .map { case (s, d) => (s, d, 1L, 0L) }

@@ -8,6 +8,7 @@ same parquet tables, sort columns by name, sort rows, and compare values
 exactly. Reports per-query row/schema/value match. Dev tool only — the real
 gate is driver-side.
 """
+import decimal
 import glob
 import json
 import math
@@ -15,7 +16,38 @@ import os
 import sys
 
 import duckdb
+import pyarrow as patypes
 import pyarrow.parquet as pq
+
+
+def type_class(t):
+    """Coarse Arrow-type class mirroring the driver's type-sensitive hash.
+
+    int/float/string width variants collapse (the driver tolerates those),
+    but decimal is its OWN class: DuckDB's window sum(BIGINT) returns
+    DECIMAL128 which the driver hashes differently from BIGINT — the local
+    gate must flag that (q61, round 3) rather than let Decimal(123) == 123.
+    """
+    if patypes.types.is_integer(t):
+        return "int"
+    if patypes.types.is_floating(t):
+        return "float"
+    if patypes.types.is_decimal(t):
+        return "decimal"
+    if patypes.types.is_string(t) or patypes.types.is_large_string(t):
+        return "str"
+    if patypes.types.is_boolean(t):
+        return "bool"
+    if patypes.types.is_timestamp(t):
+        return "timestamp"
+    if patypes.types.is_date(t):
+        return "date"
+    if patypes.types.is_binary(t) or patypes.types.is_large_binary(t):
+        return "binary"
+    if (patypes.types.is_list(t) or patypes.types.is_large_list(t)
+            or patypes.types.is_fixed_size_list(t)):
+        return f"list<{type_class(t.value_type)}>"
+    return str(t)
 
 
 def load_spark(outdir, name):
@@ -27,20 +59,27 @@ def load_spark(outdir, name):
     return tbl
 
 
-def norm_rows(cols_names, cols_values):
+def norm_rows(tbl):
+    cols_names = tbl.column_names
+    cols_values = [c.to_pylist() for c in tbl.columns]
     order = sorted(range(len(cols_names)), key=lambda i: cols_names[i])
     names = [cols_names[i] for i in order]
+    types = [type_class(tbl.schema.field(i).type) for i in order]
     rows = list(zip(*[cols_values[i] for i in order])) if cols_values else []
 
     def key(row):
         return tuple((x is None, repr(x)) for x in row)
 
-    return names, sorted(rows, key=key)
+    return names, types, sorted(rows, key=key)
 
 
 def canon(v):
     if v is None:
         return None
+    # Decimal must NOT compare equal to int/float (Python == says
+    # Decimal(123) == 123; the driver's hash disagrees) — tag it.
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -79,13 +118,15 @@ def main():
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        s_names, s_rows = norm_rows(
-            spark_tbl.column_names,
-            [c.to_pylist() for c in spark_tbl.columns])
-        o_names, o_rows = norm_rows(
-            ora.column_names, [c.to_pylist() for c in ora.columns])
+        s_names, s_types, s_rows = norm_rows(spark_tbl)
+        o_names, o_types, o_rows = norm_rows(ora)
         if s_names != o_names:
             print(f"FAIL {name}: schema {s_names} vs {o_names}")
+            n_fail += 1
+            continue
+        if s_types != o_types:
+            print(f"FAIL {name}: types {list(zip(s_names, s_types))} "
+                  f"vs {list(zip(o_names, o_types))}")
             n_fail += 1
             continue
         if len(s_rows) != len(o_rows):
