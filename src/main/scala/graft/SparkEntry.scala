@@ -511,19 +511,31 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
+    // the trained centroids are deterministic plan literals (bounded
+    // hash-ordered sample + seeded k-means), so running the query also
+    // stashes a SQL mirror of those exact literals for the oracle dump
+    // (see ivfSqlMemo) — q40/q50 are hash-checked like q26/q28
     "q40_simsearch_ivf" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
+      val centers = SimSearch.ivfCentroids(emb)
+      ivfSqlMemo.synchronized {
+        ivfSqlMemo("q40_simsearch_ivf") =
+          q40OracleSql(centers, nprobe = 4, k = 10)
+      }
       SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
-        k = 10)
+        k = 10, centersOpt = Some(centers))
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
-    // rows-only like q40 (KMeans codebooks are data-dependent); the
-    // ADC-vs-exact contract is golden-tested in SimSearchSpec
     "q50_simsearch_ivfpq" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
+      val model = SimSearch.ivfPqModel(emb, dim = 64)
+      ivfSqlMemo.synchronized {
+        ivfSqlMemo("q50_simsearch_ivfpq") =
+          q50OracleSql(model._1, model._2, nprobe = 4, k = 10, dsub = 8)
+      }
       SimSearch.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
-        k = 10)
+        k = 10, modelOpt = Some(model))
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("adc_cos"), 6).as("adc_cos"))
     }),
@@ -1654,5 +1666,137 @@ object SparkEntry {
          |FROM banks a CROSS JOIN banks c
          |WHERE CAST(('0x' || substr(md5(a.b || '|' || c.b || '|bg|0'),
          |  1, 15)) AS BIGINT) % 1000000 < 500""".stripMargin
-  )
+  ) ++ ivfSqlMemo.synchronized(ivfSqlMemo.toMap)
+
+  // ───── trained-quantizer oracle mirrors (q40/q50) ─────
+  // The IVF centroids/codebooks are data-dependent but DETERMINISTIC plan
+  // literals once trained (bounded hash-ordered sample + seeded k-means).
+  // The query runners stash the exact SQL mirror here at run time; Verify
+  // runs every query BEFORE dumping oracleSql, so by dump time the mirror
+  // of the literals the plans embedded is available. If the queries never
+  // ran (oracleSql read standalone), the entries are simply absent and
+  // q40/q50 stay rows-only — strictly more checking, never less.
+  private val ivfSqlMemo = scala.collection.mutable.Map.empty[String, String]
+
+  /** Σ_i (v[i]−c_i)² as an explicit left-associated SQL sum — the same
+    * evaluation order as the Spark fold (`aggregate(zip_with(…), 0.0, +)`;
+    * IEEE 0.0+x = x for the non-negative first term), so distances are
+    * bit-identical and the argmin picks the same cell in both engines.
+    */
+  private def d2Sql(vExpr: String, c: Array[Double], off: Int): String =
+    c.zipWithIndex.map { case (x, i) =>
+      val idx = off + i + 1
+      s"($vExpr[$idx] - ($x))*($vExpr[$idx] - ($x))"
+    }.mkString(" + ")
+
+  /** IVF-Flat mirror: literal-centroid cell assignment (argmin of the d²
+    * list = `list_position(ds, list_min(ds))`, first-match tie-break like
+    * Spark's `array_position(ds, array_min(ds))`), per-query probe ranking
+    * by (d, cell) — the struct-sort order of `array_sort` — then the q27
+    * cosine re-rank within probed cells.
+    */
+  private def q40OracleSql(centers: Array[Array[Double]], nprobe: Int,
+                           k: Int): String = {
+    val dsList = centers.map(c => d2Sql("v", c, 0))
+      .mkString("[\n    ", ",\n    ", "]")
+    val qd = centers.zipWithIndex.map { case (c, i) =>
+      s"  SELECT vec_id AS query_id, v AS v_q, $i AS cell, ${d2Sql("v", c, 0)} AS d FROM e WHERE vec_id < 5"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ad AS (SELECT vec_id, v, $dsList AS ds FROM e),
+       |a AS (SELECT vec_id AS nbr_id, v,
+       |        list_position(ds, list_min(ds)) - 1 AS cell FROM ad),
+       |qd AS (
+       |$qd),
+       |probed AS (SELECT query_id, v_q, cell FROM (
+       |    SELECT query_id, v_q, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS pr
+       |    FROM qd) WHERE pr <= $nprobe),
+       |cand AS (SELECT p.query_id, p.v_q, a.nbr_id, a.v
+       |  FROM probed p JOIN a USING (cell)
+       |  WHERE a.nbr_id <> p.query_id),
+       |sc AS (SELECT query_id, nbr_id,
+       |    list_dot_product(v_q, v) /
+       |      (sqrt(list_dot_product(v_q, v_q)) * sqrt(list_dot_product(v, v))) AS cos
+       |  FROM cand),
+       |r AS (SELECT query_id, nbr_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, nbr_id ASC) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
+       |FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** IVF-PQ mirror: per-subspace code assignment from the literal
+    * codebooks, reconstruction norms via literal-list lookups, per-query
+    * ADC tables as `list_dot_product` over vector slices (the same
+    * sequential fold as the Spark subDot), `NULLIF` division matching
+    * `try_divide`'s NULL-on-zero.
+    */
+  private def q50OracleSql(coarse: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]],
+                           nprobe: Int, k: Int, dsub: Int): String = {
+    val m = books.length
+    def dlist(xs: Array[Double]): String = xs.mkString("[", ", ", "]")
+    val dscList = coarse.map(c => d2Sql("v", c, 0))
+      .mkString("[\n    ", ",\n    ", "]")
+    val subDsCols = (0 until m).map { j =>
+      books(j).map(c => d2Sql("v", c, j * dsub))
+        .mkString("[\n    ", ",\n    ", s"] AS ds$j")
+    }.mkString(",\n  ")
+    val codeCols = (0 until m)
+      .map(j => s"list_position(ds$j, list_min(ds$j)) - 1 AS c$j")
+      .mkString(",\n    ")
+    // norm² literals computed EXACTLY as the Spark plan computes its own
+    // (plain Scala sum over the same doubles)
+    val reconSum = (0 until m).map { j =>
+      val lits = dlist(books(j).map(c => c.map(x => x * x).sum))
+      s"list_extract($lits, c$j + 1)"
+    }.mkString("\n      + ")
+    val lutCols = (0 until m).map { j =>
+      val lo = j * dsub + 1; val hi = (j + 1) * dsub
+      books(j).map(c => s"list_dot_product(v_q[$lo:$hi], ${dlist(c)})")
+        .mkString("[\n    ", ",\n    ", s"] AS lut$j")
+    }.mkString(",\n  ")
+    val adc = (0 until m).map(j => s"list_extract(l.lut$j, cand.c$j + 1)")
+      .mkString("\n      + ")
+    val candCodes = (0 until m).map(j => s"w.c$j").mkString(", ")
+    val qd = coarse.zipWithIndex.map { case (c, i) =>
+      s"  SELECT query_id, $i AS cell, ${d2Sql("v_q", c, 0)} AS d FROM qb"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ds AS (SELECT vec_id, v, $dscList AS dsc,
+       |  $subDsCols
+       |  FROM e),
+       |enc AS (SELECT vec_id AS nbr_id,
+       |    list_position(dsc, list_min(dsc)) - 1 AS cell,
+       |    $codeCols
+       |  FROM ds),
+       |wn AS (SELECT *, sqrt($reconSum) AS recon_norm FROM enc),
+       |qb AS (SELECT vec_id AS query_id, v AS v_q FROM e WHERE vec_id < 5),
+       |ql AS (SELECT query_id, v_q,
+       |  $lutCols,
+       |  sqrt(list_dot_product(v_q, v_q)) AS q_norm
+       |  FROM qb),
+       |qd AS (
+       |$qd),
+       |probed AS (SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS pr
+       |    FROM qd) WHERE pr <= $nprobe),
+       |cand AS (SELECT p.query_id, w.nbr_id, $candCodes, w.recon_norm
+       |  FROM probed p JOIN wn w USING (cell)
+       |  WHERE w.nbr_id <> p.query_id),
+       |sc AS (SELECT cand.query_id, cand.nbr_id,
+       |    ($adc) / NULLIF(l.q_norm * cand.recon_norm, 0) AS adc_cos
+       |  FROM cand JOIN ql l ON l.query_id = cand.query_id),
+       |r AS (SELECT query_id, nbr_id, adc_cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_cos DESC, nbr_id ASC) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT query_id, rnk, nbr_id, round(adc_cos, 6) AS adc_cos
+       |FROM r WHERE rnk <= $k""".stripMargin
+  }
 }

@@ -201,13 +201,25 @@ object SimSearch {
     * shuffle. The candidate join keys on cell id, and only
     * |corpus|·nprobe/nlist rows reach the exact re-rank.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-              trainMax: Int = 65536): DataFrame = {
+  /** The trained IVF coarse quantizer — the exact centroid literals an
+    * [[ivfTopK]] plan embeds. Public so a caller can reuse them (e.g. to
+    * generate a SQL mirror of the plan, the way the LSH normals do).
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+                   trainMax: Int = 65536): Array[Array[Double]] = {
     val corpusV = corpus.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("v"))
-    val centers = localKMeans(trainSample(corpusV, trainMax), nlist,
-      seed = seed)
+    localKMeans(trainSample(corpusV, trainMax), nlist, seed = seed)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              trainMax: Int = 65536,
+              centersOpt: Option[Array[Array[Double]]] = None): DataFrame = {
+    val corpusV = corpus.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("v"))
+    val centers = centersOpt.getOrElse(
+      localKMeans(trainSample(corpusV, trainMax), nlist, seed = seed))
 
     // squared L2 distance to each centroid as literal-array expressions;
     // cell = argmin (first index on ties)
@@ -264,10 +276,32 @@ object SimSearch {
     *   - rank: approximate cosine = ADC dot / (|q| · |reconstruction|),
     *     with |reconstruction| carried per code at encode time.
     */
+  /** The trained IVF-PQ model (coarse centroids, per-subspace codebooks)
+    * — the exact literals an [[ivfPqTopK]] plan embeds; public for SQL
+    * mirror generation like [[ivfCentroids]].
+    */
+  def ivfPqModel(corpus: DataFrame, dim: Int, nlist: Int = 16, m: Int = 8,
+                 ksub: Int = 16, seed: Long = 42L, trainMax: Int = 65536)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val corpusV = corpus.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("v"))
+    val sample = trainSample(corpusV, trainMax)
+    val coarse = localKMeans(sample, nlist, seed = seed)
+    val books = Array.tabulate(m) { j =>
+      localKMeans(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub,
+        seed = seed + 1 + j)
+    }
+    (coarse, books)
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
                 k: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
                 ksub: Int = 16, seed: Long = 42L,
-                trainMax: Int = 65536): DataFrame = {
+                trainMax: Int = 65536,
+                modelOpt: Option[(Array[Array[Double]],
+                  Array[Array[Array[Double]]])] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
 
@@ -287,12 +321,8 @@ object SimSearch {
 
     // coarse quantizer + one product sub-quantizer per subspace, all
     // trained locally on one bounded sample (sub-vectors sliced in-place)
-    val sample = trainSample(corpusV, trainMax)
-    val coarse = localKMeans(sample, nlist, seed = seed)
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      localKMeans(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub,
-        seed = seed + 1 + j)
-    }
+    val (coarse, books) = modelOpt.getOrElse(
+      ivfPqModel(corpus, dim, nlist, m, ksub, seed, trainMax))
 
     // encode: cell + m codes + reconstruction norm (all from literals)
     val codeCols = (0 until m).map(j =>
