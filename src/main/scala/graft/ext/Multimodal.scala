@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * (image/audio/video) as opaque BINARY columns with typed metadata,
   * processed batch-at-a-time inside `mapPartitions`.
   *
-  * The container has no image/audio codecs (by design), so the DECODE STEP
-  * IS A DETERMINISTIC STUB — `decodeStub` below fabricates "pixels" from
-  * the bytes. Everything around it is the real engineering: schema
-  * (binary + metadata struct), partition-parallel batched processing,
-  * bounded memory per batch, and a typed output schema. Swapping
-  * `decodeStub` for a real codec changes no plumbing.
+  * The decode seam ([[decode]]) sniffs the payload: uncompressed BMP and
+  * binary PGM — the two raster formats a dependency-free JVM can parse —
+  * decode for REAL (header dims + true mean pixel intensity); any other
+  * payload falls through to the deterministic [[decodeStub]], which
+  * stands in for the codec formats (JPEG/PNG/audio/video) this container
+  * deliberately lacks. Everything around the seam is the real
+  * engineering: schema (binary + metadata struct), partition-parallel
+  * batched processing, bounded memory per batch, and a typed output
+  * schema. Swapping the stub branch for a full codec changes no plumbing.
   */
 object Multimodal {
 
@@ -49,16 +52,101 @@ object Multimodal {
     (width, height, if (n == 0) 0.0 else s.toDouble / n)
   }
 
+  /** The decode seam: real parse for the self-describing raster formats,
+    * deterministic stub for everything else. A malformed header in a
+    * sniffed format falls back to the stub rather than failing the task —
+    * at pipeline scale a corrupt item must cost one fallback row, not a
+    * stage retry.
+    */
+  def decode(bytes: Array[Byte]): (Int, Int, Double) =
+    try {
+      if (isBmp(bytes)) decodeBmp(bytes)
+      else if (isPgm(bytes)) decodePgm(bytes)
+      else decodeStub(bytes)
+    } catch { case _: Exception => decodeStub(bytes) }
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+  private def isPgm(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'P'.toByte && b(1) == '5'.toByte
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Uncompressed (BI_RGB) 24/32-bpp BMP: dims from the BITMAPINFOHEADER,
+    * mean over the R/G/B channel bytes of every pixel (alpha excluded),
+    * honoring 4-byte row padding and bottom-up vs top-down row order
+    * (irrelevant to a mean, but height is read as |height|).
+    */
+  private def decodeBmp(b: Array[Byte]): (Int, Int, Double) = {
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    require(w > 0 && h > 0 && comp == 0 && (bpp == 24 || bpp == 32),
+      s"unsupported BMP: ${w}x$h bpp=$bpp comp=$comp")
+    val stride = bpp / 8
+    val rowSize = ((bpp * w + 31) / 32) * 4
+    require(off + rowSize.toLong * h <= b.length, "truncated BMP")
+    var sum = 0L
+    var row = 0
+    while (row < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + row * rowSize + x * stride
+        sum += (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        x += 1
+      }
+      row += 1
+    }
+    (w, h, sum.toDouble / (w.toLong * h * 3))
+  }
+
+  /** Binary PGM (P5): ASCII header tokens (magic, width, height, maxval;
+    * `#` comments allowed) then one whitespace byte and w×h raw samples
+    * (maxval ≤ 255 ⇒ 1 byte each); mean over the samples.
+    */
+  private def decodePgm(b: Array[Byte]): (Int, Int, Double) = {
+    var i = 2 // past "P5"
+    def nextToken(): Int = {
+      while (i < b.length &&
+        (Character.isWhitespace(b(i)) || b(i) == '#'.toByte)) {
+        if (b(i) == '#'.toByte)
+          while (i < b.length && b(i) != '\n'.toByte) i += 1
+        else i += 1
+      }
+      var v = 0
+      while (i < b.length && !Character.isWhitespace(b(i))) {
+        v = v * 10 + (b(i) - '0'.toByte); i += 1
+      }
+      v
+    }
+    val w = nextToken(); val h = nextToken(); val maxVal = nextToken()
+    i += 1 // the single whitespace byte after maxval
+    require(w > 0 && h > 0 && maxVal > 0 && maxVal <= 255,
+      s"unsupported PGM: ${w}x$h maxval=$maxVal")
+    require(i + w.toLong * h <= b.length, "truncated PGM")
+    var sum = 0L
+    var p = 0
+    val n = w * h
+    while (p < n) { sum += b(i + p) & 0xff; p += 1 }
+    (w, h, sum.toDouble / n)
+  }
+
   /** Feature extraction over media items: partition-parallel, streaming
     * per item, no driver involvement. Frame sampling for "video" = every
-    * 64th byte-row of the fake decode (stub for real frame extraction).
+    * 64th byte-row of the decode (stub for real frame extraction).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
       it.map { item =>
-        val (w, h, mean) = decodeStub(item.media)
+        val (w, h, mean) = decode(item.media)
         val frames = if (item.media_type == "video")
           math.max(1, h / 64) else 1
         MediaFeatures(item.doc_id, item.media.length.toLong, w, h, mean,

@@ -35,6 +35,52 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0L).getAs[Double]("mean_intensity") == 'x'.toInt.toDouble)
   }
 
+  test("decode parses a real BMP: header dims + true mean intensity") {
+    // render a 4×3 image with known channel values and write REAL BMP
+    // bytes with the JDK's own encoder, then decode with the pure parser
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 3)
+      img.setRGB(x, y, new java.awt.Color(10 * (x + 1), 20, 30).getRGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val bytes = bos.toByteArray
+    val (w, h, mean) = Multimodal.decode(bytes)
+    assert(w == 4 && h == 3)
+    // mean over RGB channels: rows identical; r = 10,20,30,40 per x
+    val expected = (0 until 4).map(x => 10.0 * (x + 1) + 20 + 30).sum / 12
+    assert(math.abs(mean - expected) < 1e-9, s"mean=$mean exp=$expected")
+  }
+
+  test("decode parses a binary PGM and survives malformed headers") {
+    val header = "P5\n# a comment\n3 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](0, 50, 100, (150).toByte, (200).toByte,
+      (250).toByte)
+    val (w, h, mean) = Multimodal.decode(header ++ pixels)
+    assert(w == 3 && h == 2)
+    assert(mean == (0 + 50 + 100 + 150 + 200 + 250) / 6.0)
+    // a text payload that merely STARTS like a PGM magic falls back to
+    // the stub (strict parse fails), it does not crash the task
+    val fake = "P5 this is prose, not pixels".getBytes("UTF-8")
+    val (fw, fh, _) = Multimodal.decode(fake)
+    assert((fw, fh) == (Multimodal.decodeStub(fake)._1,
+      Multimodal.decodeStub(fake)._2))
+  }
+
+  test("extractFeatures routes real rasters through the real decode") {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8)
+      img.setRGB(x, y, new java.awt.Color(60, 60, 60).getRGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val media = Seq((100L, bos.toByteArray, "image"))
+      .toDF("doc_id", "media", "media_type")
+    val row = Multimodal.extractFeatures(media).collect().head
+    assert(row.getAs[Int]("width") == 8 && row.getAs[Int]("height") == 8)
+    assert(row.getAs[Double]("mean_intensity") == 60.0)
+  }
+
   test("video items sample frames, others exactly 1") {
     val f = Multimodal.extractFeatures(Multimodal.asMedia(docs))
     val frames = f.collect()
