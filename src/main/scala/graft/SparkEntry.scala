@@ -295,12 +295,17 @@ object SparkEntry {
     // supplier ids are a subset of the customer id range — so it would be
     // a trivially-passing oracle.)
     "q10_churned_senders" -> ((s, dir) => {
+      // the timeline midpoint rides the plan as a broadcast 1-row
+      // crossJoin (the Windows.withWindowId idiom) instead of a driver
+      // .head() action — one job, no scalar round-trip
       val e = edges(s, dir)
-      val midV = e.agg(expr("(min(ts) + max(ts)) div 2").as("mid"))
-        .head().getLong(0)
-      e.filter(col("ts") < midV).select(col("src").as("id")).distinct()
-        .join(e.filter(col("ts") >= midV).select(col("src").as("id"))
-          .distinct(), Seq("id"), "left_anti")
+      val mid = broadcast(
+        e.agg(expr("(min(ts) + max(ts)) div 2").as("mid")))
+      val tagged = e.crossJoin(mid)
+      tagged.filter(col("ts") < col("mid"))
+        .select(col("src").as("id")).distinct()
+        .join(tagged.filter(col("ts") >= col("mid"))
+          .select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
     }),
 
     // ───── deterministic sampling (P8) ─────
@@ -495,6 +500,24 @@ object SparkEntry {
         .filter(col("cum_tokens") <= 2000L)
         .select(col("lang_pred"), col("doc_id"), col("n_tokens"),
           col("cum_tokens"))
+    }),
+
+    // concat-and-chunk packing of the curated docs into 512-token
+    // training sequences, per language stream (TextOps.packSequences)
+    "q63_sequence_packing" -> ((s, dir) =>
+      TextOps.packSequences(
+        sharedDocCuration(s, dir)
+          .select(col("lang_pred"), col("doc_id"), col("n_tokens")),
+        seqLen = 512)),
+
+    // benchmark decontamination: distinct word-5-gram overlap of each
+    // candidate training doc (doc_id % 10 <> 0) against the benchmark
+    // split (doc_id % 10 = 0) — inverted-index join, never doc × doc
+    "q64_contamination" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      TextOps.contaminationOverlap(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), n = 5)
     }),
 
     // ───── similarity search (extension surface) ─────
@@ -1383,6 +1406,61 @@ object SparkEntry {
          |SELECT lang_pred, doc_id, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 2000""".stripMargin
     },
+
+    // q61's lang CTEs + token counts, then pure integer chunk arithmetic
+    // over a per-language cumulative sum (window sum CAST to BIGINT —
+    // DuckDB's sum(BIGINT) is HUGEINT)
+    "q63_sequence_packing" -> {
+      val lexValues = TextOps.langLexicon
+        .map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+      s"""WITH lex(lex_lang, token) AS (VALUES $lexValues),
+         |t AS (SELECT doc_id, text,
+         |        string_split_regex(lower(text), '\\s+') AS toks
+         |      FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |hits AS (SELECT doc_id, lex_lang, count(*) AS hits
+         |         FROM tk JOIN lex USING (token) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(hits) AS max_hits FROM hits GROUP BY 1),
+         |pred AS (SELECT h.doc_id, min(h.lex_lang) AS lang_pred
+         |         FROM hits h JOIN best b
+         |           ON h.doc_id = b.doc_id AND h.hits = b.max_hits
+         |         GROUP BY 1),
+         |lang AS (SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred
+         |         FROM documents d LEFT JOIN pred p USING (doc_id)),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |p AS (SELECT lang.lang_pred, lang.doc_id, n.n_tokens,
+         |        CAST(sum(n.n_tokens + 1) OVER (PARTITION BY lang.lang_pred
+         |          ORDER BY lang.doc_id ASC) AS BIGINT) AS cum
+         |      FROM lang JOIN n USING (doc_id)),
+         |s AS (SELECT lang_pred, doc_id, n_tokens,
+         |        cum - (n_tokens + 1) AS seq_start FROM p)
+         |SELECT lang_pred, doc_id, n_tokens,
+         |  seq_start // 512 AS seq_id,
+         |  seq_start % 512 AS seq_offset,
+         |  (seq_start + n_tokens - 1) // 512 <> seq_start // 512
+         |    AS spans_boundary
+         |FROM s""".stripMargin
+    },
+
+    // decontamination mirror: the q23 shingle idiom at n=5, benchmark
+    // split collapsed to its distinct gram set, inverted-index join
+    "q64_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |        string_split_regex(lower(text), '\s+') AS tk
+        |      FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+        |      i -> array_to_string(tk[i:i+4], ' '))) AS gram
+        |    FROM t WHERE len(tk) >= 5)),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n_shared_ngrams
+        |         FROM g JOIN bg USING (gram)
+        |         WHERE g.doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+        |  coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

@@ -173,6 +173,52 @@ object TextOps {
         .as("lang_pred"))
   }
 
+  /** Benchmark-contamination check — the decontamination pass of an LLM
+    * data pipeline (train/test n-gram overlap, the GPT-3 appendix-C /
+    * Gopher §A.2 shape): for each candidate training doc, the count of
+    * DISTINCT word n-grams it shares with ANY benchmark doc. The join is
+    * an inverted index keyed by the n-gram (one shuffle, linear in corpus
+    * n-gram volume, map-side distinct) — never doc × doc; the benchmark
+    * side collapses to its distinct gram set first, so a gram shared by
+    * many benchmark docs costs one row.
+    */
+  def contaminationOverlap(train: DataFrame, bench: DataFrame, n: Int = 5,
+                           textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+    val bg = grams(bench).select(col("g")).distinct()
+    val hits = grams(train).join(bg, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_ngrams"))
+    train.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Concat-and-chunk sequence packing — the step that turns curated
+    * documents into fixed-length training sequences: per language stream,
+    * documents concatenate in doc_id order (one EOS token after each) and
+    * the token stream is chunked into `seqLen`-token sequences. Emitted
+    * per doc: the sequence its first token lands in, the offset there,
+    * and whether it straddles a chunk boundary. Pure integer window
+    * arithmetic over a per-partition cumulative sum — packing is
+    * inherently sequential, so the parallel unit is the partition key
+    * (language here; a 100 TB pipeline packs per shard the same way).
+    */
+  def packSequences(docTokens: DataFrame, seqLen: Int = 512,
+                    partCol: String = "lang_pred"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col("doc_id"))
+    docTokens
+      .withColumn("cum", sum(col("n_tokens") + lit(1L)).over(w))
+      .withColumn("seq_start", col("cum") - (col("n_tokens") + lit(1L)))
+      .select(col(partCol), col("doc_id"), col("n_tokens"),
+        expr(s"seq_start div $seqLen").as("seq_id"),
+        expr(s"seq_start % $seqLen").as("seq_offset"),
+        (expr(s"(seq_start + n_tokens - 1) div $seqLen") =!=
+          expr(s"seq_start div $seqLen")).as("spans_boundary"))
+  }
+
   /** Language ID: explode tokens → broadcast-join lexicon → per-doc hit
     * count per language → argmax (ties: lexicographically smallest lang;
     * no hits: 'und'). One shuffle keyed by doc_id.

@@ -85,6 +85,44 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) != got(2L))
   }
 
+  test("contaminationOverlap counts distinct shared n-grams, never doc×doc") {
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains the benchmark 5-gram "the quick brown fox jumps" twice →
+      // distinct ⇒ counted ONCE; plus "fox jumps over the lazy"
+      (1L, "the quick brown fox jumps over the lazy cat and " +
+        "the quick brown fox jumps again"),
+      (2L, "completely unrelated text with no overlap at all whatsoever"),
+      (3L, "shorty")) // < 5 tokens → no grams, still emitted with 0
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextOps.contaminationOverlap(train, bench, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L)._1 >= 2 && got(1L)._2)
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false))
+    // the shared 5-gram appearing twice in doc 1 is counted once
+    val expected1 = Seq(
+      "the quick brown fox jumps", "quick brown fox jumps over",
+      "brown fox jumps over the", "fox jumps over the lazy").size
+    assert(got(1L)._1 == expected1)
+  }
+
+  test("packSequences: chunk arithmetic and boundary straddles") {
+    // one stream, docs of 3,2,4 tokens, seqLen 5, +1 EOS each:
+    // starts at 0, 4, 7 → seq ids 0, 0, 1; doc 2 occupies [4..6] (with
+    // EOS) but its TOKENS are [4..5] → straddles the 5-boundary
+    val d = Seq(("en", 0L, 3L), ("en", 1L, 2L), ("en", 2L, 4L))
+      .toDF("lang_pred", "doc_id", "n_tokens")
+    val got = graft.ext.TextOps.packSequences(d, seqLen = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got(0) == (0L, 0L, false)) // tokens [0..2]
+    assert(got(1) == (0L, 4L, true))  // tokens [4..5] straddle pos 5
+    assert(got(2) == (1L, 2L, true))  // tokens [7..10] straddle pos 10
+  }
+
   test("rolling hash is null-safe") {
     val d = Seq((1L, Option("x")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
