@@ -28,6 +28,7 @@ object Main {
       |  graft.Main aa-ar    --f <edges.csv>  [--o <outdir>] [--w 14] [--s 256] [--b 4] [--a 3] [--c 3]
       |  graft.Main aa-smurf --f <matrix.txt> [--o <outdir>] [--i <maxIter>]
       |  graft.Main stream   --f <eventsDir>  [--o <outdir>] [--w "1 hour"] [--m "2 hours"]
+      |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -68,6 +69,17 @@ object Main {
             size = opt("--w", "1 hour"), watermark = opt("--m", "2 hours"))
           println(s"stream: $n finalized window rows -> " +
             s"${opt("--o", "results")}/stream_counts")
+        case "curate" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val counts = runCurate(spark, in, opt("--o", "results"),
+            seqLen = opt("--l", "512").toInt,
+            tokenBudget = opt("--t", "2000").toLong)
+          println(s"curate: ${counts("input")} docs in, " +
+            s"${counts("after_dedup")} after dedup, " +
+            s"${counts("selected")} selected, " +
+            s"${counts("sequences")} packed sequences -> " +
+            s"${opt("--o", "results")}")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -195,6 +207,83 @@ object Main {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$out/stream_counts").count()
+  }
+
+  /** The LLM-training-data curation pipeline end-to-end, user-reachable:
+    * documents parquet (`doc_id, text`) → exact dedup → near-dup
+    * clustering (3-gram Jaccard + connected components) keeping the
+    * best-quality representative per cluster → language ID + quality
+    * scoring → per-language token-budget selection → concat-and-chunk
+    * packing into `seqLen`-token training sequences. Writes four parquet
+    * tables under `out` (`clusters`, `kept_docs`, `selected`, `packed`)
+    * and returns stage counts. Every stage is the same operator the
+    * named queries check against DuckDB (q22, q43/q60, q61, q63) — this
+    * is their composition, not a parallel implementation.
+    */
+  def runCurate(spark: SparkSession, in: String, out: String,
+                seqLen: Int = 512, tokenBudget: Long = 2000L)
+      : Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.{Dedup, TextOps}
+    val docs = spark.read.parquet(in)
+      .select(col("doc_id"), col("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nIn = docs.count()
+
+    // exact dedup first (hash-group, cheapest): keep each byte-identical
+    // group's canonical (smallest) doc_id
+    val exact = docs.join(
+      Dedup.exact(docs).select(col("canonical_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // … then near-dup clusters over the survivors; keep the best-quality
+    // representative of each cluster (the q60 end-step)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(exact, n = 3, minJaccard = 0.05)
+        .select(col("doc_a"), col("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qual = TextOps.qualityScore(exact)
+      .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val reps = clusters.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("q").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val dropped = clusters.join(reps.withColumnRenamed("doc_id", "keep_id"),
+        clusters("doc_id") === col("keep_id"), "left_anti")
+      .select(col("doc_id"))
+    val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nKept = kept.count()
+
+    // language + quality + token counts → per-language budget (q61)
+    val lang = TextOps.langId(kept)
+    val toks = TextOps.qualityFeatures(kept)
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
+    val cur = lang.join(qual, "doc_id").join(toks, "doc_id")
+    val bw = Window.partitionBy(col("lang_pred"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val selected = cur
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(bw))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSel = selected.count()
+
+    // pack the selection into fixed-length training sequences (q63)
+    val packed = TextOps.packSequences(
+      selected.select(col("lang_pred"), col("doc_id"), col("n_tokens")),
+      seqLen = seqLen)
+
+    clusters.write.mode("overwrite").parquet(s"$out/clusters")
+    kept.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$out/kept_docs")
+    selected.write.mode("overwrite").parquet(s"$out/selected")
+    packed.write.mode("overwrite").parquet(s"$out/packed")
+    val nSeq = spark.read.parquet(s"$out/packed")
+      .agg(countDistinct(col("lang_pred"), col("seq_id"))).head().getLong(0)
+    docs.unpersist(); clusters.unpersist(); kept.unpersist()
+    selected.unpersist()
+    Map("input" -> nIn, "after_dedup" -> nKept, "selected" -> nSel,
+      "sequences" -> nSeq)
   }
 
   /** aa-smurf pipeline on an arbitrary session; returns the number of

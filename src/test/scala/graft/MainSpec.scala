@@ -79,6 +79,34 @@ class MainSpec extends SparkSpec {
     assert(perWindow.forall(_.getLong(0) == 3L))
   }
 
+  test("curate CLI mode: dedup → select → pack, tables land as parquet") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    // the sf0.001 documents plus two planted exact duplicates of doc 0
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dup = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.union(dup)
+      .write.parquet(s"$tmp/docs_in")
+
+    val counts = Main.runCurate(spark, s"$tmp/docs_in", s"$tmp/out")
+    assert(counts("input") == docs.count() + 1)
+    // the planted exact duplicate is gone (canonical doc 0 survives);
+    // near-dup clustering may drop more, never add
+    assert(counts("after_dedup") <= docs.count())
+    assert(counts("selected") > 0 && counts("selected") <= counts("after_dedup"))
+    assert(counts("sequences") > 0)
+
+    val packed = spark.read.parquet(s"$tmp/out/packed")
+    Seq("lang_pred", "doc_id", "n_tokens", "seq_id", "seq_offset",
+      "spans_boundary").foreach(c => assert(packed.columns.contains(c)))
+    assert(packed.count() == counts("selected"))
+    // every selected doc's id survived dedup
+    val kept = spark.read.parquet(s"$tmp/out/kept_docs")
+    val sel = spark.read.parquet(s"$tmp/out/selected")
+    assert(sel.join(kept, "doc_id").count() == counts("selected"))
+  }
+
   test("aa-smurf CLI pipeline runs from the reference's dense matrix") {
     val tmp = Files.createTempDirectory("graft-main").toString
     val n = Main.runAaSmurf(spark,

@@ -83,6 +83,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 4, s"feature aggregation shuffle count regressed: $n")
   }
 
+  test("approx feature mode: one shuffle, no Expand, no sort-window pass") {
+    // the documented trade-off of q62: HLL++/KLL sketch state instead of
+    // the exact path's sort-window median and distinct Expand — the plan
+    // must show exactly the fixed-state single-aggregation shape
+    val p = staticPlan(SparkEntry.queries("q62_features_approx")(spark, dir))
+    val expands = p.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty, "approx mode must not plan a distinct Expand")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "approx mode must not plan a median window pass")
+    // union of the two edge sides → ONE aggregation exchange (plus the
+    // edge-derivation join's own exchanges at most)
+    assert(shuffles(p).size <= 3,
+      s"approx aggregation shuffle count regressed: ${shuffles(p).size}")
+  }
+
+  test("contamination query prunes both document scans to (doc_id, text)") {
+    val p = staticPlan(SparkEntry.queries("q64_contamination")(spark, dir))
+    val docScans = scans(p)
+    assert(docScans.nonEmpty)
+    docScans.foreach { s =>
+      assert(s.requiredSchema.names.toSet.subsetOf(Set("doc_id", "text")),
+        s"documents scan reads extra columns: ${s.requiredSchema.names.toSeq}")
+    }
+  }
+
   test("windowed feature query keeps the median window codegen-eligible") {
     val p = staticPlan(SparkEntry.queries("q05_features_by_window")(spark, dir))
     // no ObjectHashAggregate (the non-codegen `percentile` shape this
