@@ -192,6 +192,55 @@ class SparkPropsSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12)
   }
 
+  test("packSequences: per-language starts are the gap-free running sum") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 3) {
+      val docs = Seq.tabulate(40)(i =>
+        (if (i % 2 == 0) "en" else "de", i.toLong,
+          rng.nextInt(30).toLong + 1))
+        .toDF("lang_pred", "doc_id", "n_tokens")
+      val p = graft.ext.TextOps.packSequences(docs, seqLen = 16)
+      val rows = p.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3) * 16 + r.getLong(4)))
+      // seq_id*L + seq_offset reconstructs the concat position exactly:
+      // within each language, doc i starts where doc i−1's tokens (+EOS)
+      // ended — contiguous, gap-free, no token lost or double-packed
+      rows.groupBy(_._1).values.foreach { g =>
+        var cum = 0L
+        g.sortBy(_._2).foreach { case (_, _, n, start) =>
+          assert(start == cum, s"gap at start=$start cum=$cum")
+          cum += n + 1
+        }
+      }
+      assert(p.filter(col("seq_offset") < 0 ||
+        col("seq_offset") >= 16).count() == 0)
+    }
+  }
+
+  test("contaminationOverlap: bounded by the doc's own distinct grams") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    def text() = Seq.fill(rng.nextInt(12) + 5)(
+      words(rng.nextInt(words.size))).mkString(" ")
+    val docs = Seq.tabulate(30)(i => (i.toLong, text()))
+      .toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val bench = docs.filter(col("doc_id") % 3 === 0)
+    val got = graft.ext.TextOps.contaminationOverlap(train, bench, n = 3)
+    // every train doc appears exactly once; overlap ≤ its own distinct
+    // 3-gram count; flag consistent with the count
+    assert(got.count() == train.count())
+    val own = train.select(col("doc_id"),
+      size(array_distinct(graft.ext.TextOps.wordNgrams(col("text"), 3)))
+        .as("n_own"))
+    val joined = got.join(own, "doc_id")
+    assert(joined.filter(col("n_shared_ngrams") > col("n_own")).count() == 0)
+    assert(joined.filter(col("contaminated") =!=
+      (col("n_shared_ngrams") > 0)).count() == 0)
+  }
+
   test("all-zero focus plot sketches to zero") {
     val s = spark
     import s.implicits._
