@@ -79,6 +79,43 @@ class MainSpec extends SparkSpec {
     assert(perWindow.forall(_.getLong(0) == 3L))
   }
 
+  test("stream CLI mode resumes from checkpoint: new files, no re-emits") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val csvDir = new java.io.File(s"$tmp/events_csv")
+    csvDir.mkdirs()
+    def writeBatch(name: String, startMin: Int, minutes: Int): Unit = {
+      val w = new java.io.PrintWriter(s"$csvDir/$name.csv")
+      w.println("ts,event_type,value")
+      (startMin until startMin + minutes).foreach { i =>
+        // hour-aligned base so every finalized window is a complete hour
+        val ts = java.time.Instant.ofEpochSecond(1699999200L + i * 60L)
+        w.println(s"$ts,type${i % 2},1.0")
+      }
+      w.close()
+    }
+    // batch 1: 5 hours of events → watermark (max−2h) finalizes ~3 windows
+    writeBatch("part-0", 0, 300)
+    val n1 = Main.runStream(spark, csvDir.toString, s"$tmp/out",
+      size = "1 hour", watermark = "2 hours")
+    assert(n1 > 0)
+    // batch 2: 5 MORE hours appended — the second run must pick up ONLY
+    // the new file (checkpointed source offsets), flush the windows the
+    // advancing watermark closed, and never re-emit finalized ones
+    writeBatch("part-1", 300, 300)
+    val n2 = Main.runStream(spark, csvDir.toString, s"$tmp/out",
+      size = "1 hour", watermark = "2 hours")
+    assert(n2 > n1, s"resume did not extend output: $n1 -> $n2")
+    val out = spark.read.parquet(s"$tmp/out/stream_counts")
+    // no duplicate (window, type) rows across the two incremental runs
+    assert(out.count() ==
+      out.select(col("w_start"), col("event_type")).distinct().count())
+    // counts are complete per finalized hour: 30 each of the 2 types
+    val byWindow = out.groupBy(col("w_start"))
+      .agg(sum(col("n")).as("total")).select(col("total"))
+      .distinct().collect()
+    assert(byWindow.forall(_.getLong(0) == 60L))
+  }
+
   test("curate CLI mode: dedup → select → pack, tables land as parquet") {
     val tmp = Files.createTempDirectory("graft-main").toString
     // the sf0.001 documents plus two planted exact duplicates of doc 0
