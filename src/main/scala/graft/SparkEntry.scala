@@ -520,6 +520,17 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) === 0), n = 5)
     }),
 
+    // windowed exact-substring duplication (Lee et al. 2021's signal,
+    // bucketed): per doc, distinct 20-token windows shared verbatim with
+    // another doc
+    "q65_substring_dup" -> ((s, dir) =>
+      Dedup.substringDupWindows(Tables.table(s, dir, "documents"),
+        winTokens = 20)),
+
+    // tf-idf keyword extraction: top-3 tokens per doc by tf·ln(N/df)
+    "q66_tfidf_keywords" -> ((s, dir) =>
+      TextOps.tfidfKeywords(Tables.table(s, dir, "documents"), k = 3)),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1465,6 +1476,46 @@ object SparkEntry {
         |  coalesce(h.n_shared_ngrams, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
+    // windowed substring-dup mirror: per-doc distinct 20-token windows,
+    // window shared ⟺ ≥ 2 docs contain it (the Spark side groups the
+    // 64-bit window hash; counts agree modulo 2⁻⁶⁴ collisions, the
+    // ngramJaccardPairs precedent)
+    "q65_substring_dup" ->
+      """WITH t AS (SELECT doc_id,
+        |        string_split_regex(lower(text), '\s+') AS tk
+        |      FROM documents),
+        |w AS (SELECT DISTINCT doc_id, win FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 18),
+        |      i -> array_to_string(tk[i:i+19], ' '))) AS win
+        |    FROM t WHERE len(tk) >= 20)),
+        |d AS (SELECT win FROM (
+        |    SELECT win, count(*) AS nd FROM w GROUP BY 1) WHERE nd > 1),
+        |hits AS (SELECT doc_id, count(*) AS n_dup_windows
+        |         FROM w JOIN d USING (win) GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  coalesce(h.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(h.n_dup_windows, 0) > 0 AS has_dup_substring
+        |FROM documents doc LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // tf-idf mirror: identical aggregation chain, score ROUNDED before
+    // the rank so ordering can't flip on an ln() ulp
+    "q66_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id,
+        |        unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |      FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN nd),
+        |r AS (SELECT doc_id, tok, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, tok, tfidf FROM r WHERE rnk <= 3""".stripMargin,
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

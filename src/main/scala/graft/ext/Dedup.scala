@@ -201,6 +201,39 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** Windowed exact-substring duplication — the "duplicated training
+    * span" signal of Lee et al. 2021 (*Deduplicating Training Data Makes
+    * Language Models Better*) in bucketed form: for each doc, how many of
+    * its DISTINCT `winTokens`-token windows also occur verbatim in at
+    * least one OTHER doc. The full suffix-array construction the paper
+    * uses is a single-machine algorithm; the windowed inverted index
+    * keyed by the window's 64-bit hash (the [[ngramJaccardPairs]] idiom —
+    * narrow shuffle rows, long-vs-long comparisons) captures the same
+    * ≥ winTokens-span duplication and is one linear shuffle at any corpus
+    * size. A doc's flagged count answers "how much of this doc is copied
+    * text" — the filter signal a pipeline thresholds on.
+    */
+  def substringDupWindows(docs: DataFrame, winTokens: Int = 20,
+                          textCol: String = "text"): DataFrame = {
+    val wins = docs.select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.wordNgrams(col(textCol), winTokens))).as("win"))
+      .select(col("doc_id"), xxhash64(col("win")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // windows are distinct per doc, so the group count IS the doc count
+    val shared = wins.groupBy(col("w"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("w"))
+    val hits = wins.join(shared, "w")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)) > 0)
+          .as("has_dup_substring"))
+  }
+
   /** Connected components over a near-dup pair table → cluster ids
     * (cluster id = min doc_id in the component): the step after pair
     * generation in a real dedup pipeline — keep one representative per

@@ -173,6 +173,34 @@ object TextOps {
         .as("lang_pred"))
   }
 
+  /** tf-idf keyword extraction: per doc, the top-k tokens by
+    * tf·ln(N/df). Corpus stats are two aggregations (term frequency per
+    * (doc, token); document frequency per token); N rides the plan as a
+    * broadcast 1-row crossJoin, not a driver scalar. Ranking uses the
+    * ROUNDED score (deterministic cross-engine ordering — raw doubles
+    * could differ by an ulp between ln implementations), ties broken by
+    * token, so the top-k set is stable and oracle-checkable.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val scored = tf.join(dfreq, "tok").crossJoin(nDocs)
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+  }
+
   /** Benchmark-contamination check — the decontamination pass of an LLM
     * data pipeline (train/test n-gram overlap, the GPT-3 appendix-C /
     * Gopher §A.2 shape): for each candidate training doc, the count of

@@ -109,6 +109,44 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._1 == expected1)
   }
 
+  test("substringDupWindows flags verbatim 20-token spans, not originals") {
+    val span = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, span),                                  // original
+      (1L, "prefix " + span + " suffix"),          // contains it verbatim
+      (2L, (100 to 130).map(i => s"u$i").mkString(" ")), // unique text
+      (3L, "tiny doc"))                            // < 20 tokens
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.substringDupWindows(docs, winTokens = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    // docs 0 and 1 share every 20-window of the 25-token span: doc 0 has
+    // 6 windows, all inside doc 1's text too
+    assert(got(0L) == (6L, true))
+    assert(got(1L)._1 >= 6L && got(1L)._2)
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false)) // too short for any window, still a row
+  }
+
+  test("tfidfKeywords ranks rare-but-frequent tokens first") {
+    val docs = Seq(
+      (0L, "apple apple apple common common"),
+      (1L, "banana banana common common common"),
+      (2L, "cherry common common"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextOps.tfidfKeywords(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    // 'common' appears in every doc → idf = ln(1) = 0 → never a keyword
+    assert(got((0L, 1L))._1 == "apple")
+    assert(got((1L, 1L))._1 == "banana")
+    assert(got((2L, 1L))._1 == "cherry")
+    // tf·ln(N/df): apple 3·ln(3) ≈ 3.295837
+    assert(math.abs(got((0L, 1L))._2 - 3 * math.log(3.0)) < 1e-5)
+    // rank 2 falls to the zero-idf token (ties by token asc)
+    assert(got((0L, 2L))._2 == 0.0)
+  }
+
   test("packSequences: chunk arithmetic and boundary straddles") {
     // one stream, docs of 3,2,4 tokens, seqLen 5, +1 EOS each:
     // starts at 0, 4, 7 → seq ids 0, 0, 1; doc 2 occupies [4..6] (with
