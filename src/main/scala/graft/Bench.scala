@@ -53,7 +53,7 @@ object Bench {
     // totals-only line LAST: the full line above leads with the totals and
     // r03's artifact lost them to tail truncation — any tail capture of
     // this output keeps all three totals + the error list
-    println(s"""{"metric":"totals_tail","cold":$coldTotal,"warm":$warmTotal,"best":$bestTotal,"n_queries":${cold.size},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"totals_tail","cold":$coldTotal,"warm":$warmTotal,"best":$bestTotal,"n_queries":${ok(cold).size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -206,7 +206,12 @@ object Main {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$out/stream_counts").count()
+    // a stream whose watermark never passed a window end commits zero
+    // data files — reading with the known schema returns 0 rows instead
+    // of failing schema inference on an empty directory
+    spark.read.schema(
+        "w_start TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE")
+      .parquet(s"$out/stream_counts").count()
   }
 
   /** The LLM-training-data curation pipeline end-to-end, user-reachable:
@@ -223,7 +228,6 @@ object Main {
   def runCurate(spark: SparkSession, in: String, out: String,
                 seqLen: Int = 512, tokenBudget: Long = 2000L)
       : Map[String, Long] = {
-    import org.apache.spark.sql.expressions.Window
     import graft.ext.{Dedup, TextOps}
     val docs = spark.read.parquet(in)
       .select(col("doc_id"), col("text"))
@@ -231,40 +235,37 @@ object Main {
     val nIn = docs.count()
 
     // exact dedup first (hash-group, cheapest): keep each byte-identical
-    // group's canonical (smallest) doc_id
+    // group's canonical (smallest) doc_id. Persisted — it feeds the
+    // cluster build, the quality scores, and the kept set.
     val exact = docs.join(
       Dedup.exact(docs).select(col("canonical_doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // … then near-dup clusters over the survivors; keep the best-quality
-    // representative of each cluster (the q60 end-step)
+    // representative of each cluster (Dedup.clusterRepresentatives —
+    // the exact operator q60 hash-checks)
     val clusters = Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(exact, n = 3, minJaccard = 0.05)
         .select(col("doc_a"), col("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qual = TextOps.qualityScore(exact)
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
-    val byCluster = Window.partitionBy(col("cluster_id"))
-    val reps = clusters.join(qual, "doc_id")
-      .withColumn("rn", row_number().over(
-        byCluster.orderBy(col("q").desc, col("doc_id").asc)))
-      .filter(col("rn") === 1).select(col("doc_id"))
-    val dropped = clusters.join(reps.withColumnRenamed("doc_id", "keep_id"),
+    val reps = Dedup.clusterRepresentatives(clusters, qual)
+      .select(col("rep_doc_id").as("keep_id"))
+    val dropped = clusters.join(reps,
         clusters("doc_id") === col("keep_id"), "left_anti")
       .select(col("doc_id"))
     val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nKept = kept.count()
 
-    // language + quality + token counts → per-language budget (q61)
+    // language + quality + token counts → per-language budget
+    // (TextOps.tokenBudgetFilter — the exact operator q61 hash-checks)
     val lang = TextOps.langId(kept)
     val toks = TextOps.qualityFeatures(kept)
       .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
     val cur = lang.join(qual, "doc_id").join(toks, "doc_id")
-    val bw = Window.partitionBy(col("lang_pred"))
-      .orderBy(col("q").desc, col("doc_id").asc)
-    val selected = cur
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(bw))
-      .filter(col("cum_tokens") <= tokenBudget)
+    val selected = TextOps.tokenBudgetFilter(cur, tokenBudget)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSel = selected.count()
 
@@ -280,8 +281,8 @@ object Main {
     packed.write.mode("overwrite").parquet(s"$out/packed")
     val nSeq = spark.read.parquet(s"$out/packed")
       .agg(countDistinct(col("lang_pred"), col("seq_id"))).head().getLong(0)
-    docs.unpersist(); clusters.unpersist(); kept.unpersist()
-    selected.unpersist()
+    docs.unpersist(); exact.unpersist(); clusters.unpersist()
+    kept.unpersist(); selected.unpersist()
     Map("input" -> nIn, "after_dedup" -> nKept, "selected" -> nSel,
       "sequences" -> nSeq)
   }

@@ -86,13 +86,19 @@ object SparkEntry {
   // closure embeds a fresh function object per call, so plan-identical
   // builds never cache-hit on their own.
   private val dfMemo = scala.collection.mutable.Map.empty[String, DataFrame]
-  // keys carry the session's UUID: a cached DataFrame is bound to the
+  // keys carry the session's identity: a cached DataFrame is bound to the
   // SparkSession that built it, so a second session in the same JVM
   // (sequential Bench/Main runs, test suites) must rebuild rather than
-  // receive a handle tied to a possibly-stopped session
+  // receive a handle tied to a possibly-stopped session. Entries of
+  // STOPPED sessions are evicted on every lookup — the map cannot grow
+  // across a long multi-session JVM, and an identityHashCode reuse after
+  // GC cannot resurrect a dead entry (a collision would now require two
+  // LIVE sessions sharing the hash).
   private def memoized(s: SparkSession, key: String)
                       (build: => DataFrame): DataFrame =
     dfMemo.synchronized {
+      dfMemo.filterInPlace((_, df) =>
+        !df.sparkSession.sparkContext.isStopped)
       dfMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$key",
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
@@ -126,6 +132,8 @@ object SparkEntry {
   private def sharedSmurfGen(s: SparkSession,
                              dir: String): (DataFrame, DataFrame) =
     smurfGenMemo.synchronized {
+      smurfGenMemo.filterInPlace((_, v) =>
+        !v._1.sparkSession.sparkContext.isStopped)
       smurfGenMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir", {
         // the reference's FULL evaluation grid (smurf_generator.py:63,
         // 71-74): middle sizes 10..50 × 10 folds — one distributed table,
@@ -470,18 +478,9 @@ object SparkEntry {
     // the dedup END-STEP: of each near-dup cluster keep the best doc —
     // q43's clusters joined to the q18 quality score, representative =
     // max rounded quality, ties to the smallest doc_id
-    "q60_cluster_representative" -> ((s, dir) => {
-      val clusters = sharedNeardupClusters(s, dir)
-      val qual = sharedDocCuration(s, dir).select(col("doc_id"), col("q"))
-      val byCluster = Window.partitionBy(col("cluster_id"))
-      val scored = clusters.join(qual, "doc_id")
-        .withColumn("rn", row_number().over(
-          byCluster.orderBy(col("q").desc, col("doc_id").asc)))
-        .withColumn("n_members", count(lit(1)).over(byCluster))
-      scored.filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
-          col("n_members"), col("q").as("rep_quality"))
-    }),
+    "q60_cluster_representative" -> ((s, dir) =>
+      Dedup.clusterRepresentatives(sharedNeardupClusters(s, dir),
+        sharedDocCuration(s, dir).select(col("doc_id"), col("q")))),
 
     // deterministic 90/5/5 train/val/test assignment (Splits.hashSplit)
     "q59_hash_split" -> ((s, dir) =>
@@ -492,15 +491,8 @@ object SparkEntry {
     // (rounded score, ties to smallest doc_id) until a 2000-token budget
     // fills. Cumulative sum over a unique ordering → frame semantics
     // identical across engines.
-    "q61_token_budget" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang_pred"))
-        .orderBy(col("q").desc, col("doc_id").asc)
-      sharedDocCuration(s, dir)
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("cum_tokens") <= 2000L)
-        .select(col("lang_pred"), col("doc_id"), col("n_tokens"),
-          col("cum_tokens"))
-    }),
+    "q61_token_budget" -> ((s, dir) =>
+      TextOps.tokenBudgetFilter(sharedDocCuration(s, dir), 2000L)),
 
     // concat-and-chunk packing of the curated docs into 512-token
     // training sequences, per language stream (TextOps.packSequences)
@@ -555,10 +547,8 @@ object SparkEntry {
     "q40_simsearch_ivf" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
       val centers = ivfTrained(s, s"ivf:$dir")(SimSearch.ivfCentroids(emb))
-      ivfSqlMemo.synchronized {
-        ivfSqlMemo("q40_simsearch_ivf") =
-          q40OracleSql(centers, nprobe = 4, k = 10)
-      }
+      stashIvfSql(dir, "q40_simsearch_ivf",
+        q40OracleSql(centers, nprobe = 4, k = 10))
       SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
         k = 10, centersOpt = Some(centers))
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
@@ -568,10 +558,8 @@ object SparkEntry {
       val emb = Tables.table(s, dir, "embeddings")
       val model = ivfTrained(s, s"ivfpq:$dir")(
         SimSearch.ivfPqModel(emb, dim = 64))
-      ivfSqlMemo.synchronized {
-        ivfSqlMemo("q50_simsearch_ivfpq") =
-          q50OracleSql(model._1, model._2, nprobe = 4, k = 10, dsub = 8)
-      }
+      stashIvfSql(dir, "q50_simsearch_ivfpq",
+        q50OracleSql(model._1, model._2, nprobe = 4, k = 10, dsub = 8))
       SimSearch.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
         k = 10, modelOpt = Some(model))
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
@@ -1799,7 +1787,7 @@ object SparkEntry {
          |FROM banks a CROSS JOIN banks c
          |WHERE CAST(('0x' || substr(md5(a.b || '|' || c.b || '|bg|0'),
          |  1, 15)) AS BIGINT) % 1000000 < 500""".stripMargin
-  ) ++ ivfSqlMemo.synchronized(ivfSqlMemo.toMap)
+  ) ++ ivfSqlEntries
 
   // ───── trained-quantizer oracle mirrors (q40/q50) ─────
   // The IVF centroids/codebooks are data-dependent but DETERMINISTIC plan
@@ -1809,7 +1797,22 @@ object SparkEntry {
   // of the literals the plans embedded is available. If the queries never
   // ran (oracleSql read standalone), the entries are simply absent and
   // q40/q50 stay rows-only — strictly more checking, never less.
-  private val ivfSqlMemo = scala.collection.mutable.Map.empty[String, String]
+  // Mirrors are keyed per DIR and the dump emits only the most recently
+  // queried dir's set: if two dirs interleave in one JVM, the dump stays
+  // internally consistent for the dir Verify actually ran (last writer)
+  // instead of mixing one dir's output with another dir's literals.
+  private val ivfSqlMemo =
+    scala.collection.mutable.Map.empty[String, Map[String, String]]
+  @volatile private var ivfSqlLastDir: Option[String] = None
+  private def stashIvfSql(dir: String, name: String, sql: String): Unit =
+    ivfSqlMemo.synchronized {
+      ivfSqlMemo(dir) = ivfSqlMemo.getOrElse(dir, Map.empty) + (name -> sql)
+      ivfSqlLastDir = Some(dir)
+    }
+  private def ivfSqlEntries: Map[String, String] =
+    ivfSqlMemo.synchronized {
+      ivfSqlLastDir.flatMap(ivfSqlMemo.get).getOrElse(Map.empty)
+    }
 
   // trained-quantizer memo (plain driver values, session-scoped like
   // dfMemo): k-means on the bounded sample is deterministic per dir, so

@@ -201,6 +201,25 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** The dedup end-step: keep the best doc of each near-dup cluster —
+    * representative = max (rounded) quality, ties to the smallest doc_id.
+    * `clusters` is a connectedComponents output (doc_id, cluster_id);
+    * `quality` carries (doc_id, q). Shared by the q60 contract query and
+    * the curate CLI so the selection rule exists exactly once.
+    */
+  def clusterRepresentatives(clusters: DataFrame,
+                             quality: DataFrame): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val scored = clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("q").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+    scored.filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_members"), col("q").as("rep_quality"))
+  }
+
   /** Windowed exact-substring duplication — the "duplicated training
     * span" signal of Lee et al. 2021 (*Deduplicating Training Data Makes
     * Language Models Better*) in bucketed form: for each doc, how many of

@@ -121,6 +121,10 @@ object Multimodal {
       }
       var v = 0
       while (i < b.length && !Character.isWhitespace(b(i))) {
+        // strictly digits: a 'P5'-prefixed text payload must FAIL the
+        // parse (→ stub fallback), not parse garbage as dimensions
+        require(b(i) >= '0'.toByte && b(i) <= '9'.toByte,
+          s"non-digit in PGM header: ${b(i)}")
         v = v * 10 + (b(i) - '0'.toByte); i += 1
       }
       v

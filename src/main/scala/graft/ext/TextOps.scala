@@ -223,6 +223,22 @@ object TextOps {
         (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Per-language token-budget selection: keep the highest-quality docs
+    * (rounded score `q`, ties to smallest doc_id) until `budget` tokens
+    * fill. Cumulative sum over a unique ordering → frame semantics
+    * identical across engines. Input needs (lang_pred, doc_id, q,
+    * n_tokens); shared by the q61 contract query and the curate CLI.
+    */
+  def tokenBudgetFilter(cur: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_pred"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    cur.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("lang_pred"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   /** Concat-and-chunk sequence packing — the step that turns curated
     * documents into fixed-length training sequences: per language stream,
     * documents concatenate in doc_id order (one EOS token after each) and
