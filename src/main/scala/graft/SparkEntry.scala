@@ -523,6 +523,37 @@ object SparkEntry {
     "q66_tfidf_keywords" -> ((s, dir) =>
       TextOps.tfidfKeywords(Tables.table(s, dir, "documents"), k = 3)),
 
+    // per-source corpus governance profile — which ingestion sources are
+    // junk: doc count, exact integer quality total (ppm — rounded-q ×10⁶
+    // cast to BIGINT so the sum is order-independent, unlike a double
+    // avg), and how many docs carry a duplicated 20-token span
+    "q67_source_profile" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val qual = TextOps.qualityScore(docs)
+        .select(col("doc_id"),
+          round(round(col("quality_score"), 6) * 1e6)
+            .cast("bigint").as("q_ppm"))
+      val dup = Dedup.substringDupWindows(docs, winTokens = 20)
+        .select(col("doc_id"), col("has_dup_substring"))
+      docs.select(col("doc_id"), col("source"))
+        .join(qual, "doc_id").join(dup, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q_ppm")).as("total_quality_ppm"),
+          sum(when(col("has_dup_substring"), 1L).otherwise(0L))
+            .as("n_dup_docs"))
+    }),
+
+    // lang-ID evaluation against the corpus's gold `lang` column — the
+    // confusion-matrix counts a pipeline tracks when it swaps classifiers
+    "q68_langid_eval" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      TextOps.langId(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1504,6 +1535,66 @@ object SparkEntry {
         |      ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
         |  FROM sc)
         |SELECT doc_id, rnk, tok, tfidf FROM r WHERE rnk <= 3""".stripMargin,
+
+    // per-source profile mirror: the q18 quality formula as an exact
+    // integer ppm (same double → same round in both engines), the q65
+    // window-dup flag, sums CAST to BIGINT (DuckDB sum → HUGEINT)
+    "q67_source_profile" ->
+      """WITH t AS (SELECT doc_id, text,
+        |        string_split_regex(lower(text), '\s+') AS toks
+        |      FROM documents),
+        |qf AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_token_ratio
+        |  FROM t),
+        |qual AS (SELECT doc_id,
+        |  CAST(round(round(least(1.0, greatest(0.0,
+        |    0.4 * least(stopword_ratio * 4.0, 1.0) +
+        |    0.3 * distinct_token_ratio +
+        |    0.3 * (1.0 - least(digit_ratio * 5.0, 1.0)))), 6) * 1000000.0, 0)
+        |    AS BIGINT) AS q_ppm
+        |  FROM qf),
+        |w AS (SELECT DISTINCT doc_id, win FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 18),
+        |      i -> array_to_string(toks[i:i+19], ' '))) AS win
+        |    FROM t WHERE len(toks) >= 20)),
+        |dw AS (SELECT win FROM (
+        |    SELECT win, count(*) AS nd FROM w GROUP BY 1) WHERE nd > 1),
+        |hits AS (SELECT doc_id, count(*) AS nh
+        |         FROM w JOIN dw USING (win) GROUP BY 1),
+        |dup AS (SELECT d.doc_id, coalesce(h.nh, 0) > 0 AS has_dup
+        |        FROM documents d LEFT JOIN hits h USING (doc_id))
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(q.q_ppm) AS BIGINT) AS total_quality_ppm,
+        |  CAST(sum(CASE WHEN dup.has_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs
+        |FROM documents d
+        |JOIN qual q USING (doc_id) JOIN dup USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
+    // lang-ID eval mirror: q61's lang CTEs joined to the gold column
+    "q68_langid_eval" -> {
+      val lexValues = TextOps.langLexicon
+        .map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+      s"""WITH lex(lex_lang, token) AS (VALUES $lexValues),
+         |t AS (SELECT doc_id,
+         |        string_split_regex(lower(text), '\\s+') AS toks
+         |      FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |hits AS (SELECT doc_id, lex_lang, count(*) AS hits
+         |         FROM tk JOIN lex USING (token) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, max(hits) AS max_hits FROM hits GROUP BY 1),
+         |pred AS (SELECT h.doc_id, min(h.lex_lang) AS lang_pred
+         |         FROM hits h JOIN best b
+         |           ON h.doc_id = b.doc_id AND h.hits = b.max_hits
+         |         GROUP BY 1),
+         |lang AS (SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred
+         |         FROM documents d LEFT JOIN pred p USING (doc_id))
+         |SELECT d.lang, l.lang_pred, count(*) AS n
+         |FROM documents d JOIN lang l USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,
