@@ -545,10 +545,13 @@ object SparkEntry {
     }),
 
     // lang-ID evaluation against the corpus's gold `lang` column — the
-    // confusion-matrix counts a pipeline tracks when it swaps classifiers
+    // confusion-matrix counts a pipeline tracks when it swaps
+    // classifiers. Rides the session's cached curation table (its
+    // lang_pred IS TextOps.langId's output; the curation joins are
+    // per-doc complete, so no rows are lost).
     "q68_langid_eval" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      TextOps.langId(docs)
+      sharedDocCuration(s, dir).select(col("doc_id"), col("lang_pred"))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
