@@ -23,7 +23,7 @@ object Explain {
         "q60_cluster_representative", "q61_token_budget",
         "q62_features_approx", "q63_sequence_packing", "q64_contamination",
         "q65_substring_dup", "q66_tfidf_keywords", "q67_source_profile",
-        "q68_langid_eval")
+        "q68_langid_eval", "q69_semdedup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

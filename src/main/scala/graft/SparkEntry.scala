@@ -599,6 +599,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("adc_cos"), 6).as("adc_cos"))
     }),
+    // SemDeDup rides the SAME trained coarse quantizer as q40 (memoized
+    // per dir — one k-means fit serves both), and its mirror is stashed
+    // the same way, so the cluster-based dedup variant is hash-checked
+    // like the LSH one (q26). τ=0.3 because the synthetic embeddings
+    // carry cluster structure but no planted exact dups (max pairwise
+    // cos ≈ 0.51); the threshold is a parameter in both engines.
+    "q69_semdedup" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val centers = ivfTrained(s, s"ivf:$dir")(SimSearch.ivfCentroids(emb))
+      stashIvfSql(dir, "q69_semdedup", q69OracleSql(centers, minCos = 0.3))
+      Dedup.semDedup(emb, centers, minCos = 0.3)
+    }),
 
     // ───── oracle-checkable faces of the driver-side algo operators ─────
     // A15 + M7: every MDL bit-cost term is a conditional count over the
@@ -1967,6 +1979,33 @@ object SparkEntry {
        |  FROM sc)
        |SELECT query_id, rnk, nbr_id, round(cos, 6) AS cos
        |FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** SemDeDup mirror: the q40 literal-centroid cell assignment, then the
+    * within-cell dominance prune — a vector is pruned iff a same-cell
+    * neighbour with cosine ≥ τ sits strictly farther from the centroid
+    * (tie toward the smaller vec_id). Cosines via `list_dot_product`
+    * (the q26/q40 precedent: same sequential fold as the Spark
+    * expression, bit-identical doubles).
+    */
+  private def q69OracleSql(centers: Array[Array[Double]],
+                           minCos: Double): String = {
+    val dsList = centers.map(c => d2Sql("v", c, 0))
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ad AS (SELECT vec_id, v, $dsList AS ds FROM e),
+       |a AS (SELECT vec_id, v,
+       |        CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell,
+       |        list_min(ds) AS d2c FROM ad),
+       |pr AS (SELECT DISTINCT y.vec_id AS vec_id
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |  WHERE list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) *
+       |       sqrt(list_dot_product(y.v, y.v))) >= $minCos
+       |    AND (x.d2c > y.d2c OR (x.d2c = y.d2c AND x.vec_id < y.vec_id)))
+       |SELECT a.vec_id, a.cell, (pr.vec_id IS NULL) AS keep
+       |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id""".stripMargin
   }
 
   /** IVF-PQ mirror: per-subspace code assignment from the literal

@@ -357,6 +357,63 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * k-means clustering of the embedding space + within-cluster cosine
+    * pruning. Complements [[embeddingNearDupPairs]] the way IVF
+    * complements LSH in SimSearch: data-ADAPTIVE cells (trained
+    * centroids) instead of data-oblivious hyperplanes, so semantically
+    * coherent duplicates land in the same cell even when random planes
+    * would split them.
+    *
+    * Spark shape: `centers` are trained driver-locally on a bounded
+    * sample (SimSearch.ivfCentroids — the same FAISS-style discipline)
+    * and ship as plan literals, so cell assignment is a shuffle-free
+    * codegen projection; the pairwise comparison is confined WITHIN
+    * cells (the whole point of the paper — n²/k work instead of n²; at
+    * 100 TB, nlist grows ~√n so per-cell candidate sets stay bounded).
+    *
+    * Keep rule: per the paper (§3, "keep the one with the LOWEST cosine
+    * similarity to the cluster centroid" — i.e. the farthest, preserving
+    * diversity), a vector is pruned iff some same-cell neighbour with
+    * cosine ≥ `minCos` is STRICTLY farther from the centroid (squared-L2
+    * tie broken toward the smaller vec_id). Pairwise-dominance rather
+    * than the paper's group formation: deterministic, one self-join, no
+    * iterative clustering inside cells.
+    *
+    * Output: (vec_id, cell, keep).
+    */
+  def semDedup(emb: DataFrame, centers: Array[Array[Double]],
+               minCos: Double = 0.95): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def dist2(v: Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val ds = array(centers.map(c => dist2(col("v"), c)): _*)
+    // materialize the distance list once per row, derive cell + own
+    // distance from it (argmin with first-index tie-break, the
+    // SimSearch.ivfTopK idiom)
+    val assigned = e.withColumn("ds", ds)
+      .select(col("vec_id"), col("v"),
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int")
+          .as("cell"),
+        array_min(col("ds")).as("d2c"))
+    val x = assigned.select(col("vec_id").as("id_x"), col("v").as("v_x"),
+      col("cell"), col("d2c").as("d_x"))
+    val y = assigned.select(col("vec_id").as("id_y"), col("v").as("v_y"),
+      col("cell"), col("d2c").as("d_y"))
+    val pruned = x.join(y, "cell")
+      .filter(col("id_x") =!= col("id_y"))
+      .filter(graft.ops.Scoring.cosineSimilarity(col("v_x"), col("v_y"))
+        >= minCos)
+      .filter(col("d_x") > col("d_y") ||
+        (col("d_x") === col("d_y") && col("id_x") < col("id_y")))
+      .select(col("id_y").as("vec_id")).distinct()
+    assigned
+      .join(pruned.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("pruned").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-dup via random-hyperplane LSH: bucket by the
     * sign-bit signature of `planes` random projections, compare only
     * within buckets. The plane normals are deterministic pseudo-random

@@ -103,4 +103,25 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("semDedup prunes the near-dup closest to its centroid, keeps across cells") {
+    // two well-separated clusters; cluster A holds a near-dup pair where
+    // vector 2 sits closer to the centroid than vector 1 → 2 is pruned
+    // (the paper keeps the FARTHEST-from-centroid member); vector 3 is in
+    // A but dissimilar enough to survive; cluster B's lone member keeps.
+    val a0 = Array(10.0, 10.0, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, Seq(12.0f, 12.0f, 0.3f, 0.0f)),   // near-dup of 2, farther out
+      (2L, Seq(10.0f, 10.0f, 0.25f, 0.0f)),  // near-dup of 1, near center
+      (3L, Seq(9.0f, 10.0f, 8.0f, -8.0f)),   // same cell, low cosine
+      (4L, Seq(-10.0f, -10.0f, 0.0f, 0.0f))  // other cluster
+    ).toDF("vec_id", "embedding")
+    val centers = Array(a0, Array(-10.0, -10.0, 0.0, 0.0))
+    val got = Dedup.semDedup(vecs, centers, minCos = 0.99)
+      .select($"vec_id", $"cell", $"keep").as[(Long, Int, Boolean)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L)._2 && !got(2L)._2 && got(3L)._2 && got(4L)._2)
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._1 == got(3L)._1)
+    assert(got(4L)._1 != got(1L)._1)
+  }
 }
