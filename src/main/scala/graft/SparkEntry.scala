@@ -557,6 +557,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Zipf corpus diagnostic: top-50 term frequencies + whole-vocab
+    // power-law fit (see TextOps.zipfStats — distributed rank, one-pass
+    // closed-form OLS)
+    "q70_zipf_vocab" -> ((s, dir) =>
+      TextOps.zipfStats(Tables.table(s, dir, "documents"), topN = 50)),
+
+    // data-mixing weights per ingestion source (uniform target, capped
+    // upsampling); token counts ride the session's cached curation table
+    "q71_source_mix" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      TextOps.sourceMixWeights(
+        sharedDocCuration(s, dir).select(col("doc_id"), col("n_tokens"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        cap = 5.0)
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1610,6 +1626,39 @@ object SparkEntry {
          |FROM documents d JOIN lang l USING (doc_id)
          |GROUP BY 1, 2""".stripMargin
     },
+
+    "q70_zipf_vocab" ->
+      """WITH toks AS (SELECT
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+        |rk AS (SELECT term, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM tf),
+        |fit AS (SELECT
+        |    covar_pop(ln(rnk), ln(freq)) / var_pop(ln(rnk)) AS alpha,
+        |    pow(corr(ln(rnk), ln(freq)), 2) AS r2
+        |  FROM rk)
+        |SELECT term, rnk, freq, round(alpha, 6) AS alpha,
+        |  round(r2, 6) AS r2
+        |FROM rk CROSS JOIN fit WHERE rnk <= 50""".stripMargin,
+
+    "q71_source_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |src AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |    count(*) AS n_sources FROM src)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+        |  round(least(CAST(5.0 AS DOUBLE),
+        |    (CAST(1.0 AS DOUBLE) / n_sources) /
+        |    (CAST(n_tokens AS DOUBLE) / total)), 6) AS mix_weight
+        |FROM src CROSS JOIN tot""".stripMargin,
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

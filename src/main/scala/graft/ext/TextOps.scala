@@ -27,6 +27,66 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Zipf vocabulary statistics: corpus-wide term frequencies, frequency
+    * rank, and the Zipf exponent — the standard corpus-health diagnostic
+    * for a training set (natural language follows freq ∝ rank^(−α) with
+    * α ≈ 1; machine-generated or template text bends the curve). Emits
+    * the `topN` most frequent terms, each row carrying the whole-vocab
+    * fit (α = OLS slope of ln freq on ln rank, R² = corr²) — the
+    * closed-form one-pass regression discipline of
+    * [[graft.ops.Scoring.powerlawFit]].
+    *
+    * Scale shape: term frequency is one explode + hash-aggregation
+    * (map-side combined, linear in corpus tokens); the rank is the
+    * range-partitioned distributed zipWithIndex of
+    * [[graft.ops.GraphOps.withPosition]] — NOT a single-partition global
+    * window — because a 100 TB corpus's vocabulary (hundreds of millions
+    * of terms with subwords/typos) must rank without ever collecting to
+    * one task; the fit is one aggregation over the ranked vocab.
+    */
+  def zipfStats(docs: DataFrame, topN: Int = 50,
+                textCol: String = "text"): DataFrame = {
+    val tf = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val rk = graft.ops.GraphOps.withPosition(tf, "pos",
+        col("freq").desc, col("term").asc)
+      .withColumn("rnk", col("pos") + 1L).drop("pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = rk.agg(
+      (covar_pop(log(col("rnk")), log(col("freq"))) /
+        var_pop(log(col("rnk")))).as("alpha"),
+      pow(corr(log(col("rnk")), log(col("freq"))), 2).as("r2"))
+    rk.filter(col("rnk") <= topN)
+      .crossJoin(broadcast(fit))
+      .select(col("term"), col("rnk"), col("freq"),
+        round(col("alpha"), 6).as("alpha"), round(col("r2"), 6).as("r2"))
+  }
+
+  /** Source-mix balancing weights — the data-mixing step of an LLM
+    * training pipeline: given one row per document with its ingestion
+    * `source` and token count, compute each source's token share and the
+    * sampling weight that rebalances the mix toward a uniform
+    * target share (weight = target/actual, capped at `cap` so a
+    * near-empty source can't be upsampled unboundedly — the standard
+    * guard in published mixture tuning). Two tiny aggregations (sources ≪
+    * docs); the per-source table then drives weighted sampling upstream.
+    *
+    * Output: (source, n_docs, n_tokens, token_share, mix_weight).
+    */
+  def sourceMixWeights(docSource: DataFrame, cap: Double = 5.0): DataFrame = {
+    val src = docSource.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_sources"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total"), 6)
+          .as("token_share"),
+        round(least(lit(cap), (lit(1.0) / col("n_sources")) /
+          (col("n_tokens").cast("double") / col("total"))), 6)
+          .as("mix_weight"))
+  }
+
   /** Repetition statistics — the Gopher-style repetition quality signals
     * (Rae et al. 2021 §A1.1: fraction of duplicated n-grams, fraction in
     * the most frequent n-gram, duplicate-token fraction). Filtering on

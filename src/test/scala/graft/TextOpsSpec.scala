@@ -161,6 +161,46 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2) == (1L, 2L, true))  // tokens [7..10] straddle pos 10
   }
 
+  test("zipfStats: ranks by frequency and fits the whole-vocab OLS") {
+    // freq: a=5 (4 + 1), b=2, c=1 → ranks a=1, b=2, c=3
+    val d = Seq((0L, "a a a a b"), (1L, "b c a")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.zipfStats(d, topN = 2)
+      .orderBy($"rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 2) // topN cuts c even though the fit saw it
+    assert(got(0)._1 == "a" && got(0)._2 == 1L && got(0)._3 == 5L)
+    assert(got(1)._1 == "b" && got(1)._2 == 2L && got(1)._3 == 2L)
+    // closed-form OLS of ln freq on ln rank over ALL THREE points
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(5.0, 2.0, 1.0).map(math.log)
+    val (mx, my) = (xs.sum / 3, ys.sum / 3)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / 3
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum / 3
+    val vy = ys.map(y => (y - my) * (y - my)).sum / 3
+    val alpha = cov / vx
+    val r2 = cov * cov / (vx * vy)
+    assert(math.abs(got(0)._4 - alpha) < 1e-5 && alpha < 0)
+    assert(math.abs(got(0)._5 - r2) < 1e-5)
+    assert(got(0)._4 == got(1)._4) // every row carries the same fit
+  }
+
+  test("sourceMixWeights: uniform target, capped upsampling") {
+    // src0: 80 tokens over 2 docs, src1: 20, src2: 2 (cap binds)
+    val d = Seq(("src0", 50L), ("src0", 30L), ("src1", 20L), ("src2", 2L))
+      .toDF("source", "n_tokens")
+    val got = graft.ext.TextOps.sourceMixWeights(d, cap = 5.0)
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // total 102, target share 1/3
+    assert(got(0) == (("src0", 2L, 80L,
+      math.rint(80.0 / 102 * 1e6) / 1e6,
+      math.rint((1.0 / 3) / (80.0 / 102) * 1e6) / 1e6)))
+    assert(got(1)._5 == math.rint((1.0 / 3) / (20.0 / 102) * 1e6) / 1e6)
+    assert(got(2)._5 == 5.0) // 17× upsample capped at 5
+  }
+
   test("rolling hash is null-safe") {
     val d = Seq((1L, Option("x")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
