@@ -42,6 +42,15 @@ object SimSearch {
 
   /** Σ_i v(i)·n(i) as a fold over the literal normal array — no per-row
     * hashing, one zipped array per (row, bit).
+    *
+    * The fold form is DELIBERATE for all the literal-array math here
+    * (this dot, the centroid d² lists): unrolling into element_at sums
+    * ("codegen-friendly" on paper) was measured 7-10× SLOWER end-to-end
+    * at sf0.1 — a 16-centroid × 64-dim argmin becomes a ~1000-node
+    * expression tree whose Catalyst optimization + Janino compilation
+    * dwarf the interpreted fold's per-row lambda cost at any realistic
+    * evaluation count (the corpus scan is one pass; the plan is built
+    * per query). HOF folds keep the tree O(centers) nodes.
     */
   private[ext] def literalDot(v: org.apache.spark.sql.Column,
                               normals: Array[Double]) =

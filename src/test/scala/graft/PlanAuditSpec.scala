@@ -73,6 +73,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(wsc.nonEmpty, "expected whole-stage codegen spans")
   }
 
+  test("semDedup reads only (vec_id, embedding) and joins equi on cell") {
+    // the literal-centroid assignment must be a pure projection over the
+    // pruned scan (no lookup join), and the within-cell comparison an
+    // equi-join on the cell key — never a cross product
+    val p = staticPlan(SparkEntry.queries("q69_semdedup")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "within-cell pruning must join on cell, not cross")
+    val es = scans(p)
+    assert(es.nonEmpty)
+    es.foreach { s =>
+      assert(s.requiredSchema.names.toSet.subsetOf(Set("vec_id", "embedding")),
+        s"embeddings scan reads extra columns: ${s.requiredSchema.names.toSeq}")
+    }
+  }
+
   test("12-feature aggregation plans a bounded number of shuffles") {
     // one grouped aggregation + one sort-window median pass + the
     // base⋈median join and the edge-derivation join; at sf sizes the join
