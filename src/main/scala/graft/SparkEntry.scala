@@ -563,6 +563,15 @@ object SparkEntry {
     "q70_zipf_vocab" -> ((s, dir) =>
       TextOps.zipfStats(Tables.table(s, dir, "documents"), topN = 50)),
 
+    // PII redaction counts + masked-text digest (the synthetic corpus is
+    // PII-free, so counts are zero and clean_md5 = md5(text) — the oracle
+    // still pins the full count+mask contract; TextOpsSpec carries the
+    // positive cases)
+    "q72_pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_phones"), md5(col("clean_text")).as("clean_md5"))),
+
     // data-mixing weights per ingestion source (uniform target, capped
     // upsampling); token counts ride the session's cached curation table
     "q71_source_mix" -> ((s, dir) => {
@@ -1643,6 +1652,20 @@ object SparkEntry {
         |SELECT term, rnk, freq, round(alpha, 6) AS alpha,
         |  round(r2, 6) AS r2
         |FROM rk CROSS JOIN fit WHERE rnk <= 50""".stripMargin,
+
+    "q72_pii_scrub" ->
+      s"""WITH s1 AS (SELECT doc_id, text,
+         |    regexp_replace(text, '${TextOps.emailRe}', '<EMAIL>', 'g')
+         |      AS after_email FROM documents),
+         |s2 AS (SELECT *,
+         |    regexp_replace(after_email, '${TextOps.ipv4Re}', '<IP>', 'g')
+         |      AS after_ip FROM s1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(after_email, '${TextOps.ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(after_ip, '${TextOps.phoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(after_ip, '${TextOps.phoneRe}', '<PHONE>', 'g')) AS clean_md5
+         |FROM s2""".stripMargin,
 
     "q71_source_mix" ->
       """WITH t AS (SELECT doc_id, source,

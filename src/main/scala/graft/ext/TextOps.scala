@@ -62,6 +62,45 @@ object TextOps {
         round(col("alpha"), 6).as("alpha"), round(col("r2"), 6).as("r2"))
   }
 
+  /** PII scrubbing patterns — deliberately restricted to syntax with
+    * IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB): plain
+    * character classes, bounded repetition, `\b` word boundaries; no
+    * lookaround, no backreferences. Tight enough to be oracle-mirrored,
+    * real enough to catch the standard e-mail / IPv4 / phone shapes.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9 ().-]{7,}[0-9]"
+
+  /** PII scrubbing — the redaction pass an LLM data pipeline runs before
+    * training: count and mask e-mail addresses, IPv4 addresses, and
+    * phone-number-shaped digit runs. One codegen projection over the
+    * corpus (three regexp_extract_all counts + three chained
+    * regexp_replace), no shuffle — scan-speed at any corpus size.
+    * Replacement order (e-mail → IP → phone) is part of the contract:
+    * the phone pattern would otherwise eat IP octets. Both engines
+    * replace leftmost-first non-overlapping, so redacted text is
+    * engine-portable (see the q72 oracle).
+    *
+    * Output: (doc_id, n_emails, n_ipv4, n_phones, clean_text).
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // each count runs on the PREVIOUS stage's masked text, so a category
+    // never re-counts what an earlier mask consumed (an IPv4's digit run
+    // would otherwise also match the phone shape)
+    val afterEmail = regexp_replace(t, emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<IP>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("bigint")
+        .as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Re), lit(0)))
+        .cast("bigint").as("n_ipv4"),
+      size(regexp_extract_all(afterIp, lit(phoneRe), lit(0)))
+        .cast("bigint").as("n_phones"),
+      regexp_replace(afterIp, phoneRe, "<PHONE>").as("clean_text"))
+  }
+
   /** Source-mix balancing weights — the data-mixing step of an LLM
     * training pipeline: given one row per document with its ingestion
     * `source` and token count, compute each source's token share and the

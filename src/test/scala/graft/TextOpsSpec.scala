@@ -201,6 +201,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2)._5 == 5.0) // 17× upsample capped at 5
   }
 
+  test("piiScrub counts and masks emails, IPs, phones; order protects IPs") {
+    val d = Seq(
+      (0L, "mail me at jo.doe+x@test-site.org or visit 10.0.255.1 now"),
+      (1L, "call +1 (415) 555-0100 twice"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.piiScrub(d)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 1L, 0L,
+      "mail me at <EMAIL> or visit <IP> now")))
+    assert(got(1)._3 == 1L && got(1)._4 == "call <PHONE> twice")
+    assert(got(2) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
   test("rolling hash is null-safe") {
     val d = Seq((1L, Option("x")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
