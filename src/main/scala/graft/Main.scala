@@ -76,6 +76,7 @@ object Main {
             seqLen = opt("--l", "512").toInt,
             tokenBudget = opt("--t", "2000").toLong)
           println(s"curate: ${counts("input")} docs in, " +
+            s"${counts("pii_docs")} PII-scrubbed, " +
             s"${counts("after_dedup")} after dedup, " +
             s"${counts("selected")} selected, " +
             s"${counts("sequences")} packed sequences -> " +
@@ -235,11 +236,22 @@ object Main {
     val nIn = docs.count()
 
     // exact dedup first (hash-group, cheapest): keep each byte-identical
-    // group's canonical (smallest) doc_id. Persisted — it feeds the
-    // cluster build, the quality scores, and the kept set.
-    val exact = docs.join(
+    // group's canonical (smallest) doc_id.
+    val exactRaw = docs.join(
       Dedup.exact(docs).select(col("canonical_doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
+    // … then PII scrubbing (TextOps.piiScrub — the q72 operator), so
+    // every later stage (clustering, quality, lang-ID, token counts,
+    // packing) sees clean text only. Scrubbing after exact dedup keeps
+    // the byte-identical grouping cheap; scrubbing before near-dup
+    // clustering means masked variants of the same doc still cluster.
+    // Persisted — it feeds the cluster build, the quality scores, and
+    // the kept set.
+    val scrub = TextOps.piiScrub(exactRaw)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPii = scrub.filter(col("n_emails") + col("n_ipv4") +
+      col("n_phones") > 0).count()
+    val exact = scrub.select(col("doc_id"), col("clean_text").as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // … then near-dup clusters over the survivors; keep the best-quality
     // representative of each cluster (Dedup.clusterRepresentatives —
@@ -275,16 +287,18 @@ object Main {
       seqLen = seqLen)
 
     clusters.write.mode("overwrite").parquet(s"$out/clusters")
+    scrub.select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+      col("n_phones")).write.mode("overwrite").parquet(s"$out/pii_stats")
     kept.select(col("doc_id")).write.mode("overwrite")
       .parquet(s"$out/kept_docs")
     selected.write.mode("overwrite").parquet(s"$out/selected")
     packed.write.mode("overwrite").parquet(s"$out/packed")
     val nSeq = spark.read.parquet(s"$out/packed")
       .agg(countDistinct(col("lang_pred"), col("seq_id"))).head().getLong(0)
-    docs.unpersist(); exact.unpersist(); clusters.unpersist()
-    kept.unpersist(); selected.unpersist()
-    Map("input" -> nIn, "after_dedup" -> nKept, "selected" -> nSel,
-      "sequences" -> nSeq)
+    docs.unpersist(); scrub.unpersist(); exact.unpersist()
+    clusters.unpersist(); kept.unpersist(); selected.unpersist()
+    Map("input" -> nIn, "pii_docs" -> nPii, "after_dedup" -> nKept,
+      "selected" -> nSel, "sequences" -> nSeq)
   }
 
   /** aa-smurf pipeline on an arbitrary session; returns the number of

@@ -116,21 +116,33 @@ class MainSpec extends SparkSpec {
     assert(byWindow.forall(_.getLong(0) == 60L))
   }
 
-  test("curate CLI mode: dedup → select → pack, tables land as parquet") {
+  test("curate CLI mode: dedup → scrub → select → pack, tables land as parquet") {
     val tmp = Files.createTempDirectory("graft-main").toString
-    // the sf0.001 documents plus two planted exact duplicates of doc 0
+    // the sf0.001 documents plus a planted exact duplicate of doc 0 and
+    // a planted PII-bearing doc
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val dup = docs.filter(col("doc_id") === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-    docs.union(dup)
+    val pii = {
+      import spark.implicits._
+      Seq((200000L,
+        "reach admin@example.com at 10.1.2.3 about the batch window"))
+        .toDF("doc_id", "text")
+    }
+    docs.union(dup).union(pii)
       .write.parquet(s"$tmp/docs_in")
 
     val counts = Main.runCurate(spark, s"$tmp/docs_in", s"$tmp/out")
-    assert(counts("input") == docs.count() + 1)
+    assert(counts("input") == docs.count() + 2)
+    // the planted PII doc was counted and its stats row records the hits
+    assert(counts("pii_docs") >= 1L)
+    val stats = spark.read.parquet(s"$tmp/out/pii_stats")
+      .filter(col("doc_id") === 200000L).head()
+    assert(stats.getLong(1) == 1L && stats.getLong(2) == 1L)
     // the planted exact duplicate is gone (canonical doc 0 survives);
-    // near-dup clustering may drop more, never add
-    assert(counts("after_dedup") <= docs.count())
+    // near-dup clustering may drop more, never add (+1: the PII doc)
+    assert(counts("after_dedup") <= docs.count() + 1)
     assert(counts("selected") > 0 && counts("selected") <= counts("after_dedup"))
     assert(counts("sequences") > 0)
 
