@@ -28,6 +28,7 @@ object Main {
       |  graft.Main aa-ar    --f <edges.csv>  [--o <outdir>] [--w 14] [--s 256] [--b 4] [--a 3] [--c 3]
       |  graft.Main aa-smurf --f <matrix.txt> [--o <outdir>] [--i <maxIter>]
       |  graft.Main stream   --f <eventsDir>  [--o <outdir>] [--w "1 hour"] [--m "2 hours"]
+      |  graft.Main stream-dedup --f <docsDir> [--o <outdir>] [--m "1 hour"]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |""".stripMargin
 
@@ -69,6 +70,13 @@ object Main {
             size = opt("--w", "1 hour"), watermark = opt("--m", "2 hours"))
           println(s"stream: $n finalized window rows -> " +
             s"${opt("--o", "results")}/stream_counts")
+        case "stream-dedup" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamDedup(spark, in, opt("--o", "results"),
+            watermark = opt("--m", "1 hour"))
+          println(s"stream-dedup: $n unique docs -> " +
+            s"${opt("--o", "results")}/stream_unique")
         case "curate" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -213,6 +221,40 @@ object Main {
     spark.read.schema(
         "w_start TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE")
       .parquet(s"$out/stream_counts").count()
+  }
+
+  /** Streaming exact dedup end-to-end — the q22 operator's streaming
+    * twin, user-reachable: a document CSV directory (`ts,doc_id,text`)
+    * consumed as a file stream; re-deliveries of the same text (md5 key)
+    * within the watermark horizon are dropped by BOUNDED state
+    * (StreamOps.streamingDedup / dropDuplicatesWithinWatermark — state
+    * tracks the horizon, not the stream's lifetime). Surviving docs
+    * append to parquet; `Trigger.AvailableNow` drains a finite directory
+    * and exits, the checkpoint carries dedup state into the next run —
+    * the incremental-ingest contract of q46, kept warm as stream state.
+    */
+  def runStreamDedup(spark: SparkSession, in: String, out: String,
+                     watermark: String = "1 hour"): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL(
+      "ts TIMESTAMP, doc_id BIGINT, text STRING")
+    val docs = spark.readStream.schema(schema)
+      .option("header", "true").csv(in)
+      .withColumn("text_hash", md5(col("text")))
+    val uniq = graft.streaming.StreamOps.streamingDedup(
+      docs, "text_hash", watermark)
+    val q = uniq.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/stream_unique")
+      .option("checkpointLocation", s"$out/_dedup_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(
+        "ts TIMESTAMP, doc_id BIGINT, text STRING, text_hash STRING")
+      .parquet(s"$out/stream_unique").count()
   }
 
   /** The LLM-training-data curation pipeline end-to-end, user-reachable:

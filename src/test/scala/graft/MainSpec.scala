@@ -116,6 +116,34 @@ class MainSpec extends SparkSpec {
     assert(byWindow.forall(_.getLong(0) == 60L))
   }
 
+  test("stream-dedup CLI mode drops re-delivered texts across runs") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val csvDir = new java.io.File(s"$tmp/docs_csv")
+    csvDir.mkdirs()
+    def write(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$csvDir/$name.csv")
+      w.println("ts,doc_id,text"); rows.foreach(w.println); w.close()
+    }
+    write("a", Seq(
+      "2024-01-01 01:00:00,1,alpha text",
+      "2024-01-01 01:10:00,2,beta text",
+      "2024-01-01 01:20:00,3,alpha text")) // within-run re-delivery
+    val n1 = Main.runStreamDedup(spark, csvDir.toString, s"$tmp/out",
+      watermark = "10 hours")
+    assert(n1 == 2, s"expected 2 unique docs after run 1, got $n1")
+    // run 2 over a grown directory: checkpointed dedup state drops the
+    // cross-run re-delivery of "beta text", admits the new doc
+    write("b", Seq(
+      "2024-01-01 02:00:00,4,beta text",
+      "2024-01-01 02:10:00,5,gamma text"))
+    val n2 = Main.runStreamDedup(spark, csvDir.toString, s"$tmp/out",
+      watermark = "10 hours")
+    assert(n2 == 3, s"expected 3 unique docs after run 2, got $n2")
+    val uniq = spark.read.parquet(s"$tmp/out/stream_unique")
+    assert(uniq.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 5L))
+  }
+
   test("curate CLI mode: dedup → scrub → select → pack, tables land as parquet") {
     val tmp = Files.createTempDirectory("graft-main").toString
     // the sf0.001 documents plus a planted exact duplicate of doc 0 and
