@@ -563,6 +563,16 @@ object SparkEntry {
     "q70_zipf_vocab" -> ((s, dir) =>
       TextOps.zipfStats(Tables.table(s, dir, "documents"), topN = 50)),
 
+    // unigram LM cross-entropy quality score (CCNet-style LM filter,
+    // SQL-expressible core — see TextOps.unigramCrossEntropy)
+    "q73_unigram_xent" -> ((s, dir) =>
+      TextOps.unigramCrossEntropy(Tables.table(s, dir, "documents"))),
+
+    // Gopher-rules composite filter: every continuous signal rounded
+    // before thresholding so the flags are oracle-exact
+    "q74_gopher_filter" -> ((s, dir) =>
+      TextOps.gopherFilter(Tables.table(s, dir, "documents"))),
+
     // PII redaction counts + masked-text digest (the synthetic corpus is
     // PII-free, so counts are zero and clean_md5 = md5(text) — the oracle
     // still pins the full count+mask contract; TextOpsSpec carries the
@@ -1310,19 +1320,7 @@ object SparkEntry {
     // list slicing, per-(doc, gram) counts, duplicated/top fractions;
     // LEFT JOINs reproduce the null fracs of sub-n-token docs.
     "q49_repetition_stats" -> {
-      def gramCte(n: Int): String = {
-        val (stop, hi) = (s"len(t) - ${n - 2}", s"i + ${n - 1}")
-        s"""g$n AS (SELECT doc_id,
-           |  unnest(list_transform(range(1, $stop),
-           |    i -> array_to_string(t[i:$hi], ' '))) AS g
-           |  FROM toks WHERE len(t) >= $n),
-           |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2),
-           |s$n AS (SELECT doc_id,
-           |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
-           |    / sum(cnt), 6) AS dup_frac_$n,
-           |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_frac_$n
-           |  FROM c$n GROUP BY doc_id)""".stripMargin
-      }
+      def gramCte(n: Int): String = repGramCte(n)
       s"""WITH toks AS (SELECT doc_id,
          |    string_split_regex(lower(text), '\\s+') AS t FROM documents),
          |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -1653,6 +1651,54 @@ object SparkEntry {
         |  round(r2, 6) AS r2
         |FROM rk CROSS JOIN fit WHERE rnk <= 50""".stripMargin,
 
+    "q73_unigram_xent" ->
+      """WITH dt AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |ct AS (SELECT doc_id, term, count(*) AS n_t FROM dt GROUP BY 1, 2),
+        |vocab AS (SELECT term, CAST(sum(n_t) AS BIGINT) AS freq
+        |  FROM ct GROUP BY 1),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab)
+        |SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_tokens,
+        |  round(-sum(n_t * ln(CAST(freq AS DOUBLE) / total)) / sum(n_t), 6)
+        |    AS xent
+        |FROM ct JOIN vocab USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    "q74_gopher_filter" -> {
+      val stopList = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |base AS (SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(length(tok)), 6) AS mean_tok_len,
+         |  sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok GROUP BY doc_id),
+         |tstat AS (SELECT doc_id,
+         |  round(1.0 - CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+         |    AS dup_token_frac
+         |  FROM tok GROUP BY doc_id),
+         |${repGramCte(2)},
+         |${repGramCte(3)},
+         |f AS (SELECT b.doc_id,
+         |  (b.n_tokens >= 10 AND b.n_tokens <= 100000) AS ok_len,
+         |  (b.mean_tok_len >= 2.0 AND b.mean_tok_len <= 12.0)
+         |    AS ok_mean_tok,
+         |  (b.n_stop >= 2) AS ok_stopwords,
+         |  coalesce(s2.dup_frac_2 <= 0.2, TRUE) AS ok_dup2,
+         |  coalesce(s2.top_frac_2 <= 0.3, TRUE) AS ok_top2,
+         |  coalesce(s3.dup_frac_3 <= 0.18, TRUE) AS ok_dup3,
+         |  coalesce(s3.top_frac_3 <= 0.25, TRUE) AS ok_top3,
+         |  (t.dup_token_frac <= 0.6) AS ok_dup_tok
+         |  FROM base b
+         |  JOIN tstat t ON t.doc_id = b.doc_id
+         |  LEFT JOIN s2 ON s2.doc_id = b.doc_id
+         |  LEFT JOIN s3 ON s3.doc_id = b.doc_id)
+         |SELECT f.*, (ok_len AND ok_mean_tok AND ok_stopwords AND ok_dup2
+         |  AND ok_top2 AND ok_dup3 AND ok_top3 AND ok_dup_tok) AS pass
+         |FROM f""".stripMargin
+    },
+
     "q72_pii_scrub" ->
       s"""WITH s1 AS (SELECT doc_id, text,
          |    regexp_replace(text, '${TextOps.emailRe}', '<EMAIL>', 'g')
@@ -1966,6 +2012,24 @@ object SparkEntry {
          |WHERE CAST(('0x' || substr(md5(a.b || '|' || c.b || '|bg|0'),
          |  1, 15)) AS BIGINT) % 1000000 < 500""".stripMargin
   ) ++ ivfSqlEntries
+
+  /** The q49 repetition-stat CTE chain for word n-grams of size `n`
+    * (expects a `toks(doc_id, t)` CTE in scope) — shared by the q49 and
+    * q74 mirrors.
+    */
+  private def repGramCte(n: Int): String = {
+    val (stop, hi) = (s"len(t) - ${n - 2}", s"i + ${n - 1}")
+    s"""g$n AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, $stop),
+       |    i -> array_to_string(t[i:$hi], ' '))) AS g
+       |  FROM toks WHERE len(t) >= $n),
+       |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2),
+       |s$n AS (SELECT doc_id,
+       |  round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+       |    / sum(cnt), 6) AS dup_frac_$n,
+       |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_frac_$n
+       |  FROM c$n GROUP BY doc_id)""".stripMargin
+  }
 
   // ───── trained-quantizer oracle mirrors (q40/q50) ─────
   // The IVF centroids/codebooks are data-dependent but DETERMINISTIC plan

@@ -27,6 +27,91 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Gopher-rules composite document filter (Rae et al. 2021 §A1.1, the
+    * representative subset expressible over this engine's signals): token
+    * count bounds, mean token length bounds, minimum stopword count, and
+    * the repetition thresholds over [[repetitionStats]]' fractions.
+    * Every continuous signal is ROUNDED to 6 decimals before its
+    * threshold comparison — the comparison then happens on values both
+    * engines agree on bit-for-bit, so the boolean flags are
+    * oracle-exact (see q74). Docs too short to have n-grams pass the
+    * n-gram rules vacuously (null → ok, mirrored in SQL).
+    *
+    * Output: (doc_id, ok_len, ok_mean_tok, ok_stopwords, ok_dup2,
+    * ok_top2, ok_dup3, ok_top3, ok_dup_tok, pass).
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+                   minTokens: Long = 10, maxTokens: Long = 100000,
+                   minMeanTok: Double = 2.0, maxMeanTok: Double = 12.0,
+                   minStop: Long = 2, maxDup2: Double = 0.2,
+                   maxTop2: Double = 0.3, maxDup3: Double = 0.18,
+                   maxTop3: Double = 0.25,
+                   maxDupTok: Double = 0.6): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = docs.select(col("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(length(col("tok"))), 6).as("mean_tok_len"),
+        sum(when(array_contains(stopArr, col("tok")), 1L).otherwise(0L))
+          .as("n_stop"))
+    val flags = base.join(repetitionStats(docs, textCol), "doc_id")
+      .select(col("doc_id"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("ok_len"),
+        (col("mean_tok_len") >= minMeanTok &&
+          col("mean_tok_len") <= maxMeanTok).as("ok_mean_tok"),
+        (col("n_stop") >= minStop).as("ok_stopwords"),
+        coalesce(col("dup_frac_2") <= maxDup2, lit(true)).as("ok_dup2"),
+        coalesce(col("top_frac_2") <= maxTop2, lit(true)).as("ok_top2"),
+        coalesce(col("dup_frac_3") <= maxDup3, lit(true)).as("ok_dup3"),
+        coalesce(col("top_frac_3") <= maxTop3, lit(true)).as("ok_top3"),
+        (col("dup_token_frac") <= maxDupTok).as("ok_dup_tok"))
+    flags.withColumn("pass",
+      Seq("ok_len", "ok_mean_tok", "ok_stopwords", "ok_dup2", "ok_top2",
+        "ok_dup3", "ok_top3", "ok_dup_tok").map(col).reduce(_ && _))
+  }
+
+  /** Unigram LM cross-entropy per document — the LM-based quality filter
+    * of CCNet/CC-style pipelines reduced to its SQL-expressible core: a
+    * unigram model p(t) = count(t)/total is "trained" in one aggregation
+    * over the corpus, and each document scores
+    * xent = −Σ_t n_t·ln p(t) / n_tokens (mean token log-loss; gibberish
+    * and rare-token soup score high, natural repetition of the corpus's
+    * own distribution scores low). No OOV handling needed: the model and
+    * the scored docs are the same corpus.
+    *
+    * Scale shape: token explode + per-(doc, term) counts (map-side
+    * combined), one corpus-wide frequency table, an equi-join on term
+    * (AQE broadcasts it while vocab is small; at web-corpus vocab it
+    * shuffle-joins on the term key), one per-doc aggregation. The per-doc
+    * Σ runs over the doc's DISTINCT terms (counts pre-aggregated), so
+    * double-sum ordering noise stays ULP-scale — rounded away at 6
+    * decimals like every double the oracles compare.
+    *
+    * Output: (doc_id, n_tokens, xent).
+    */
+  def unigramCrossEntropy(docs: DataFrame,
+                          textCol: String = "text"): DataFrame = {
+    val docTerm = docs.select(col("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = docTerm.groupBy(col("term"))
+      .agg(sum(col("n_t")).as("freq"))
+    val total = vocab.agg(sum(col("freq")).as("total"))
+    val scored = docTerm.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_t")).as("n_tokens"),
+        (-sum(col("n_t") *
+          log(col("freq").cast("double") / col("total"))) /
+          sum(col("n_t"))).as("xent"))
+    scored.select(col("doc_id"), col("n_tokens"),
+      round(col("xent"), 6).as("xent"))
+  }
+
   /** Zipf vocabulary statistics: corpus-wide term frequencies, frequency
     * rank, and the Zipf exponent — the standard corpus-health diagnostic
     * for a training set (natural language follows freq ∝ rank^(−α) with

@@ -216,6 +216,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2) == ((0L, 0L, 0L, "nothing sensitive here")))
   }
 
+  test("unigramCrossEntropy: uniform unigram model gives ln(vocab) loss") {
+    // counts: a=2, b=2, total=4 → p(a)=p(b)=0.5; every doc's mean token
+    // log-loss is exactly ln 2
+    val d = Seq((0L, "a a b"), (1L, "b")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.unigramCrossEntropy(d)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(got(0) == ((0L, 3L, ln2)))
+    assert(got(1) == ((1L, 1L, ln2)))
+  }
+
+  test("gopherFilter: composite flags and overall pass") {
+    val d = Seq(
+      (0L, "the cat sat on a mat with the dog and a bird today"),
+      (1L, "the of a"), // too short
+      (2L, "spam spam spam spam spam spam spam spam spam spam go go")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.gopherFilter(d)
+      .orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(3), r.getBoolean(8),
+          r.getBoolean(9))).toMap // (ok_len, ok_stopwords, ok_dup_tok, pass)
+    assert(got(0L) == ((true, true, true, true)))
+    assert(got(1L)._1 == false && got(1L)._4 == false)
+    // repeated-token doc: no stopwords, high dup-token fraction, fails
+    assert(got(2L) == ((true, false, false, false)))
+  }
+
   test("rolling hash is null-safe") {
     val d = Seq((1L, Option("x")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
