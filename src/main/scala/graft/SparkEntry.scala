@@ -1720,14 +1720,15 @@ object SparkEntry {
         |src AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens
         |  FROM t GROUP BY source),
-        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
-        |    count(*) AS n_sources FROM src)
+        |w AS (SELECT source, n_docs, n_tokens,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+        |    count(*) OVER () AS n_sources FROM src)
         |SELECT source, n_docs, n_tokens,
         |  round(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
         |  round(least(CAST(5.0 AS DOUBLE),
         |    (CAST(1.0 AS DOUBLE) / n_sources) /
         |    (CAST(n_tokens AS DOUBLE) / total)), 6) AS mix_weight
-        |FROM src CROSS JOIN tot""".stripMargin,
+        |FROM w""".stripMargin,
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

@@ -200,9 +200,17 @@ object TextOps {
   def sourceMixWeights(docSource: DataFrame, cap: Double = 5.0): DataFrame = {
     val src = docSource.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    val tot = src.agg(sum(col("n_tokens")).as("total"),
-      count(lit(1)).as("n_sources"))
-    src.crossJoin(broadcast(tot))
+    // grand totals via an unpartitioned window over the per-source
+    // aggregate — NOT a crossJoin(agg) that re-evaluates the upstream
+    // scan a second time. The single-partition collapse is exactly right
+    // here because sources ≪ docs by definition (contrast
+    // unigramCrossEntropy, where vocab is corpus-scale and the
+    // crossJoin-of-agg tree shape is the correct one).
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    src.withColumn("total", sum(col("n_tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("total"), 6)
           .as("token_share"),
