@@ -824,6 +824,20 @@ object SparkEntry {
     // the CSV/matrix hop is what's under test: write the canonical tables
     // out in the reference's file shapes, scan them back through the
     // schema-explicit sources, compare against the parquet-only oracle.
+    // JSONL roundtrip: documents → line-JSON files → schema-explicit
+    // jsonlDocs scan; the oracle reads the same rows straight from
+    // parquet, so the hash pins the full write→parse→project cycle
+    "q75_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q75").toString
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .coalesce(4).write.mode("overwrite").json(tmp)
+      graft.sources.Sources.jsonlDocs(s, tmp)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"))
+    }),
+
     "q35_csv_edges_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-q35").toString
@@ -1763,6 +1777,10 @@ object SparkEntry {
          |  CASE WHEN media_type = 'video' THEN greatest(1, height // 64)
          |       ELSE 1 END AS frames_sampled
          |FROM e""".stripMargin,
+
+    "q75_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source
+        |FROM documents""".stripMargin,
 
     "q35_csv_edges_roundtrip" ->
       s"WITH $E SELECT src, dst, weight, ts FROM edges",

@@ -72,6 +72,22 @@ object Sources {
         col("amount"), col("account"))
       .na.drop()
 
+  /** JSONL document scan — the de-facto interchange format of LLM
+    * training corpora (one JSON object per line). Schema-explicit like
+    * every contract reader (SURVEY §1.3 — no inference pass over the
+    * corpus); unknown per-line fields are simply not projected, and
+    * Spark's line-wise JSON source splits by file offset, so a 100 TB
+    * JSONL directory scans with the same parallelism as CSV.
+    */
+  val jsonlDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  def jsonlDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(jsonlDocSchema).json(path)
+
   /** S4 — edge constructor with the transfer-direction rule
     * (`smurf_generator.py:50-55`): money flows FROM the counterparty for
     * 'PREVOD Z UCTU' (transfer from account), TO it otherwise; dedup via

@@ -49,6 +49,20 @@ class SourcesSpec extends SparkSpec {
       Seq("account_id", "date", "operation", "amount", "account"))
   }
 
+  test("JSONL docs: schema-explicit scan projects knowns, ignores extras") {
+    val p = tmpFile("docs.jsonl",
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "crawl_date": "2024-01-01"}
+        |{"doc_id": 2, "text": "bonjour", "source": "s1"}
+        |""".stripMargin)
+    val got = Sources.jsonlDocs(spark, p)
+      .orderBy($"doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 1L && got(0).getString(1) == "hello world"
+      && got(0).getString(2) == "en" && got(0).getString(3) == "s0")
+    // missing optional field → null, unknown field → not projected
+    assert(got(1).isNullAt(2) && got(1).getString(3) == "s1")
+  }
+
   test("S4: direction rule — Z UCTU reverses, set-dedup applies") {
     val trans = Seq(
       (10L, 100L, "PREVOD Z UCTU", 5.0, 20L),  // money FROM 20 → (20, 10)
