@@ -141,6 +141,97 @@ object Multimodal {
     (w, h, sum.toDouble / n)
   }
 
+  /** Grayscale pixel accessor behind the same seam as [[decode]]:
+    * (width, height, (x, y) → 0-255). BMP pixels are channel-averaged;
+    * PGM reads samples directly; anything else gets the deterministic
+    * stub raster (byte stream wrapped to the stub's fake dimensions).
+    */
+  private def grayRaster(b: Array[Byte]): (Int, Int, (Int, Int) => Int) =
+    try {
+      if (isBmp(b)) {
+        val off = le32(b, 10); val w = le32(b, 18)
+        val h = math.abs(le32(b, 22)); val bpp = le16(b, 28)
+        require(w > 0 && h > 0 && le32(b, 30) == 0 &&
+          (bpp == 24 || bpp == 32), "unsupported BMP")
+        val stride = bpp / 8
+        val rowSize = ((bpp * w + 31) / 32) * 4
+        require(off + rowSize.toLong * h <= b.length, "truncated BMP")
+        (w, h, (x, y) => {
+          val p = off + y * rowSize + x * stride
+          ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3
+        })
+      } else if (isPgm(b)) {
+        // re-parse the header with decodePgm's tokenizer discipline
+        var i = 2
+        def tok(): Int = {
+          while (i < b.length &&
+            (Character.isWhitespace(b(i)) || b(i) == '#'.toByte)) {
+            if (b(i) == '#'.toByte)
+              while (i < b.length && b(i) != '\n'.toByte) i += 1
+            else i += 1
+          }
+          var v = 0
+          while (i < b.length && !Character.isWhitespace(b(i))) {
+            require(b(i) >= '0'.toByte && b(i) <= '9'.toByte, "non-digit")
+            v = v * 10 + (b(i) - '0'.toByte); i += 1
+          }
+          v
+        }
+        val w = tok(); val h = tok(); val maxVal = tok()
+        i += 1
+        require(w > 0 && h > 0 && maxVal > 0 && maxVal <= 255,
+          "unsupported PGM")
+        require(i + w.toLong * h <= b.length, "truncated PGM")
+        val i0 = i
+        (w, h, (x, y) => b(i0 + y * w + x) & 0xff)
+      } else stubRaster(b)
+    } catch { case _: Exception => stubRaster(b) }
+
+  private def stubRaster(b: Array[Byte]): (Int, Int, (Int, Int) => Int) = {
+    val (w, h, _) = decodeStub(b)
+    val n = math.max(1, b.length)
+    (w, h, (x, y) => if (b.isEmpty) 0 else b((y * w + x) % n) & 0xff)
+  }
+
+  /** Nearest-neighbor resize to (tw × th), emitted as a binary P5 PGM
+    * payload — a REAL raster transform for the decodable formats
+    * (channel-averaged for BMP), the deterministic stub raster for codec
+    * formats, same seam as [[decode]]. Output is itself decodable by
+    * [[decode]]/[[grayRaster]], so resize → decode → features composes;
+    * runs per item inside the partition loop, bounded memory tw×th.
+    */
+  def resizeToPgm(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    require(tw > 0 && th > 0, s"bad target dims ${tw}x$th")
+    val (w, h, px) = grayRaster(bytes)
+    val header = s"P5\n$tw $th\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + tw * th)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var k = header.length
+    var ty = 0
+    while (ty < th) {
+      val sy = (ty.toLong * h / th).toInt
+      var tx = 0
+      while (tx < tw) {
+        out(k) = px((tx.toLong * w / tw).toInt, sy).toByte
+        k += 1; tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Resize over a media DataFrame: partition-parallel map, each item's
+    * payload replaced by its (tw × th) P5 thumbnail.
+    */
+  def resizeMedia(media: DataFrame, tw: Int = 16, th: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.map(item => MediaItem(item.doc_id,
+        resizeToPgm(item.media, tw, th), item.media_type))
+    }.toDF()
+  }
+
   /** Feature extraction over media items: partition-parallel, streaming
     * per item, no driver involvement. Frame sampling for "video" = every
     * 64th byte-row of the decode (stub for real frame extraction).

@@ -81,6 +81,43 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_intensity") == 60.0)
   }
 
+  test("resizeToPgm downsamples a PGM; output re-decodes with exact dims") {
+    // 4×4 gradient: pixel value = 16·(y·4 + x); nearest-neighbor 2×2
+    // picks source pixels (0,0),(2,0),(0,2),(2,2) → 0, 32, 128, 160
+    val header = "P5\n4 4\n255\n".getBytes("US-ASCII")
+    val pixels = Array.tabulate(16)(i => (16 * i).toByte)
+    val resized = Multimodal.resizeToPgm(header ++ pixels, 2, 2)
+    val (w, h, mean) = Multimodal.decode(resized)
+    assert(w == 2 && h == 2)
+    assert(mean == (0 + 32 + 128 + 160) / 4.0)
+    // a real BMP resizes through the channel-averaged accessor
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8)
+      img.setRGB(x, y, new java.awt.Color(90, 90, 90).getRGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val (bw, bh, bmean) = Multimodal.decode(
+      Multimodal.resizeToPgm(bos.toByteArray, 3, 3))
+    assert(bw == 3 && bh == 3 && bmean == 90.0)
+    // codec formats get the deterministic stub raster, still valid PGM
+    val stub = Multimodal.resizeToPgm("not an image".getBytes, 5, 5)
+    val (sw, sh, _) = Multimodal.decode(stub)
+    assert(sw == 5 && sh == 5)
+  }
+
+  test("resizeMedia maps every item to the target thumbnail, id-stable") {
+    val media = Multimodal.asMedia(
+      Seq((0L, "alpha beta"), (1L, "gamma"), (2L, "delta"))
+        .toDF("doc_id", "text"))
+    val out = Multimodal.resizeMedia(media, 4, 4).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    out.foreach { r =>
+      val (w, h, _) = Multimodal.decode(r.getAs[Array[Byte]]("media"))
+      assert(w == 4 && h == 4)
+    }
+  }
+
   test("video items sample frames, others exactly 1") {
     val f = Multimodal.extractFeatures(Multimodal.asMedia(docs))
     val frames = f.collect()
