@@ -241,6 +241,84 @@ class SparkPropsSpec extends SparkSpec {
       (col("n_shared_ngrams") > 0)).count() == 0)
   }
 
+  test("semDedup keep-set: τ≤−1 keeps exactly one per nonempty cell, τ>1 all") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 3) {
+      val vecs = Seq.tabulate(60)(i => (i.toLong,
+        Seq.fill(8)((rng.nextDouble() * 2 - 1).toFloat)))
+        .toDF("vec_id", "embedding")
+      val centers = Array.fill(4)(Array.fill(8)(rng.nextDouble() * 2 - 1))
+      // τ ≤ −1: every same-cell pair qualifies, so pairwise dominance on
+      // (d2c desc, id asc) prunes all but one vector per cell — the
+      // farthest-from-centroid survivor can have no dominator
+      val all = graft.ext.Dedup.semDedup(vecs, centers, minCos = -1.1)
+      assert(all.count() == 60)
+      val kept = all.filter(col("keep"))
+      val cells = all.select(col("cell")).distinct().count()
+      assert(kept.count() == cells,
+        s"expected one survivor per cell ($cells), got ${kept.count()}")
+      // τ > 1: cosine can never reach it, nothing is pruned
+      val none = graft.ext.Dedup.semDedup(vecs, centers, minCos = 1.1)
+      assert(none.filter(!col("keep")).count() == 0)
+    }
+  }
+
+  test("piiScrub: clean text passes through verbatim, planted PII never survives") {
+    val s = spark
+    import s.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    def text() = Seq.fill(rng.nextInt(12) + 3)(
+      words(rng.nextInt(words.size))).mkString(" ")
+    val clean = Seq.tabulate(25)(i => (i.toLong, text()))
+    val dirty = Seq.tabulate(25)(i => (100L + i,
+      text() + s" user$i@host$i.com " + text()))
+    val got = graft.ext.TextOps.piiScrub(
+      (clean ++ dirty).toDF("doc_id", "text"))
+    // PII-free docs: zero counts, byte-identical passthrough
+    val c = got.filter(col("doc_id") < 100)
+    assert(c.filter(col("n_emails") + col("n_ipv4") + col("n_phones")
+      =!= 0).count() == 0)
+    val orig = (clean ++ dirty).toDF("doc_id", "orig")
+    assert(got.join(orig, "doc_id")
+      .filter(col("doc_id") < 100)
+      .filter(col("clean_text") =!= col("orig")).count() == 0)
+    // planted emails: counted once, no '@' survives masking
+    val d = got.filter(col("doc_id") >= 100)
+    assert(d.filter(col("n_emails") =!= 1).count() == 0)
+    assert(d.filter(col("clean_text").contains("@")).count() == 0)
+  }
+
+  test("sourceMixWeights: shares sum to 1, weights in (0, cap]") {
+    val s = spark
+    import s.implicits._
+    for (_ <- 1 to 3) {
+      val rows = Seq.fill(200)((s"src${rng.nextInt(12)}",
+        rng.nextInt(500).toLong + 1))
+      val got = graft.ext.TextOps.sourceMixWeights(
+        rows.toDF("source", "n_tokens"), cap = 5.0)
+      val shareSum = got.agg(sum(col("token_share"))).head().getDouble(0)
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"share sum $shareSum")
+      assert(got.filter(col("mix_weight") <= 0.0 ||
+        col("mix_weight") > 5.0).count() == 0)
+    }
+  }
+
+  test("zipfStats: ranks are dense 1..N with non-increasing frequency") {
+    val s = spark
+    import s.implicits._
+    val words = Vector("kappa", "lambda", "mu", "nu", "xi", "omicron")
+    def text() = Seq.fill(rng.nextInt(20) + 5)(
+      words(rng.nextInt(words.size))).mkString(" ")
+    val docs = Seq.tabulate(20)(i => (i.toLong, text()))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextOps.zipfStats(docs, topN = 100)
+      .orderBy(col("rnk")).collect()
+    assert(got.map(_.getLong(1)).toSeq == (1L to got.length))
+    val freqs = got.map(_.getLong(2))
+    assert(freqs.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("all-zero focus plot sketches to zero") {
     val s = spark
     import s.implicits._
