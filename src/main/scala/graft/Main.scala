@@ -252,7 +252,12 @@ object Main {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.schema(
+    // an input directory with no matching files commits zero batches and
+    // never creates the sink directory — that's "0 unique docs", not a
+    // read error
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_unique"))) 0L
+    else spark.read.schema(
         "ts TIMESTAMP, doc_id BIGINT, text STRING, text_hash STRING")
       .parquet(s"$out/stream_unique").count()
   }

@@ -393,11 +393,16 @@ object Dedup {
     // materialize the distance list once per row, derive cell + own
     // distance from it (argmin with first-index tie-break, the
     // SimSearch.ivfTopK idiom)
+    // persisted: the assignment (the O(rows × centers × dim) distance
+    // fold over the embeddings scan) feeds BOTH sides of the within-cell
+    // self-join plus the final keep-join — the multi-consumer persist
+    // discipline of minhashLshPairs/ngramJaccardPairs
     val assigned = e.withColumn("ds", ds)
       .select(col("vec_id"), col("v"),
         (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int")
           .as("cell"),
         array_min(col("ds")).as("d2c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("vec_id").as("id_x"), col("v").as("v_x"),
       col("cell"), col("d2c").as("d_x"))
     val y = assigned.select(col("vec_id").as("id_y"), col("v").as("v_y"),

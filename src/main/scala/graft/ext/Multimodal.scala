@@ -76,41 +76,56 @@ object Multimodal {
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
-  /** Uncompressed (BI_RGB) 24/32-bpp BMP: dims from the BITMAPINFOHEADER,
-    * mean over the R/G/B channel bytes of every pixel (alpha excluded),
-    * honoring 4-byte row padding and bottom-up vs top-down row order
-    * (irrelevant to a mean, but height is read as |height|).
+  /** Parsed BITMAPINFOHEADER of an uncompressed (BI_RGB) 24/32-bpp BMP.
+    * `bottomUp` records the row order (positive height per the spec):
+    * irrelevant to a mean, orientation-critical to a resize.
     */
-  private def decodeBmp(b: Array[Byte]): (Int, Int, Double) = {
+  private final case class BmpHeader(off: Int, w: Int, h: Int,
+                                     stride: Int, rowSize: Int,
+                                     bottomUp: Boolean) {
+    /** byte offset of image row `y` (y = 0 is the TOP image row) */
+    def rowOff(y: Int): Int =
+      off + (if (bottomUp) h - 1 - y else y) * rowSize
+  }
+
+  private def parseBmpHeader(b: Array[Byte]): BmpHeader = {
     val off = le32(b, 10)
     val w = le32(b, 18)
-    val h = math.abs(le32(b, 22))
+    val rawH = le32(b, 22)
+    val h = math.abs(rawH)
     val bpp = le16(b, 28)
     val comp = le32(b, 30)
     require(w > 0 && h > 0 && comp == 0 && (bpp == 24 || bpp == 32),
       s"unsupported BMP: ${w}x$h bpp=$bpp comp=$comp")
-    val stride = bpp / 8
     val rowSize = ((bpp * w + 31) / 32) * 4
     require(off + rowSize.toLong * h <= b.length, "truncated BMP")
+    BmpHeader(off, w, h, bpp / 8, rowSize, bottomUp = rawH > 0)
+  }
+
+  /** Uncompressed (BI_RGB) 24/32-bpp BMP: dims from the BITMAPINFOHEADER,
+    * mean over the R/G/B channel bytes of every pixel (alpha excluded),
+    * honoring 4-byte row padding (row order is irrelevant to a mean).
+    */
+  private def decodeBmp(b: Array[Byte]): (Int, Int, Double) = {
+    val hd = parseBmpHeader(b)
     var sum = 0L
     var row = 0
-    while (row < h) {
+    while (row < hd.h) {
       var x = 0
-      while (x < w) {
-        val p = off + row * rowSize + x * stride
+      while (x < hd.w) {
+        val p = hd.rowOff(row) + x * hd.stride
         sum += (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
         x += 1
       }
       row += 1
     }
-    (w, h, sum.toDouble / (w.toLong * h * 3))
+    (hd.w, hd.h, sum.toDouble / (hd.w.toLong * hd.h * 3))
   }
 
-  /** Binary PGM (P5): ASCII header tokens (magic, width, height, maxval;
-    * `#` comments allowed) then one whitespace byte and w×h raw samples
-    * (maxval ≤ 255 ⇒ 1 byte each); mean over the samples.
-    */
-  private def decodePgm(b: Array[Byte]): (Int, Int, Double) = {
+  /** Parsed P5 header: dims + offset of the first sample byte. */
+  private final case class PgmHeader(w: Int, h: Int, dataOff: Int)
+
+  private def parsePgmHeader(b: Array[Byte]): PgmHeader = {
     var i = 2 // past "P5"
     def nextToken(): Int = {
       while (i < b.length &&
@@ -134,56 +149,43 @@ object Multimodal {
     require(w > 0 && h > 0 && maxVal > 0 && maxVal <= 255,
       s"unsupported PGM: ${w}x$h maxval=$maxVal")
     require(i + w.toLong * h <= b.length, "truncated PGM")
+    PgmHeader(w, h, i)
+  }
+
+  /** Binary PGM (P5): ASCII header tokens (magic, width, height, maxval;
+    * `#` comments allowed) then one whitespace byte and w×h raw samples
+    * (maxval ≤ 255 ⇒ 1 byte each); mean over the samples.
+    */
+  private def decodePgm(b: Array[Byte]): (Int, Int, Double) = {
+    val hd = parsePgmHeader(b)
     var sum = 0L
     var p = 0
-    val n = w * h
-    while (p < n) { sum += b(i + p) & 0xff; p += 1 }
-    (w, h, sum.toDouble / n)
+    val n = hd.w * hd.h
+    while (p < n) { sum += b(hd.dataOff + p) & 0xff; p += 1 }
+    (hd.w, hd.h, sum.toDouble / n)
   }
 
   /** Grayscale pixel accessor behind the same seam as [[decode]]:
-    * (width, height, (x, y) → 0-255). BMP pixels are channel-averaged;
-    * PGM reads samples directly; anything else gets the deterministic
-    * stub raster (byte stream wrapped to the stub's fake dimensions).
+    * (width, height, (x, y) → 0-255) with y = 0 the TOP image row. BMP
+    * pixels are channel-averaged and the accessor honors the file's
+    * bottom-up vs top-down row order (a mean is order-invariant, a
+    * resize is not — [[BmpHeader.rowOff]] carries the orientation); PGM
+    * reads samples directly; anything else gets the deterministic stub
+    * raster (byte stream wrapped to the stub's fake dimensions). Header
+    * parsing is shared with [[decodeBmp]]/[[decodePgm]], so resize
+    * accepts exactly the payloads decode accepts.
     */
   private def grayRaster(b: Array[Byte]): (Int, Int, (Int, Int) => Int) =
     try {
       if (isBmp(b)) {
-        val off = le32(b, 10); val w = le32(b, 18)
-        val h = math.abs(le32(b, 22)); val bpp = le16(b, 28)
-        require(w > 0 && h > 0 && le32(b, 30) == 0 &&
-          (bpp == 24 || bpp == 32), "unsupported BMP")
-        val stride = bpp / 8
-        val rowSize = ((bpp * w + 31) / 32) * 4
-        require(off + rowSize.toLong * h <= b.length, "truncated BMP")
-        (w, h, (x, y) => {
-          val p = off + y * rowSize + x * stride
+        val hd = parseBmpHeader(b)
+        (hd.w, hd.h, (x, y) => {
+          val p = hd.rowOff(y) + x * hd.stride
           ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3
         })
       } else if (isPgm(b)) {
-        // re-parse the header with decodePgm's tokenizer discipline
-        var i = 2
-        def tok(): Int = {
-          while (i < b.length &&
-            (Character.isWhitespace(b(i)) || b(i) == '#'.toByte)) {
-            if (b(i) == '#'.toByte)
-              while (i < b.length && b(i) != '\n'.toByte) i += 1
-            else i += 1
-          }
-          var v = 0
-          while (i < b.length && !Character.isWhitespace(b(i))) {
-            require(b(i) >= '0'.toByte && b(i) <= '9'.toByte, "non-digit")
-            v = v * 10 + (b(i) - '0'.toByte); i += 1
-          }
-          v
-        }
-        val w = tok(); val h = tok(); val maxVal = tok()
-        i += 1
-        require(w > 0 && h > 0 && maxVal > 0 && maxVal <= 255,
-          "unsupported PGM")
-        require(i + w.toLong * h <= b.length, "truncated PGM")
-        val i0 = i
-        (w, h, (x, y) => b(i0 + y * w + x) & 0xff)
+        val hd = parsePgmHeader(b)
+        (hd.w, hd.h, (x, y) => b(hd.dataOff + y * hd.w + x) & 0xff)
       } else stubRaster(b)
     } catch { case _: Exception => stubRaster(b) }
 

@@ -155,7 +155,16 @@ object TextOps {
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val phoneRe = "\\+?[0-9][0-9 ().-]{7,}[0-9]"
+  // three concrete phone SHAPES rather than "any long digit run": an
+  // international +CC number, a parenthesized-area-code number, and a
+  // dashed/dotted 3-3-4 triplet. A generic [0-9 ().-]{7,} run also
+  // matches year ranges ("1914-1918"), timestamps, and decimals — and
+  // the scrub runs inside the curate pipeline, where masking a date
+  // corrupts training text. Shape-anchored patterns keep false
+  // positives out of ordinary numeric prose.
+  val phoneRe = "\\+[0-9][0-9 ().-]{5,}[0-9]" +
+    "|\\([0-9]{3}\\) ?[0-9]{3}[ .-][0-9]{4}" +
+    "|\\b[0-9]{3}[.-][0-9]{3}[.-][0-9]{4}\\b"
 
   /** PII scrubbing — the redaction pass an LLM data pipeline runs before
     * training: count and mask e-mail addresses, IPv4 addresses, and

@@ -106,6 +106,26 @@ class MultimodalSpec extends SparkSpec {
     assert(sw == 5 && sh == 5)
   }
 
+  test("resize preserves BMP orientation (bottom-up files are not flipped)") {
+    // 4×4 BMP: top half white, bottom half black. ImageIO writes
+    // bottom-up BMPs (positive height), so a row-order-naive accessor
+    // would emit the black half on top of the thumbnail.
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) {
+      val v = if (y < 2) 255 else 0
+      img.setRGB(x, y, new java.awt.Color(v, v, v).getRGB)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val resized = Multimodal.resizeToPgm(bos.toByteArray, 1, 2)
+    val headerLen = "P5\n1 2\n255\n".length
+    val top = resized(headerLen) & 0xff
+    val bottom = resized(headerLen + 1) & 0xff
+    assert(top == 255 && bottom == 0,
+      s"thumbnail vertically flipped: top=$top bottom=$bottom")
+  }
+
   test("resizeMedia maps every item to the target thumbnail, id-stable") {
     val media = Multimodal.asMedia(
       Seq((0L, "alpha beta"), (1L, "gamma"), (2L, "delta"))

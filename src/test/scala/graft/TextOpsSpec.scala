@@ -205,7 +205,11 @@ class TextOpsSpec extends SparkSpec {
     val d = Seq(
       (0L, "mail me at jo.doe+x@test-site.org or visit 10.0.255.1 now"),
       (1L, "call +1 (415) 555-0100 twice"),
-      (2L, "nothing sensitive here")
+      (2L, "nothing sensitive here"),
+      (3L, "dial (415) 555-0100 or 415-555-0100 or 415.555.0100"),
+      // ordinary numeric prose must NOT be masked (shape-anchored
+      // patterns, not "any long digit run")
+      (4L, "the war of 1914-1918 ended at 2024-01-01 01:00:00 pi 3.14159265358")
     ).toDF("doc_id", "text")
     val got = graft.ext.TextOps.piiScrub(d)
       .orderBy($"doc_id").collect()
@@ -214,6 +218,10 @@ class TextOpsSpec extends SparkSpec {
       "mail me at <EMAIL> or visit <IP> now")))
     assert(got(1)._3 == 1L && got(1)._4 == "call <PHONE> twice")
     assert(got(2) == ((0L, 0L, 0L, "nothing sensitive here")))
+    assert(got(3)._3 == 3L &&
+      got(3)._4 == "dial <PHONE> or <PHONE> or <PHONE>")
+    assert(got(4) == ((0L, 0L, 0L,
+      "the war of 1914-1918 ended at 2024-01-01 01:00:00 pi 3.14159265358")))
   }
 
   test("unigramCrossEntropy: uniform unigram model gives ln(vocab) loss") {
