@@ -80,7 +80,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = staticPlan(SparkEntry.queries("q69_semdedup")(spark, dir))
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       "within-cell pruning must join on cell, not cross")
-    val es = scans(p)
+    // the centroid assignment is persisted, so the parquet scan lives
+    // inside the InMemoryRelation's cached plan — audit through it
+    val cached = p.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    val es = (p +: cached).flatMap(scans)
     assert(es.nonEmpty)
     es.foreach { s =>
       assert(s.requiredSchema.names.toSet.subsetOf(Set("vec_id", "embedding")),
