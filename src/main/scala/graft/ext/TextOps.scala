@@ -154,15 +154,29 @@ object TextOps {
     * real enough to catch the standard e-mail / IPv4 / phone shapes.
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  // three concrete phone SHAPES rather than "any long digit run": an
-  // international +CC number, a parenthesized-area-code number, and a
-  // dashed/dotted 3-3-4 triplet. A generic [0-9 ().-]{7,} run also
-  // matches year ranges ("1914-1918"), timestamps, and decimals — and
-  // the scrub runs inside the curate pipeline, where masking a date
-  // corrupts training text. Shape-anchored patterns keep false
-  // positives out of ordinary numeric prose.
-  val phoneRe = "\\+[0-9][0-9 ().-]{5,}[0-9]" +
+  // octets range-validated (0-255, no leading-zero forms) so arbitrary
+  // dotted numerics ("999.999.999.999", section numbers) are not masked.
+  // A range-valid dotted quad that is actually a software version
+  // ("1.2.3.4") is still masked — indistinguishable without context;
+  // that residual over-masking is the accepted tradeoff.
+  private val octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+  val ipv4Re =
+    s"\\b$octet\\.$octet\\.$octet\\.$octet\\b"
+  // four concrete phone SHAPES rather than "any long digit run": an
+  // international +CC number with separator-delimited groups, a
+  // condensed E.164 run (+ and 7-15 digits), a parenthesized-area-code
+  // number, and a dashed/dotted 3-3-4 triplet. A generic
+  // [0-9 ().-]{5,} run also matches year ranges ("1914-1918"),
+  // timestamps, decimals, and — when '+'-prefixed — entire stretches of
+  // numeric prose ("temps +10 (2023) 15.5-20.4"); the scrub runs inside
+  // the curate pipeline, where masking a date corrupts training text.
+  // Every group below is bounded, so no alternative can swallow an
+  // unbounded digit/space run.
+  val phoneRe =
+    "\\+[0-9]{1,3}[ .-]?" +
+      "(\\([0-9]{2,4}\\)[ .-]?|[0-9]{2,4}[ .-])?" +
+      "[0-9]{3,4}[ .-][0-9]{4}\\b" +
+    "|\\+[0-9]{7,15}\\b" +
     "|\\([0-9]{3}\\) ?[0-9]{3}[ .-][0-9]{4}" +
     "|\\b[0-9]{3}[.-][0-9]{3}[.-][0-9]{4}\\b"
 

@@ -209,7 +209,15 @@ class TextOpsSpec extends SparkSpec {
       (3L, "dial (415) 555-0100 or 415-555-0100 or 415.555.0100"),
       // ordinary numeric prose must NOT be masked (shape-anchored
       // patterns, not "any long digit run")
-      (4L, "the war of 1914-1918 ended at 2024-01-01 01:00:00 pi 3.14159265358")
+      (4L, "the war of 1914-1918 ended at 2024-01-01 01:00:00 pi 3.14159265358"),
+      // '+'-adjacent numeric prose: the old unbounded intl alternative
+      // swallowed this whole run as one <PHONE>
+      (5L, "temps +10 (2023) 15.5-20.4 and range +3 100-200 recorded"),
+      // octet validation: bogus quad stays, range-valid version string is
+      // still masked (documented tradeoff), condensed E.164 is a phone
+      (6L, "version 1.2.3.4 ships; 999.999.999.999 is bogus; +442079460958 rings"),
+      // spaced international number with separator-delimited groups
+      (7L, "reach us at +44 20 7946 0958 today")
     ).toDF("doc_id", "text")
     val got = graft.ext.TextOps.piiScrub(d)
       .orderBy($"doc_id").collect()
@@ -222,6 +230,11 @@ class TextOpsSpec extends SparkSpec {
       got(3)._4 == "dial <PHONE> or <PHONE> or <PHONE>")
     assert(got(4) == ((0L, 0L, 0L,
       "the war of 1914-1918 ended at 2024-01-01 01:00:00 pi 3.14159265358")))
+    assert(got(5) == ((0L, 0L, 0L,
+      "temps +10 (2023) 15.5-20.4 and range +3 100-200 recorded")))
+    assert(got(6) == ((0L, 1L, 1L,
+      "version <IP> ships; 999.999.999.999 is bogus; <PHONE> rings")))
+    assert(got(7) == ((0L, 0L, 1L, "reach us at <PHONE> today")))
   }
 
   test("unigramCrossEntropy: uniform unigram model gives ln(vocab) loss") {
