@@ -783,7 +783,8 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"),
           col("width").cast("bigint").as("width"),
           col("height").cast("bigint").as("height"),
-          col("frames_sampled").cast("bigint").as("frames_sampled"))),
+          col("frames_sampled").cast("bigint").as("frames_sampled"),
+          col("decoded"))),
 
     // ───── event-time windows (streaming-shaped batch) ─────
     // hour emitted as a STRING: a parquet-timestamp output would round-trip
@@ -1775,7 +1776,8 @@ object SparkEntry {
          |      FROM d)
          |SELECT doc_id, n_bytes, width, height,
          |  CASE WHEN media_type = 'video' THEN greatest(1, height // 64)
-         |       ELSE 1 END AS frames_sampled
+         |       ELSE 1 END AS frames_sampled,
+         |  FALSE AS decoded
          |FROM e""".stripMargin,
 
     "q75_jsonl_roundtrip" ->

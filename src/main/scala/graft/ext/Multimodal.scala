@@ -8,22 +8,30 @@ import org.apache.spark.sql.functions._
   * processed batch-at-a-time inside `mapPartitions`.
   *
   * The decode seam ([[decode]]) sniffs the payload: uncompressed BMP and
-  * binary PGM — the two raster formats a dependency-free JVM can parse —
-  * decode for REAL (header dims + true mean pixel intensity); any other
-  * payload falls through to the deterministic [[decodeStub]], which
-  * stands in for the codec formats (JPEG/PNG/audio/video) this container
-  * deliberately lacks. Everything around the seam is the real
-  * engineering: schema (binary + metadata struct), partition-parallel
-  * batched processing, bounded memory per batch, and a typed output
-  * schema. Swapping the stub branch for a full codec changes no plumbing.
+  * binary PGM decode through hand parsers (zero-allocation fast path);
+  * PNG/JPEG/GIF decode through the JDK's own headless `javax.imageio`
+  * readers — so every mainstream image format yields REAL header dims
+  * and true mean pixel intensity. WAV audio parses through [[decodeWav]]
+  * (RIFF chunks → sample rate / channels / duration). Only payloads in
+  * none of those formats fall through to the deterministic
+  * [[decodeStub]] — a loud stand-in for codecs the JVM genuinely lacks
+  * (video containers, compressed audio). Everything around the seam is
+  * the real engineering: schema (binary + metadata struct),
+  * partition-parallel batched processing, bounded memory per item, and a
+  * typed output schema with a `decoded` honesty flag separating real
+  * parses from stub fallbacks.
   */
 object Multimodal {
+
+  // executor-global: decode in memory, never through ImageIO's on-disk
+  // temp-file cache (one settled JVM flag, not per-call)
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaItem(doc_id: Long, media: Array[Byte],
                              media_type: String)
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
                                  height: Int, mean_intensity: Double,
-                                 frames_sampled: Int)
+                                 frames_sampled: Int, decoded: Boolean)
 
   /** documents → opaque media column. Real pipelines read binary from
     * parquet/lance; here the bytes are the utf-8 text (an opaque payload
@@ -52,23 +60,69 @@ object Multimodal {
     (width, height, if (n == 0) 0.0 else s.toDouble / n)
   }
 
-  /** The decode seam: real parse for the self-describing raster formats,
+  /** The decode seam: real parse for every sniffable image format,
     * deterministic stub for everything else. A malformed header in a
     * sniffed format falls back to the stub rather than failing the task —
     * at pipeline scale a corrupt item must cost one fallback row, not a
-    * stage retry.
+    * stage retry. The boolean is the honesty flag: true iff the numbers
+    * came from a real parse.
     */
-  def decode(bytes: Array[Byte]): (Int, Int, Double) =
+  def decodeEx(bytes: Array[Byte]): (Int, Int, Double, Boolean) =
     try {
-      if (isBmp(bytes)) decodeBmp(bytes)
-      else if (isPgm(bytes)) decodePgm(bytes)
-      else decodeStub(bytes)
-    } catch { case _: Exception => decodeStub(bytes) }
+      if (isBmp(bytes)) withFlag(decodeBmp(bytes))
+      else if (isPgm(bytes)) withFlag(decodePgm(bytes))
+      else if (isCodecImage(bytes)) withFlag(decodeImageIo(bytes))
+      else stubFlag(bytes)
+    } catch { case _: Exception => stubFlag(bytes) }
+
+  def decode(bytes: Array[Byte]): (Int, Int, Double) = {
+    val (w, h, m, _) = decodeEx(bytes)
+    (w, h, m)
+  }
+
+  private def withFlag(t: (Int, Int, Double)) = (t._1, t._2, t._3, true)
+  private def stubFlag(b: Array[Byte]) = {
+    val (w, h, m) = decodeStub(b)
+    (w, h, m, false)
+  }
 
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
   private def isPgm(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'P'.toByte && b(1) == '5'.toByte
+  // codec image formats the JDK's built-in ImageIO readers handle
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == '8'.toByte
+  private def isCodecImage(b: Array[Byte]): Boolean =
+    isPng(b) || isJpeg(b) || isGif(b)
+
+  /** PNG/JPEG/GIF through the JDK's headless ImageIO readers (the same
+    * library `sinks/Plots` already uses to WRITE PNGs — no external
+    * dependency). One bulk ARGB grab per item: memory bounded at 4·w·h
+    * per in-flight item, inside the partition loop.
+    */
+  private def decodeImageIo(b: Array[Byte]): (Int, Int, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "no ImageIO reader accepted the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    (w, h, sum.toDouble / (w.toLong * h * 3))
+  }
 
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -186,6 +240,19 @@ object Multimodal {
       } else if (isPgm(b)) {
         val hd = parsePgmHeader(b)
         (hd.w, hd.h, (x, y) => b(hd.dataOff + y * hd.w + x) & 0xff)
+      } else if (isCodecImage(b)) {
+        // ImageIO's BufferedImage is already top-down; channel-average
+        // like the BMP path so resize semantics match across formats
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        require(img != null, "no ImageIO reader accepted the payload")
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        (w, h, (x, y) => {
+          val p = px(y * w + x)
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        })
       } else stubRaster(b)
     } catch { case _: Exception => stubRaster(b) }
 
@@ -236,18 +303,95 @@ object Multimodal {
 
   /** Feature extraction over media items: partition-parallel, streaming
     * per item, no driver involvement. Frame sampling for "video" = every
-    * 64th byte-row of the decode (stub for real frame extraction).
+    * 64th byte-row of the decode (stub for real frame extraction — the
+    * `decoded` flag is false on those rows, so no downstream consumer
+    * can mistake stub geometry for decoded media).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaItem].mapPartitions { it =>
       it.map { item =>
-        val (w, h, mean) = decode(item.media)
+        val (w, h, mean, real) = decodeEx(item.media)
         val frames = if (item.media_type == "video")
           math.max(1, h / 64) else 1
         MediaFeatures(item.doc_id, item.media.length.toLong, w, h, mean,
-          frames)
+          frames, real)
+      }
+    }.toDF()
+  }
+
+  // ───── audio (WAV/RIFF) ─────
+
+  final case class WavMeta(sample_rate: Int, channels: Int,
+                           bits_per_sample: Int, n_frames: Long,
+                           duration_sec: Double)
+  final case class AudioFeatures(doc_id: Long, n_bytes: Long,
+                                 sample_rate: Int, channels: Int,
+                                 bits_per_sample: Int, n_frames: Long,
+                                 duration_sec: Double, decoded: Boolean)
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == 'F'.toByte && b(8) == 'W'.toByte &&
+      b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+  /** Real WAV parse: walk the RIFF chunk list (ids + little-endian
+    * sizes, even-byte aligned), read PCM params from `fmt ` and the
+    * frame count from `data` size / block align. Throws on malformed
+    * input — callers route through the same catch-to-stub discipline as
+    * the image seam.
+    */
+  def decodeWav(b: Array[Byte]): WavMeta = {
+    require(isWav(b), "not a RIFF/WAVE payload")
+    var i = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var blockAlign = 0
+    var dataSize = -1L
+    while (i + 8 <= b.length && (sampleRate == 0 || dataSize < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4).toLong & 0xffffffffL
+      val body = i + 8
+      if (id == "fmt ") {
+        require(size >= 16 && body + 16 <= b.length, "truncated fmt chunk")
+        channels = le16(b, body + 2)
+        sampleRate = le32(b, body + 4)
+        blockAlign = le16(b, body + 12)
+        bits = le16(b, body + 14)
+      } else if (id == "data") {
+        require(body + size <= b.length, "truncated data chunk")
+        dataSize = size
+      }
+      i = body + size.toInt + (size.toInt & 1) // chunks are even-aligned
+    }
+    require(sampleRate > 0 && channels > 0 && blockAlign > 0 &&
+      dataSize >= 0, "missing fmt/data chunk")
+    val frames = dataSize / blockAlign
+    WavMeta(sampleRate, channels, bits, frames,
+      frames.toDouble / sampleRate)
+  }
+
+  /** Audio metadata extraction over media items, same shape as
+    * [[extractFeatures]]: real RIFF parse where the payload is WAV,
+    * deterministic zeroed row with `decoded = false` otherwise.
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.map { item =>
+        val n = item.media.length.toLong
+        try {
+          val m = decodeWav(item.media)
+          AudioFeatures(item.doc_id, n, m.sample_rate, m.channels,
+            m.bits_per_sample, m.n_frames, m.duration_sec, decoded = true)
+        } catch {
+          case _: Exception =>
+            AudioFeatures(item.doc_id, n, 0, 0, 0, 0L, 0.0,
+              decoded = false)
+        }
       }
     }.toDF()
   }

@@ -3,9 +3,10 @@ package graft
 import graft.ext.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schema, deterministic stub decode, partition-
-  * parallel extraction (SURVEY §7.5 — decode is a documented stub; the
-  * Spark-side plumbing is the deliverable).
+/** Multimodal plumbing: schema, real decode for BMP/PGM (hand parsers)
+  * and PNG/JPEG/GIF (JDK ImageIO) and WAV (RIFF parser), deterministic
+  * stub only for formats the JVM genuinely lacks, partition-parallel
+  * extraction (SURVEY §7.5).
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -79,6 +80,97 @@ class MultimodalSpec extends SparkSpec {
     val row = Multimodal.extractFeatures(media).collect().head
     assert(row.getAs[Int]("width") == 8 && row.getAs[Int]("height") == 8)
     assert(row.getAs[Double]("mean_intensity") == 60.0)
+  }
+
+  test("decode parses real PNG and JPEG through the JDK's ImageIO readers") {
+    // PNG is lossless: exact dims AND exact mean must survive the codec
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 5; y <- 0 until 4)
+      img.setRGB(x, y, new java.awt.Color(7 * x, 11 * y, 13).getRGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val (w, h, mean, real) = Multimodal.decodeEx(bos.toByteArray)
+    assert((w, h, real) == ((5, 4, true)))
+    val exp = (for (x <- 0 until 5; y <- 0 until 4)
+      yield 7 * x + 11 * y + 13).sum / (5.0 * 4 * 3)
+    assert(math.abs(mean - exp) < 1e-9, s"png mean=$mean exp=$exp")
+    // JPEG is lossy: dims exact, flat-color mean within codec tolerance
+    val jimg = new java.awt.image.BufferedImage(6, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 6; y <- 0 until 6)
+      jimg.setRGB(x, y, new java.awt.Color(120, 120, 120).getRGB)
+    val jb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(jimg, "jpg", jb))
+    val (jw, jh, jmean, jreal) = Multimodal.decodeEx(jb.toByteArray)
+    assert((jw, jh, jreal) == ((6, 6, true)))
+    assert(math.abs(jmean - 120.0) < 4.0, s"jpeg mean=$jmean")
+    // a truncated PNG falls back to the stub with decoded = false
+    val broken = bos.toByteArray.take(20)
+    assert(!Multimodal.decodeEx(broken)._4)
+  }
+
+  test("resizeToPgm reads PNG rasters with correct orientation") {
+    // 4×4 PNG: top half white, bottom half black → 1×2 thumbnail must
+    // keep white on top (ImageIO rasters are top-down)
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) {
+      val v = if (y < 2) 255 else 0
+      img.setRGB(x, y, new java.awt.Color(v, v, v).getRGB)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val resized = Multimodal.resizeToPgm(bos.toByteArray, 1, 2)
+    val headerLen = "P5\n1 2\n255\n".length
+    assert((resized(headerLen) & 0xff) == 255 &&
+      (resized(headerLen + 1) & 0xff) == 0)
+  }
+
+  test("decodeWav parses a JDK-written WAV; audioFeatures flags non-audio") {
+    // 0.5 s of 16-bit mono PCM at 8 kHz, encoded by the JDK's own
+    // javax.sound.sampled writer, parsed by the pure RIFF walker
+    val n = 4000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](n * 2)), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val m = Multimodal.decodeWav(bos.toByteArray)
+    assert(m.sample_rate == 8000 && m.channels == 1 &&
+      m.bits_per_sample == 16 && m.n_frames == 4000L)
+    assert(math.abs(m.duration_sec - 0.5) < 1e-12)
+    // DataFrame path: the WAV row decodes for real, a text payload is
+    // a zeroed row with decoded = false — never fabricated audio params
+    val media = Seq((0L, bos.toByteArray, "audio"),
+      (1L, "not audio at all".getBytes("UTF-8"), "audio"))
+      .toDF("doc_id", "media", "media_type")
+    val got = Multimodal.audioFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("decoded") &&
+      got(0L).getAs[Int]("sample_rate") == 8000 &&
+      got(0L).getAs[Long]("n_frames") == 4000L)
+    assert(!got(1L).getAs[Boolean]("decoded") &&
+      got(1L).getAs[Int]("sample_rate") == 0)
+  }
+
+  test("extractFeatures decoded flag: true for real rasters, false for stub") {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8)
+      img.setRGB(x, y, new java.awt.Color(42, 42, 42).getRGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val media = Seq((0L, bos.toByteArray, "image"),
+      (1L, "plain text payload".getBytes("UTF-8"), "image"))
+      .toDF("doc_id", "media", "media_type")
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("decoded") &&
+      got(0L).getAs[Int]("width") == 8 &&
+      got(0L).getAs[Double]("mean_intensity") == 42.0)
+    assert(!got(1L).getAs[Boolean]("decoded"))
   }
 
   test("resizeToPgm downsamples a PGM; output re-decodes with exact dims") {
