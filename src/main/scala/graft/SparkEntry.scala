@@ -2140,27 +2140,37 @@ object SparkEntry {
 
   /** SemDeDup mirror: the q40 literal-centroid cell assignment, then the
     * within-cell dominance prune — a vector is pruned iff a same-cell
-    * neighbour with cosine ≥ τ sits strictly farther from the centroid
-    * (tie toward the smaller vec_id). Cosines via `list_dot_product`
-    * (the q26/q40 precedent: same sequential fold as the Spark
-    * expression, bit-identical doubles).
+    * neighbour with pairwise cosine ≥ τ has strictly LOWER cosine to the
+    * centroid (tie toward the smaller vec_id), the paper's keep-farthest
+    * rule. The centroid cosine mirrors the Spark plan's polarization-
+    * identity derivation — (n2 + ‖c‖² − d2c) / (2·√n2·√‖c‖²) with the
+    * SAME ‖c‖² Scala-double literals and operation order, so doubles stay
+    * bit-identical. Pairwise cosines via `list_dot_product` (the q26/q40
+    * precedent: same sequential fold as the Spark expression).
     */
   private def q69OracleSql(centers: Array[Array[Double]],
                            minCos: Double): String = {
     val dsList = centers.map(c => d2Sql("v", c, 0))
       .mkString("[\n    ", ",\n    ", "]")
+    val cnList = centers.map(c => c.map(x => x * x).sum)
+      .mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |ad AS (SELECT vec_id, v, $dsList AS ds FROM e),
-       |a AS (SELECT vec_id, v,
+       |ad AS (SELECT vec_id, v, $dsList AS ds,
+       |         list_dot_product(v, v) AS n2 FROM e),
+       |a0 AS (SELECT vec_id, v,
        |        CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell,
-       |        list_min(ds) AS d2c FROM ad),
+       |        list_min(ds) AS d2c, n2 FROM ad),
+       |a AS (SELECT vec_id, v, cell, d2c, n2,
+       |        (n2 + list_extract($cnList, cell + 1) - d2c) /
+       |        (2.0 * sqrt(n2) * sqrt(list_extract($cnList, cell + 1)))
+       |          AS c2c FROM a0),
        |pr AS (SELECT DISTINCT y.vec_id AS vec_id
        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
        |  WHERE list_dot_product(x.v, y.v) /
        |      (sqrt(list_dot_product(x.v, x.v)) *
        |       sqrt(list_dot_product(y.v, y.v))) >= $minCos
-       |    AND (x.d2c > y.d2c OR (x.d2c = y.d2c AND x.vec_id < y.vec_id)))
+       |    AND (x.c2c < y.c2c OR (x.c2c = y.c2c AND x.vec_id < y.vec_id)))
        |SELECT a.vec_id, a.cell, (pr.vec_id IS NULL) AS keep
        |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id""".stripMargin
   }

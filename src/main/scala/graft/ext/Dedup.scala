@@ -373,12 +373,17 @@ object Dedup {
     * 100 TB, nlist grows ~√n so per-cell candidate sets stay bounded).
     *
     * Keep rule: per the paper (§3, "keep the one with the LOWEST cosine
-    * similarity to the cluster centroid" — i.e. the farthest, preserving
-    * diversity), a vector is pruned iff some same-cell neighbour with
-    * cosine ≥ `minCos` is STRICTLY farther from the centroid (squared-L2
-    * tie broken toward the smaller vec_id). Pairwise-dominance rather
-    * than the paper's group formation: deterministic, one self-join, no
-    * iterative clustering inside cells.
+    * similarity to the cluster centroid" — preserving diversity), a
+    * vector is pruned iff some same-cell neighbour with pairwise cosine
+    * ≥ `minCos` has STRICTLY LOWER cosine to the centroid (tie broken
+    * toward the smaller vec_id). The centroid cosine is derived from the
+    * already-computed squared-L2 distance via the polarization identity
+    * v·c = (‖v‖² + ‖c‖² − ‖v−c‖²)/2 — one extra ‖v‖² fold per row, no
+    * second O(nlist × dim) pass. For unnormalized embeddings this
+    * ordering genuinely differs from nearest-by-L2, so the rule is the
+    * paper's, not an L2 proxy. Pairwise-dominance rather than the
+    * paper's group formation: deterministic, one self-join, no iterative
+    * clustering inside cells.
     *
     * Output: (vec_id, cell, keep).
     */
@@ -390,6 +395,9 @@ object Dedup {
       aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
     val ds = array(centers.map(c => dist2(col("v"), c)): _*)
+    // ‖c‖² per centroid: Scala-computed literals, mirrored verbatim into
+    // the oracle SQL (the q50 reconstruction-norm precedent)
+    val cn2 = array(centers.map(c => lit(c.map(x => x * x).sum)): _*)
     // materialize the distance list once per row, derive cell + own
     // distance from it (argmin with first-index tie-break, the
     // SimSearch.ivfTopK idiom)
@@ -397,22 +405,27 @@ object Dedup {
     // fold over the embeddings scan) feeds BOTH sides of the within-cell
     // self-join plus the final keep-join — the multi-consumer persist
     // discipline of minhashLshPairs/ngramJaccardPairs
+    val c2 = element_at(cn2, col("cell") + 1)
     val assigned = e.withColumn("ds", ds)
       .select(col("vec_id"), col("v"),
         (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int")
           .as("cell"),
-        array_min(col("ds")).as("d2c"))
+        array_min(col("ds")).as("d2c"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("n2"))
+      .withColumn("c2c",
+        (col("n2") + c2 - col("d2c")) /
+          (lit(2.0) * sqrt(col("n2")) * sqrt(c2)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("vec_id").as("id_x"), col("v").as("v_x"),
-      col("cell"), col("d2c").as("d_x"))
+      col("cell"), col("c2c").as("c_x"))
     val y = assigned.select(col("vec_id").as("id_y"), col("v").as("v_y"),
-      col("cell"), col("d2c").as("d_y"))
+      col("cell"), col("c2c").as("c_y"))
     val pruned = x.join(y, "cell")
       .filter(col("id_x") =!= col("id_y"))
       .filter(graft.ops.Scoring.cosineSimilarity(col("v_x"), col("v_y"))
         >= minCos)
-      .filter(col("d_x") > col("d_y") ||
-        (col("d_x") === col("d_y") && col("id_x") < col("id_y")))
+      .filter(col("c_x") < col("c_y") ||
+        (col("c_x") === col("c_y") && col("id_x") < col("id_y")))
       .select(col("id_y").as("vec_id")).distinct()
     assigned
       .join(pruned.withColumn("pruned", lit(true)), Seq("vec_id"), "left")

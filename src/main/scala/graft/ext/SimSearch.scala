@@ -210,25 +210,47 @@ object SimSearch {
     * shuffle. The candidate join keys on cell id, and only
     * |corpus|·nprobe/nlist rows reach the exact re-rank.
     */
+  /** Self-scaling default cell count: √(corpusRows/64) clamped to
+    * [16, cap]. Within-cell candidate work is O(n²/nlist), cell
+    * assignment is O(n·nlist·dim): growing nlist with √n keeps both on
+    * the n^1.5 balance curve (per-cell population ~8√n) instead of
+    * letting fixed-16 cells degenerate to all-pairs at corpus scale —
+    * this makes the 100 TB claim of [[graft.ext.Dedup.semDedup]] and
+    * [[ivfTopK]] self-enforcing rather than a scaladoc promise. The /64
+    * divisor keeps small corpora (< 16384 rows — every test SF) on the
+    * floor of 16, so trained-quantizer plans and their SQL mirrors are
+    * unchanged there. `cap` bounds the quantizer size: k-means needs
+    * several training points per cell, so cap ≤ trainMax/8 by default;
+    * raise trainMax alongside cap at real scale.
+    */
+  def deriveNlist(corpusRows: Long, cap: Int = 4096): Int =
+    math.max(16L, math.min(cap.toLong,
+      math.round(math.sqrt(corpusRows.toDouble / 64.0)))).toInt
+
   /** The trained IVF coarse quantizer — the exact centroid literals an
     * [[ivfTopK]] plan embeds. Public so a caller can reuse them (e.g. to
     * generate a SQL mirror of the plan, the way the LSH normals do).
+    * `nlist ≤ 0` (the default) derives the cell count from the corpus
+    * size via [[deriveNlist]]; pass an explicit positive value to pin it.
     */
-  def ivfCentroids(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 0, seed: Long = 42L,
                    trainMax: Int = 65536): Array[Array[Double]] = {
     val corpusV = corpus.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("v"))
-    localKMeans(trainSample(corpusV, trainMax), nlist, seed = seed)
+    val nl = if (nlist > 0) nlist else deriveNlist(corpusV.count())
+    localKMeans(trainSample(corpusV, trainMax), nl, seed = seed)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              nlist: Int = 0, nprobe: Int = 4, seed: Long = 42L,
               trainMax: Int = 65536,
               centersOpt: Option[Array[Array[Double]]] = None): DataFrame = {
     val corpusV = corpus.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("v"))
-    val centers = centersOpt.getOrElse(
-      localKMeans(trainSample(corpusV, trainMax), nlist, seed = seed))
+    val centers = centersOpt.getOrElse {
+      val nl = if (nlist > 0) nlist else deriveNlist(corpusV.count())
+      localKMeans(trainSample(corpusV, trainMax), nl, seed = seed)
+    }
 
     // squared L2 distance to each centroid as literal-array expressions;
     // cell = argmin (first index on ties)
@@ -289,15 +311,16 @@ object SimSearch {
     * — the exact literals an [[ivfPqTopK]] plan embeds; public for SQL
     * mirror generation like [[ivfCentroids]].
     */
-  def ivfPqModel(corpus: DataFrame, dim: Int, nlist: Int = 16, m: Int = 8,
+  def ivfPqModel(corpus: DataFrame, dim: Int, nlist: Int = 0, m: Int = 8,
                  ksub: Int = 16, seed: Long = 42L, trainMax: Int = 65536)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val corpusV = corpus.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("v"))
+    val nl = if (nlist > 0) nlist else deriveNlist(corpusV.count())
     val sample = trainSample(corpusV, trainMax)
-    val coarse = localKMeans(sample, nlist, seed = seed)
+    val coarse = localKMeans(sample, nl, seed = seed)
     val books = Array.tabulate(m) { j =>
       localKMeans(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub,
         seed = seed + 1 + j)
@@ -306,7 +329,7 @@ object SimSearch {
   }
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
-                k: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                k: Int = 10, nlist: Int = 0, nprobe: Int = 4, m: Int = 8,
                 ksub: Int = 16, seed: Long = 42L,
                 trainMax: Int = 65536,
                 modelOpt: Option[(Array[Array[Double]],

@@ -104,24 +104,38 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
-  test("semDedup prunes the near-dup closest to its centroid, keeps across cells") {
-    // two well-separated clusters; cluster A holds a near-dup pair where
-    // vector 2 sits closer to the centroid than vector 1 → 2 is pruned
-    // (the paper keeps the FARTHEST-from-centroid member); vector 3 is in
-    // A but dissimilar enough to survive; cluster B's lone member keeps.
-    val a0 = Array(10.0, 10.0, 0.0, 0.0)
+  test("semDedup keeps the LOWEST-cosine-to-centroid member, not nearest-L2") {
+    // two well-separated clusters. Cluster A holds a near-dup pair built
+    // so the L2 and cosine orderings DISAGREE: vector 1 = (30,0,0,0) is
+    // FAR from the centroid (10,0,0,0) in L2 (d²=400) but perfectly
+    // aligned (cos = 1.0); vector 2 = (10,1,0,0) is L2-close (d²=1) but
+    // angled (cos ≈ 0.995). The paper's rule keeps the LOWEST cosine →
+    // 2 survives and 1 is pruned — the opposite of an L2-proxy rule.
+    // Vector 3 is in A but dissimilar enough to survive; cluster B's
+    // lone member keeps.
     val vecs = Seq(
-      (1L, Seq(12.0f, 12.0f, 0.3f, 0.0f)),   // near-dup of 2, farther out
-      (2L, Seq(10.0f, 10.0f, 0.25f, 0.0f)),  // near-dup of 1, near center
-      (3L, Seq(9.0f, 10.0f, 8.0f, -8.0f)),   // same cell, low cosine
+      (1L, Seq(30.0f, 0.0f, 0.0f, 0.0f)),    // near-dup of 2, cos-to-c = 1
+      (2L, Seq(10.0f, 1.0f, 0.0f, 0.0f)),    // near-dup of 1, cos ≈ 0.995
+      (3L, Seq(9.0f, 10.0f, 8.0f, -8.0f)),   // same cell, low pair cosine
       (4L, Seq(-10.0f, -10.0f, 0.0f, 0.0f))  // other cluster
     ).toDF("vec_id", "embedding")
-    val centers = Array(a0, Array(-10.0, -10.0, 0.0, 0.0))
+    val centers = Array(Array(10.0, 0.0, 0.0, 0.0),
+      Array(-10.0, -10.0, 0.0, 0.0))
+    // pairwise cos(1,2) = 300/(30·√101) ≈ 0.99504 ≥ 0.99 → a dup pair
     val got = Dedup.semDedup(vecs, centers, minCos = 0.99)
       .select($"vec_id", $"cell", $"keep").as[(Long, Int, Boolean)]
       .collect().map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(got(1L)._2 && !got(2L)._2 && got(3L)._2 && got(4L)._2)
+    assert(!got(1L)._2 && got(2L)._2 && got(3L)._2 && got(4L)._2)
     assert(got(1L)._1 == got(2L)._1 && got(1L)._1 == got(3L)._1)
     assert(got(4L)._1 != got(1L)._1)
+  }
+
+  test("deriveNlist: floor at small corpora, √(n/64) growth, cap") {
+    import graft.ext.SimSearch.deriveNlist
+    assert(deriveNlist(500L) == 16)       // every test SF stays on the floor
+    assert(deriveNlist(16384L) == 16)     // crossover point: √(16384/64)=16
+    assert(deriveNlist(1048576L) == 128)  // √(2^20/64) = 128
+    assert(deriveNlist(Long.MaxValue) == 4096) // capped
+    assert(deriveNlist(0L) == 16)
   }
 }
