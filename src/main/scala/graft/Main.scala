@@ -30,6 +30,7 @@ object Main {
       |  graft.Main stream   --f <eventsDir>  [--o <outdir>] [--w "1 hour"] [--m "2 hours"]
       |  graft.Main stream-dedup --f <docsDir> [--o <outdir>] [--m "1 hour"]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
+      |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -82,12 +83,21 @@ object Main {
             { System.err.println(usage); sys.exit(2); "" })
           val counts = runCurate(spark, in, opt("--o", "results"),
             seqLen = opt("--l", "512").toInt,
-            tokenBudget = opt("--t", "2000").toLong)
-          println(s"curate: ${counts("input")} docs in, " +
-            s"${counts("pii_docs")} PII-scrubbed, " +
-            s"${counts("after_dedup")} after dedup, " +
-            s"${counts("selected")} selected, " +
-            s"${counts("sequences")} packed sequences -> " +
+            tokenBudget = opt("--t", "2000").toLong,
+            benchPath = opts.get("--e"),
+            embPath = opts.get("--v"))
+          val stages = Seq(
+            Some(s"${counts("input")} docs in"),
+            Some(s"${counts("pii_docs")} PII-bearing after exact dedup"),
+            Some(s"${counts("after_gopher")} after gopher filter"),
+            opts.get("--e").map(_ =>
+              s"${counts("after_decontam")} after decontamination"),
+            Some(s"${counts("after_dedup")} after near-dup"),
+            opts.get("--v").map(_ =>
+              s"${counts("after_semdedup")} after semantic dedup"),
+            Some(s"${counts("selected")} selected"),
+            Some(s"${counts("sequences")} packed sequences")).flatten
+          println(s"curate: ${stages.mkString(", ")} -> " +
             s"${opt("--o", "results")}")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
@@ -263,20 +273,31 @@ object Main {
   }
 
   /** The LLM-training-data curation pipeline end-to-end, user-reachable:
-    * documents parquet (`doc_id, text`) → exact dedup → near-dup
-    * clustering (3-gram Jaccard + connected components) keeping the
-    * best-quality representative per cluster → language ID + quality
-    * scoring → per-language token-budget selection → concat-and-chunk
-    * packing into `seqLen`-token training sequences. Writes four parquet
-    * tables under `out` (`clusters`, `kept_docs`, `selected`, `packed`)
-    * and returns stage counts. Every stage is the same operator the
-    * named queries check against DuckDB (q22, q43/q60, q61, q63) — this
-    * is their composition, not a parallel implementation.
+    * documents parquet (`doc_id, text`) → exact dedup → PII scrub →
+    * Gopher composite quality filter → (optional) benchmark
+    * decontamination → near-dup clustering (3-gram Jaccard + connected
+    * components) keeping the best-quality representative per cluster →
+    * (optional) semantic dedup over an embeddings table → language ID +
+    * quality scoring → per-language token-budget selection →
+    * concat-and-chunk packing into `seqLen`-token training sequences.
+    * Writes parquet tables under `out` (`clusters`, `pii_stats`,
+    * `kept_docs`, `selected`, `packed`) and returns per-stage counts.
+    * Every stage is the same operator the named queries check against
+    * DuckDB (q22, q72, q74, q64, q43/q60, q69, q61, q63) — this is
+    * their composition, not a parallel implementation.
+    *
+    * `benchPath` (CLI `--e`): held-out eval split (`doc_id, text`);
+    * training docs sharing any 5-gram with it are dropped (q64).
+    * `embPath` (CLI `--v`): embeddings table (`vec_id, embedding`)
+    * keyed by doc_id; SemDeDup prunes semantic near-dups (q69) with a
+    * corpus-derived cell count. Docs with no embedding row pass through.
     */
   def runCurate(spark: SparkSession, in: String, out: String,
-                seqLen: Int = 512, tokenBudget: Long = 2000L)
-      : Map[String, Long] = {
-    import graft.ext.{Dedup, TextOps}
+                seqLen: Int = 512, tokenBudget: Long = 2000L,
+                benchPath: Option[String] = None,
+                embPath: Option[String] = None,
+                semMinCos: Double = 0.95): Map[String, Long] = {
+    import graft.ext.{Dedup, SimSearch, TextOps}
     val docs = spark.read.parquet(in)
       .select(col("doc_id"), col("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -292,31 +313,71 @@ object Main {
     // packing) sees clean text only. Scrubbing after exact dedup keeps
     // the byte-identical grouping cheap; scrubbing before near-dup
     // clustering means masked variants of the same doc still cluster.
-    // Persisted — it feeds the cluster build, the quality scores, and
-    // the kept set.
+    // Persisted — it feeds the pii_stats sink and the working text.
     val scrub = TextOps.piiScrub(exactRaw)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // counted AFTER exact dedup: PII occurrences inside dropped exact
+    // duplicates are not in this number (the CLI summary says so)
     val nPii = scrub.filter(col("n_emails") + col("n_ipv4") +
       col("n_phones") > 0).count()
     val exact = scrub.select(col("doc_id"), col("clean_text").as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Gopher composite quality gate (q74) on the scrubbed text: cheap
+    // per-doc repetition/length/stopword rules drop degenerate docs
+    // BEFORE any pairwise or clustering stage pays for them.
+    val gophered = exact.join(
+      TextOps.gopherFilter(exact).filter(col("pass"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nGopher = gophered.count()
+
+    // benchmark decontamination (q64): drop any training doc sharing a
+    // 5-gram with the held-out eval split, so the selection can't leak
+    // eval data into training sequences.
+    val decon = benchPath.fold(gophered) { bp =>
+      val bench = spark.read.parquet(bp)
+        .select(col("doc_id"), col("text"))
+      gophered.join(
+        TextOps.contaminationOverlap(gophered, bench)
+          .filter(!col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nDecon = if (benchPath.isDefined) decon.count() else nGopher
+
     // … then near-dup clusters over the survivors; keep the best-quality
     // representative of each cluster (Dedup.clusterRepresentatives —
     // the exact operator q60 hash-checks)
     val clusters = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(exact, n = 3, minJaccard = 0.05)
+      Dedup.ngramJaccardPairs(decon, n = 3, minJaccard = 0.05)
         .select(col("doc_a"), col("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val qual = TextOps.qualityScore(exact)
+    val qual = TextOps.qualityScore(decon)
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
     val reps = Dedup.clusterRepresentatives(clusters, qual)
       .select(col("rep_doc_id").as("keep_id"))
     val dropped = clusters.join(reps,
         clusters("doc_id") === col("keep_id"), "left_anti")
       .select(col("doc_id"))
-    val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+    val kept0 = decon.join(dropped, Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nKept = kept.count()
+    val nNear = kept0.count()
+
+    // semantic dedup (q69 — SemDeDup) when an embeddings table rides
+    // along: prune docs whose embedding a same-cell semantic near-dup
+    // dominates; the cell count derives from the corpus size
+    // (SimSearch.deriveNlist), so the stage stays n²/nlist at scale.
+    val kept = embPath.fold(kept0) { ep =>
+      val emb = spark.read.parquet(ep)
+      val centers = SimSearch.ivfCentroids(emb)
+      val pruned = Dedup.semDedup(emb, centers, minCos = semMinCos)
+        .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+      kept0.join(pruned, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nKept = if (embPath.isDefined) kept.count() else nNear
 
     // language + quality + token counts → per-language budget
     // (TextOps.tokenBudgetFilter — the exact operator q61 hash-checks)
@@ -343,9 +404,13 @@ object Main {
     val nSeq = spark.read.parquet(s"$out/packed")
       .agg(countDistinct(col("lang_pred"), col("seq_id"))).head().getLong(0)
     docs.unpersist(); scrub.unpersist(); exact.unpersist()
-    clusters.unpersist(); kept.unpersist(); selected.unpersist()
-    Map("input" -> nIn, "pii_docs" -> nPii, "after_dedup" -> nKept,
-      "selected" -> nSel, "sequences" -> nSeq)
+    gophered.unpersist(); clusters.unpersist(); kept0.unpersist()
+    if (benchPath.isDefined) decon.unpersist()
+    if (embPath.isDefined) kept.unpersist()
+    selected.unpersist()
+    Map("input" -> nIn, "pii_docs" -> nPii, "after_gopher" -> nGopher,
+      "after_decontam" -> nDecon, "after_dedup" -> nNear,
+      "after_semdedup" -> nKept, "selected" -> nSel, "sequences" -> nSeq)
   }
 
   /** aa-smurf pipeline on an arbitrary session; returns the number of

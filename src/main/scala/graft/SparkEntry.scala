@@ -103,6 +103,29 @@ object SparkEntry {
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  // per-JVM scratch root for the roundtrip queries (q35/q36/q37/q75):
+  // each (tag, sfDir) gets ONE reused directory — repeated invocations
+  // overwrite instead of accumulating sf-scale CSV/JSON per bench pass —
+  // and the whole root is recursively deleted when the JVM exits, so
+  // verify/bench runs leave /tmp clean.
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRec(p.toFile)))
+    p
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(); ()
+  }
+  private def scratch(tag: String, dir: String): String = {
+    val d = scratchRoot.resolve(
+      s"$tag-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   /** Focus-score table (windowSize 28), shared by q31 + q34. */
   private def sharedFocus(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"focus:$dir") {
@@ -829,8 +852,7 @@ object SparkEntry {
     // jsonlDocs scan; the oracle reads the same rows straight from
     // parquet, so the hash pins the full write→parse→project cycle
     "q75_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q75").toString
+      val tmp = scratch("q75", dir)
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .coalesce(4).write.mode("overwrite").json(tmp)
@@ -840,8 +862,7 @@ object SparkEntry {
     }),
 
     "q35_csv_edges_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q35").toString
+      val tmp = scratch("q35", dir)
       edges(s, dir)
         .select(col("src").as("Source"), col("dst").as("Destination"),
           col("weight").as("Weight"), col("ts").as("Timestamp"))
@@ -863,7 +884,7 @@ object SparkEntry {
         (0 until n).map(j => if (cells((i, j))) "1" else "0")
           .mkString(" ")
       }.mkString("", "\n", "\n")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q36")
+      val tmp = java.nio.file.Paths.get(scratch("q36", dir))
       val f = tmp.resolve("matrix.txt")
       java.nio.file.Files.writeString(f, text)
       val pos = s.createDataFrame(
@@ -878,8 +899,7 @@ object SparkEntry {
     }),
     "q37_direction_rule" -> ((s, dir) => {
       // S3+S4: edges → czech-trans semicolon CSV → scan → direction rule
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-q37").toString
+      val tmp = scratch("q37", dir)
       edges(s, dir).select(
           lit(0L).as("trans_id"),
           col("src").as("account_id"), col("ts").as("date"),

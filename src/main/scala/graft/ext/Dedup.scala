@@ -386,6 +386,11 @@ object Dedup {
     * clustering inside cells.
     *
     * Output: (vec_id, cell, keep).
+    *
+    * Cache lifetime: the cell assignment is persisted for its three
+    * consumers inside the returned plan (both self-join sides + the
+    * keep-join); internal handle, lives until LRU eviction or session
+    * end — same discipline as minhashLshPairs/ngramJaccardPairs.
     */
   def semDedup(emb: DataFrame, centers: Array[Array[Double]],
                minCos: Double = 0.95): DataFrame = {

@@ -90,6 +90,13 @@ object TextOps {
     * decimals like every double the oracles compare.
     *
     * Output: (doc_id, n_tokens, xent).
+    *
+    * Cache lifetime: the per-(doc, term) table is persisted because it
+    * feeds both the vocab aggregation and the scoring join of the SAME
+    * returned plan; the handle is internal, so it lives until evicted
+    * (MEMORY_AND_DISK is LRU-evictable) or the session ends. A caller
+    * invoking this repeatedly in one long session should materialize the
+    * result and `spark.catalog.clearCache()` between rounds.
     */
   def unigramCrossEntropy(docs: DataFrame,
                           textCol: String = "text"): DataFrame = {
@@ -128,6 +135,11 @@ object TextOps {
     * window — because a 100 TB corpus's vocabulary (hundreds of millions
     * of terms with subwords/typos) must rank without ever collecting to
     * one task; the fit is one aggregation over the ranked vocab.
+    *
+    * Cache lifetime: the ranked vocab is persisted for its two consumers
+    * inside the returned plan (fit + top-N); internal handle, lives until
+    * LRU eviction or session end — same discipline as
+    * [[unigramCrossEntropy]].
     */
   def zipfStats(docs: DataFrame, topN: Int = 50,
                 textCol: String = "text"): DataFrame = {

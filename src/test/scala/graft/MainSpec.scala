@@ -184,6 +184,44 @@ class MainSpec extends SparkSpec {
     assert(sel.join(kept, "doc_id").count() == counts("selected"))
   }
 
+  test("curate full pipeline: gopher, decontamination and semantic dedup drop planted docs at their stages") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "a calm morning walk by the shore with a warm cup of tea and bread"),
+      // degenerate: no stopwords, one token repeated → gopher stage
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      // shares a 5-gram with the benchmark split → decontamination stage
+      (4L, "the secret benchmark sentence about unique wombat migrations appears here and it was seen with many more common words"),
+      (5L, "an entirely different account of winter markets in the old town with lanterns glowing")
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/docs_in")
+    Seq((900L, "quiz answers include the secret benchmark sentence about unique wombat migrations appears here verbatim"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/bench")
+    // docs 1 and 5 carry IDENTICAL embeddings: same cell by construction
+    // (equal distances to every centroid), pairwise cos = 1, centroid-cos
+    // tie → the larger id (5) is pruned. Doc 2 is orthogonal; 3 and 4
+    // have no embedding row (pass-through — they're already dropped).
+    val e15 = Seq(10.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)
+    Seq((1L, e15), (5L, e15),
+      (2L, Seq(0.0f, 10.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/emb")
+
+    val counts = Main.runCurate(spark, s"$tmp/docs_in", s"$tmp/out",
+      tokenBudget = 10000L,
+      benchPath = Some(s"$tmp/bench"), embPath = Some(s"$tmp/emb"))
+    assert(counts("input") == 5)
+    assert(counts("after_gopher") == 4, s"gopher: $counts")     // −doc 3
+    assert(counts("after_decontam") == 3, s"decontam: $counts") // −doc 4
+    assert(counts("after_dedup") == 3, s"near-dup: $counts")    // no pairs
+    assert(counts("after_semdedup") == 2, s"semdedup: $counts") // −doc 5
+    val kept = spark.read.parquet(s"$tmp/out/kept_docs")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"kept=$kept")
+    assert(counts("selected") == 2 && counts("sequences") > 0)
+  }
+
   test("aa-smurf CLI pipeline runs from the reference's dense matrix") {
     val tmp = Files.createTempDirectory("graft-main").toString
     val n = Main.runAaSmurf(spark,
