@@ -65,6 +65,100 @@ object StreamOps {
     docs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** One exploded (band, doc) row of a streaming document's MinHash LSH
+    * banding — the unit the near-dup state is keyed on.
+    */
+  final case class BandEvent(bandId: Int, bandHash: String, docId: Long,
+                             ts: java.sql.Timestamp)
+  /** Per-bucket state: the first document that claimed this band bucket. */
+  final case class BucketState(firstDoc: Long)
+  /** A streaming near-dup candidate: `docId` shares LSH band `bandId`
+    * with earlier-arrived `dupOf`.
+    */
+  final case class NearDupCand(docId: Long, dupOf: Long, bandId: Int)
+
+  /** Streaming near-duplicate candidates: the streaming twin of
+    * Dedup.minhashLshPairs (q23). Each document's text is shingled,
+    * MinHash-signed and LSH-banded with the SAME column expressions as
+    * the batch operator (identical band hashes, so stream output is
+    * cross-checkable against the batch pairs); a document that lands in
+    * a band bucket already claimed by an earlier document within the
+    * watermark horizon is emitted as a candidate pair.
+    *
+    * State is BOUNDED: one (band, hash) → firstDoc entry per bucket,
+    * expired by event-time timeout once the watermark passes the last
+    * arrival + horizon — state tracks the horizon's distinct buckets,
+    * not the stream's lifetime (the unbounded-stream requirement, same
+    * contract as [[streamingDedup]]).
+    *
+    * `k` defaults lower than batch (8 vs 32): the HOF signature hashes
+    * each shingle k times per row (no exploded agg in a stateful stream),
+    * so k is the per-event CPU knob; 4 bands × 2 rows still catches
+    * high-Jaccard rewordings with high probability.
+    *
+    * A pair that collides in several bands is emitted once per band —
+    * `.dropDuplicates("docId","dupOf")` downstream if band identity is
+    * irrelevant. Exact-duplicate re-deliveries of the SAME docId are not
+    * pairs (self-dups are skipped); streamingDedup handles those.
+    */
+  def streamingNearDupCandidates(docs: DataFrame, textCol: String = "text",
+                                 k: Int = 8, bands: Int = 4,
+                                 watermark: String = "1 hour")
+      : Dataset[NearDupCand] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val rows = k / bands
+    val sig = graft.ext.Dedup.minhashSignature(
+      graft.ext.Dedup.shingles(col(textCol)), k)
+    // band hash = md5 of "|"-joined signature slice + band id — the exact
+    // string minhashLshPairs builds from its h$i columns (q23 oracle)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("|", ((b * rows) until ((b + 1) * rows))
+          .map(i => element_at(col("sig"), i + 1)) :+ lit(b): _*))
+          .as("band_hash"))
+    }
+    val banded = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .select(col("doc_id"), col("ts"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("band.band_id").as("bandId"),
+        col("band.band_hash").as("bandHash"),
+        col("doc_id").as("docId"), col("ts"))
+      .as[BandEvent]
+    banded.groupByKey(e => (e.bandId, e.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, String), events: Iterator[BandEvent],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // arrival order within a micro-batch = event time, docId ties
+            // toward the smaller id — deterministic across retries
+            val evs = events.toSeq.sortBy(e => (e.ts.getTime, e.docId))
+            var first = state.getOption.map(_.firstDoc)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCand]
+            evs.foreach { e =>
+              first match {
+                case None => first = Some(e.docId)
+                case Some(f) if f != e.docId =>
+                  out += NearDupCand(e.docId, f, key._1)
+                case _ => () // re-delivery of the bucket owner itself
+              }
+            }
+            state.update(BucketState(first.get))
+            // expire once the watermark passes last arrival + horizon;
+            // base clamped above the current watermark (Spark rejects
+            // timeout timestamps at/behind it)
+            val maxTs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), watermark)
+            out.iterator
+          }
+      }
+  }
+
   /** Keyed sketch state for the W2/M1/M2 change score: one group per
     * stream (key), state = the trailing `backWs` sketch vectors.
     */

@@ -80,6 +80,56 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup catches a re-worded duplicate in-stream") {
+    implicit val sq = spark.sqlContext
+    // one-word rewording: 13 of 17 distinct 3-gram shingles shared
+    // (Jaccard ≈ 0.76 → ≥1 of 4 two-row bands collides w.h.p., and
+    // deterministically for THESE strings — the batch cross-check below
+    // asserts the collision rather than assuming it)
+    val tA = "the quick brown fox jumps over the lazy dog near the old " +
+      "river bank every sunny morning"
+    val tB = "the quick brown fox jumps over the lazy dog near the old " +
+      "river bank every sunny evening"
+    val tC = "completely different content about spark structured " +
+      "streaming stateful operators and watermarks"
+    // batch precondition: the SAME (k=8, bands=4) banding pairs 1-3
+    val batchPairs = graft.ext.Dedup.minhashLshPairs(
+        Seq((1L, tA), (3L, tB), (2L, tC)).toDF("doc_id", "text"),
+        k = 8, bands = 4, minJaccard = 0.0)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 3L)))
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val cands = StreamOps.streamingNearDupCandidates(
+      mem.toDF.toDF("ts", "doc_id", "text"),
+      k = 8, bands = 4, watermark = "10 minutes")
+    val q = cands.writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, tA), (ts(1), 2L, tC))
+      q.processAllAvailable()
+      mem.addData((ts(2), 3L, tB)) // the rewording arrives a batch later
+      q.processAllAvailable()
+      val got = spark.table("snd").select($"docId", $"dupOf")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(got == Set((3L, 1L))) // caught in-stream; tC pairs nothing
+
+      // state expiry: push the watermark far past the horizon (timeouts
+      // fire on the batch AFTER the one that advances the watermark),
+      // then re-send tA as doc 4 — the old bucket owner has expired, so
+      // doc 4 claims a fresh bucket and no stale (4,1) pair appears
+      mem.addData((ts(600), 8L, "advance the event time watermark now"))
+      q.processAllAvailable()
+      mem.addData((ts(601), 9L, "keep advancing so timeouts actually fire"))
+      q.processAllAvailable()
+      mem.addData((ts(602), 4L, tA))
+      q.processAllAvailable()
+      val after = spark.table("snd").select($"docId", $"dupOf")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(!after.contains((4L, 1L)))
+    } finally q.stop()
+  }
+
   test("stateful change scores match the batch operator") {
     implicit val sq = spark.sqlContext
     // deterministic sketch stream: 5 windows × 4-dim sketches, one burst
