@@ -29,6 +29,7 @@ object Main {
       |  graft.Main aa-smurf --f <matrix.txt> [--o <outdir>] [--i <maxIter>]
       |  graft.Main stream   --f <eventsDir>  [--o <outdir>] [--w "1 hour"] [--m "2 hours"]
       |  graft.Main stream-dedup --f <docsDir> [--o <outdir>] [--m "1 hour"]
+      |  graft.Main stream-neardup --f <docsDir> [--o <outdir>] [--m "1 hour"] [--k 8] [--b 4]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |""".stripMargin
@@ -78,6 +79,14 @@ object Main {
             watermark = opt("--m", "1 hour"))
           println(s"stream-dedup: $n unique docs -> " +
             s"${opt("--o", "results")}/stream_unique")
+        case "stream-neardup" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamNearDup(spark, in, opt("--o", "results"),
+            watermark = opt("--m", "1 hour"),
+            k = opt("--k", "8").toInt, bands = opt("--b", "4").toInt)
+          println(s"stream-neardup: $n near-dup candidate pairs -> " +
+            s"${opt("--o", "results")}/stream_neardup")
         case "curate" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -270,6 +279,43 @@ object Main {
     else spark.read.schema(
         "ts TIMESTAMP, doc_id BIGINT, text STRING, text_hash STRING")
       .parquet(s"$out/stream_unique").count()
+  }
+
+  /** Streaming near-duplicate detection end-to-end — the q23 operator's
+    * streaming twin, user-reachable: the same document CSV directory as
+    * stream-dedup (`ts,doc_id,text`), MinHash-banded in-stream; a doc
+    * landing in an LSH band bucket already claimed within the watermark
+    * horizon emits a candidate pair
+    * (StreamOps.streamingNearDupCandidates — bucket state is BOUNDED,
+    * expired by event-time timeout). Pairs append to parquet; returns
+    * the distinct (docId, dupOf) pair count. `Trigger.AvailableNow`
+    * drains a finite directory and exits; the checkpoint carries bucket
+    * state into the next run.
+    */
+  def runStreamNearDup(spark: SparkSession, in: String, out: String,
+                       watermark: String = "1 hour",
+                       k: Int = 8, bands: Int = 4): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL(
+      "ts TIMESTAMP, doc_id BIGINT, text STRING")
+    val docs = spark.readStream.schema(schema)
+      .option("header", "true").csv(in)
+    val cands = graft.streaming.StreamOps.streamingNearDupCandidates(
+      docs, k = k, bands = bands, watermark = watermark)
+    val q = cands.toDF().writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/stream_neardup")
+      .option("checkpointLocation", s"$out/_neardup_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_neardup"))) 0L
+    else spark.read.schema("docId BIGINT, dupOf BIGINT, bandId INT")
+      .parquet(s"$out/stream_neardup")
+      .dropDuplicates("docId", "dupOf").count()
   }
 
   /** The LLM-training-data curation pipeline end-to-end, user-reachable:

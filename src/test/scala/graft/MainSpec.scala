@@ -144,6 +144,38 @@ class MainSpec extends SparkSpec {
       == Set(1L, 2L, 5L))
   }
 
+  test("stream-neardup CLI mode pairs a re-worded duplicate across runs") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val csvDir = new java.io.File(s"$tmp/docs_csv")
+    csvDir.mkdirs()
+    def write(name: String, rows: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$csvDir/$name.csv")
+      w.println("ts,doc_id,text"); rows.foreach(w.println); w.close()
+    }
+    // one-word rewording — the banding collision StreamOpsSpec asserts
+    // against the batch operator for these exact strings
+    val tA = "the quick brown fox jumps over the lazy dog near the old " +
+      "river bank every sunny morning"
+    val tB = "the quick brown fox jumps over the lazy dog near the old " +
+      "river bank every sunny evening"
+    write("a", Seq(
+      s"2024-01-01 01:00:00,1,$tA",
+      "2024-01-01 01:10:00,2,unrelated text about watermark state"))
+    val n1 = Main.runStreamNearDup(spark, csvDir.toString, s"$tmp/out",
+      watermark = "10 hours")
+    assert(n1 == 0, s"expected 0 pairs after run 1, got $n1")
+    // run 2: the rewording arrives — checkpointed bucket state from run 1
+    // still owns doc 1's bands, so the cross-run near-dup is caught
+    write("b", Seq(s"2024-01-01 02:00:00,3,$tB"))
+    val n2 = Main.runStreamNearDup(spark, csvDir.toString, s"$tmp/out",
+      watermark = "10 hours")
+    assert(n2 == 1, s"expected 1 pair after run 2, got $n2")
+    val pairs = spark.read.parquet(s"$tmp/out/stream_neardup")
+    assert(pairs.select(col("docId"), col("dupOf")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((3L, 1L)))
+  }
+
   test("curate CLI mode: dedup → scrub → select → pack, tables land as parquet") {
     val tmp = Files.createTempDirectory("graft-main").toString
     // the sf0.001 documents plus a planted exact duplicate of doc 0 and
