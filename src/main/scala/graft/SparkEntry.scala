@@ -615,6 +615,16 @@ object SparkEntry {
         cap = 5.0)
     }),
 
+    // duplicate-span REMOVAL (Lee 2021 ExactSubstr, tiled): rebuild each
+    // doc keeping only first corpus-wide occurrences of 20-token spans
+    "q76_span_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.table(s, dir, "documents"))),
+
+    // CCNet head/middle/tail perplexity buckets over the q73 LM score;
+    // distributed rank, deterministic tie-break, integer-exact edges
+    "q77_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(Tables.table(s, dir, "documents"))),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1700,6 +1710,33 @@ object SparkEntry {
         |FROM ct JOIN vocab USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
+    // perplexity-bucket mirror: the q73 xent body, then an engine-local
+    // row_number rank with the same (xent, doc_id) tie-break and the
+    // same integer-exact 1 + floor(3·pos/n) slice arithmetic
+    "q77_ppl_buckets" ->
+      """WITH dt AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |ct AS (SELECT doc_id, term, count(*) AS n_t FROM dt GROUP BY 1, 2),
+        |vocab AS (SELECT term, CAST(sum(n_t) AS BIGINT) AS freq
+        |  FROM ct GROUP BY 1),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab),
+        |x AS (SELECT doc_id,
+        |    round(-sum(n_t * ln(CAST(freq AS DOUBLE) / total)) / sum(n_t), 6)
+        |      AS xent
+        |  FROM ct JOIN vocab USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |r AS (SELECT doc_id, xent,
+        |    row_number() OVER (ORDER BY xent, doc_id) - 1 AS pos,
+        |    count(*) OVER () AS n
+        |  FROM x)
+        |SELECT doc_id, xent,
+        |  CAST(1 + floor(CAST(pos AS DOUBLE) * 3 / n) AS BIGINT) AS bucket,
+        |  CASE WHEN 1 + floor(CAST(pos AS DOUBLE) * 3 / n) = 1 THEN 'head'
+        |       WHEN 1 + floor(CAST(pos AS DOUBLE) * 3 / n) = 3 THEN 'tail'
+        |       ELSE 'middle' END AS ppl_bucket
+        |FROM r""".stripMargin,
+
     "q74_gopher_filter" -> {
       val stopList = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
       s"""WITH toks AS (SELECT doc_id,
@@ -1764,6 +1801,41 @@ object SparkEntry {
         |    (CAST(1.0 AS DOUBLE) / n_sources) /
         |    (CAST(n_tokens AS DOUBLE) / total)), 6) AS mix_weight
         |FROM w""".stripMargin,
+
+    // duplicate-span removal mirror: identical non-overlapping 20-token
+    // tiling, first corpus-wide occurrence in (doc_id, pos) order kept
+    // (engine-local row_number here ⟺ the Spark side's skew-safe
+    // min(struct) agg), per-doc ordered string_agg rebuild. The oracle
+    // groups the raw span string where Spark groups its xxhash64 — the
+    // q65/q25 collision-modulo precedent.
+    "q76_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |tiles AS (SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)),
+        |      i -> {'pos': i,
+        |            'win': array_to_string(tk[i*20+1:i*20+20], ' ')}),
+        |      recursive := true)
+        |  FROM t WHERE len(tk) > 0),
+        |kept AS (SELECT doc_id, pos, win FROM (
+        |    SELECT doc_id, pos, win,
+        |      row_number() OVER (PARTITION BY win
+        |        ORDER BY doc_id, pos) AS rn
+        |    FROM tiles) WHERE rn = 1),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(win, ' ' ORDER BY pos) AS text_deduped
+        |  FROM kept GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_tiles
+        |  FROM tiles GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(c.n_tiles, 0) AS n_tiles,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.text_deduped, '') AS text_deduped
+        |FROM documents d
+        |LEFT JOIN cnt c ON c.doc_id = d.doc_id
+        |LEFT JOIN reb r ON r.doc_id = d.doc_id""".stripMargin,
 
     "q27_simsearch_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

@@ -253,6 +253,70 @@ object Dedup {
           .as("has_dup_substring"))
   }
 
+  /** Duplicate-span REMOVAL — the rewrite step [[substringDupWindows]]
+    * only flags (Lee et al. 2021 §4.1 ExactSubstr, deduplicated corpus
+    * variant): tile every document's token stream into consecutive
+    * non-overlapping `winTokens`-token spans (last tile may be shorter),
+    * keep only the FIRST corpus-wide occurrence of each distinct span —
+    * first in (doc_id, tile position) order — and rebuild each document
+    * from its surviving tiles in order. Repeated boilerplate survives
+    * exactly once, in the earliest doc that contains it; every later
+    * verbatim copy is dropped from the text itself.
+    *
+    * The paper's suffix array is single-machine; the non-overlapping
+    * tiling is the distributed form: one explode (1/winTokens × token
+    * count rows), one map-side-combined `groupBy(hash)` carrying
+    * `min(struct(doc_id, pos))` — an agg, NOT a window partitioned by
+    * hash, so a span duplicated millions of times (boilerplate at web
+    * scale) combines map-side instead of sorting one hot partition —
+    * one shuffle join back on the hash, and one per-doc rebuild bounded
+    * by document length. Rebuilt text is whitespace-normalized
+    * lowercase (the tokenizer's view, like every text operator here).
+    * Hash note: tiles join on xxhash64(span) — counts agree with the
+    * raw-string oracle modulo 2⁻⁶⁴ collisions ([[ngramJaccardPairs]]
+    * precedent).
+    *
+    * Output: (doc_id, n_tiles, n_kept, text_deduped).
+    */
+  def removeDuplicateSpans(docs: DataFrame, winTokens: Int = 20,
+                           textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nTiles = ceil(size(toks).cast("double") / winTokens).cast("long")
+    val tiles = docs.select(col("doc_id"),
+        posexplode(when(size(toks) > 0,
+          transform(sequence(lit(0L), nTiles - 1),
+            i => array_join(
+              slice(toks, (i * winTokens + 1).cast("int"), lit(winTokens)),
+              " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("win"))
+      .withColumn("w", xxhash64(col("win")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = tiles.groupBy(col("w"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val kept = tiles.join(firsts, "w")
+      .filter(struct(col("doc_id"), col("pos")) === col("first"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("win")))),
+          s => s.getField("win")), " ").as("text_deduped"))
+    val counts = tiles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"))
+    val out = docs.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tiles"), lit(0L)).as("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+    // Cache lifetime: `tiles` feeds three branches of the SAME returned
+    // plan (firsts, the keep join, per-doc counts); the handle is
+    // internal, so it lives until LRU-evicted or the session ends — the
+    // unigramCrossEntropy convention.
+    out
+  }
+
   /** Connected components over a near-dup pair table → cluster ids
     * (cluster id = min doc_id in the component): the step after pair
     * generation in a real dedup pipeline — keep one representative per

@@ -119,6 +119,40 @@ object TextOps {
       round(col("xent"), 6).as("xent"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    * every document by its LM score — here [[unigramCrossEntropy]], the
+    * engine's SQL-expressible stand-in for the paper's KenLM perplexity
+    * — and split the corpus into `nBuckets` equal rank slices:
+    * head (best-scoring third), middle, tail. Pipelines then keep head,
+    * sample middle, drop tail.
+    *
+    * The global rank is [[graft.ops.GraphOps.withPosition]] — range
+    * repartition + per-partition sort + zipWithIndex, a distributed
+    * total order, never a single-task unpartitioned window. Ties break
+    * on doc_id so the rank (and hence bucket edges) is deterministic in
+    * both engines. Bucket arithmetic is `1 + floor(nBuckets·pos/n)` on
+    * exact integers (< 2⁵³, quotient ≥ 1/n from any integer), so the
+    * floor is engine-exact — no percentile estimation involved.
+    *
+    * Output: (doc_id, xent, bucket, ppl_bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String = "text",
+                        nBuckets: Int = 3): DataFrame = {
+    val scored = unigramCrossEntropy(docs, textCol)
+    val ranked = graft.ops.GraphOps.withPosition(
+      scored.select(col("doc_id"), col("xent")), "pos",
+      col("xent").asc, col("doc_id").asc)
+    val n = scored.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("xent"),
+        (floor(col("pos").cast("double") * nBuckets / col("n")) + 1L)
+          .cast("long").as("bucket"))
+      .withColumn("ppl_bucket",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+  }
+
   /** Zipf vocabulary statistics: corpus-wide term frequencies, frequency
     * rank, and the Zipf exponent — the standard corpus-health diagnostic
     * for a training set (natural language follows freq ∝ rank^(−α) with

@@ -138,4 +138,34 @@ class DedupSpec extends SparkSpec {
     assert(deriveNlist(Long.MaxValue) == 4096) // capped
     assert(deriveNlist(0L) == 16)
   }
+
+  test("removeDuplicateSpans: later copies of a tile drop, first stays") {
+    // w=4 tiles; doc 1 tiles: [a b c d][e f g h]; doc 2 repeats doc 1's
+    // first tile then adds its own; doc 3 is a full verbatim copy of
+    // doc 1 (every tile duplicated → nothing kept)
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, winTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tiles"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_deduped")))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d e f g h")))
+    assert(got(2L) == ((2L, 1L, "x y z w")))
+    assert(got(3L) == ((2L, 0L, "")))
+  }
+
+  test("removeDuplicateSpans: short tail tile dedups too, order kept") {
+    val d = Seq(
+      (1L, "p q r s t u"),   // tiles [p q r s][t u]
+      (2L, "t u p q r s")    // tiles [t u p q][r s] — no verbatim tile dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, winTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_deduped")).toMap
+    assert(got(1L) == "p q r s t u")
+    assert(got(2L) == "t u p q r s")
+  }
 }

@@ -266,6 +266,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((true, false, false, false)))
   }
 
+  test("perplexityBuckets: equal rank slices, rare-word docs in tail") {
+    // corpus frequencies: 'the' dominates, 'zyx'/'qwv' are singletons —
+    // docs of common words score low xent (head), rare-word docs high
+    val d = Seq(
+      (0L, "the the the the"), (1L, "the the the cat"),
+      (2L, "the cat the cat"), (3L, "cat dog the cat"),
+      (4L, "zyx the dog cat"), (5L, "zyx qwv dog cat")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.perplexityBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[String]("ppl_bucket")))).toMap
+    // 6 docs / 3 buckets → exactly 2 per slice
+    assert(got.values.map(_._1).groupBy(identity)
+      .view.mapValues(_.size).toMap == Map(1L -> 2, 2L -> 2, 3L -> 2))
+    assert(got(0L) == ((1L, "head")))   // all-'the' doc is most predictable
+    assert(got(5L) == ((3L, "tail")))   // two singletons: least predictable
+    assert(got(2L)._2 == "middle" || got(1L)._2 == "middle")
+  }
+
   test("rolling hash is null-safe") {
     val d = Seq((1L, Option("x")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
