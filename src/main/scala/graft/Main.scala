@@ -32,6 +32,7 @@ object Main {
       |  graft.Main stream-neardup --f <docsDir> [--o <outdir>] [--m "1 hour"] [--k 8] [--b 4]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
+      |                      [--r <spanTokens>] [--p true]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -90,11 +91,15 @@ object Main {
         case "curate" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
+          val spanWin = opt("--r", "0").toInt
+          val dropTail = opt("--p", "false").toBoolean
           val counts = runCurate(spark, in, opt("--o", "results"),
             seqLen = opt("--l", "512").toInt,
             tokenBudget = opt("--t", "2000").toLong,
             benchPath = opts.get("--e"),
-            embPath = opts.get("--v"))
+            embPath = opts.get("--v"),
+            spanWin = spanWin,
+            dropPplTail = dropTail)
           val stages = Seq(
             Some(s"${counts("input")} docs in"),
             Some(s"${counts("pii_docs")} PII-bearing after exact dedup"),
@@ -104,6 +109,12 @@ object Main {
             Some(s"${counts("after_dedup")} after near-dup"),
             opts.get("--v").map(_ =>
               s"${counts("after_semdedup")} after semantic dedup"),
+            if (spanWin > 0)
+              Some(s"${counts("after_span_dedup")} after span removal")
+            else None,
+            if (dropTail)
+              Some(s"${counts("after_ppl_filter")} after perplexity tail drop")
+            else None,
             Some(s"${counts("selected")} selected"),
             Some(s"${counts("sequences")} packed sequences")).flatten
           println(s"curate: ${stages.mkString(", ")} -> " +
@@ -337,12 +348,19 @@ object Main {
     * `embPath` (CLI `--v`): embeddings table (`vec_id, embedding`)
     * keyed by doc_id; SemDeDup prunes semantic near-dups (q69) with a
     * corpus-derived cell count. Docs with no embedding row pass through.
+    * `spanWin` (CLI `--r`, 0 = off): duplicate-span REMOVAL (q76) —
+    * survivors are rewritten without later copies of any
+    * `spanWin`-token tile, so packing never spends budget on
+    * boilerplate. `dropPplTail` (CLI `--p true`): CCNet-style
+    * perplexity bucketing (q77) drops the worst-scoring third.
     */
   def runCurate(spark: SparkSession, in: String, out: String,
                 seqLen: Int = 512, tokenBudget: Long = 2000L,
                 benchPath: Option[String] = None,
                 embPath: Option[String] = None,
-                semMinCos: Double = 0.95): Map[String, Long] = {
+                semMinCos: Double = 0.95,
+                spanWin: Int = 0,
+                dropPplTail: Boolean = false): Map[String, Long] = {
     import graft.ext.{Dedup, SimSearch, TextOps}
     val docs = spark.read.parquet(in)
       .select(col("doc_id"), col("text"))
@@ -425,10 +443,32 @@ object Main {
     }
     val nKept = if (embPath.isDefined) kept.count() else nNear
 
+    // duplicate-span removal (q76) when requested: rewrite the
+    // survivors dropping every later corpus-wide copy of a
+    // `spanWin`-token tile; a doc whose every tile was seen earlier
+    // vanishes entirely. Downstream token counts and packing see the
+    // REWRITTEN text, so the budget isn't spent on boilerplate.
+    val spanned = if (spanWin <= 0) kept else
+      Dedup.removeDuplicateSpans(kept, winTokens = spanWin)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_deduped").as("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSpan = if (spanWin <= 0) nKept else spanned.count()
+
+    // CCNet-style tail drop (q77) when requested: rank what's left by
+    // unigram cross-entropy and drop the worst-scoring bucket before
+    // any token budget is spent on it.
+    val plFiltered = if (!dropPplTail) spanned else
+      spanned.join(TextOps.perplexityBuckets(spanned)
+          .filter(col("ppl_bucket") =!= "tail").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPpl = if (!dropPplTail) nSpan else plFiltered.count()
+
     // language + quality + token counts → per-language budget
     // (TextOps.tokenBudgetFilter — the exact operator q61 hash-checks)
-    val lang = TextOps.langId(kept)
-    val toks = TextOps.qualityFeatures(kept)
+    val lang = TextOps.langId(plFiltered)
+    val toks = TextOps.qualityFeatures(plFiltered)
       .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
     val cur = lang.join(qual, "doc_id").join(toks, "doc_id")
     val selected = TextOps.tokenBudgetFilter(cur, tokenBudget)
@@ -443,7 +483,7 @@ object Main {
     clusters.write.mode("overwrite").parquet(s"$out/clusters")
     scrub.select(col("doc_id"), col("n_emails"), col("n_ipv4"),
       col("n_phones")).write.mode("overwrite").parquet(s"$out/pii_stats")
-    kept.select(col("doc_id")).write.mode("overwrite")
+    plFiltered.select(col("doc_id")).write.mode("overwrite")
       .parquet(s"$out/kept_docs")
     selected.write.mode("overwrite").parquet(s"$out/selected")
     packed.write.mode("overwrite").parquet(s"$out/packed")
@@ -453,10 +493,14 @@ object Main {
     gophered.unpersist(); clusters.unpersist(); kept0.unpersist()
     if (benchPath.isDefined) decon.unpersist()
     if (embPath.isDefined) kept.unpersist()
+    if (spanWin > 0) spanned.unpersist()
+    if (dropPplTail) plFiltered.unpersist()
     selected.unpersist()
     Map("input" -> nIn, "pii_docs" -> nPii, "after_gopher" -> nGopher,
       "after_decontam" -> nDecon, "after_dedup" -> nNear,
-      "after_semdedup" -> nKept, "selected" -> nSel, "sequences" -> nSeq)
+      "after_semdedup" -> nKept, "after_span_dedup" -> nSpan,
+      "after_ppl_filter" -> nPpl,
+      "selected" -> nSel, "sequences" -> nSeq)
   }
 
   /** aa-smurf pipeline on an arbitrary session; returns the number of

@@ -625,6 +625,15 @@ object SparkEntry {
     "q77_ppl_buckets" -> ((s, dir) =>
       TextOps.perplexityBuckets(Tables.table(s, dir, "documents"))),
 
+    // DSIR importance weights: log-ratio of a target-domain unigram LM
+    // (here the src0/src1 slice standing in for the exemplar set)
+    // against the whole-corpus LM, add-one smoothed on union vocab
+    "q78_importance_weights" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      TextOps.importanceWeights(docs,
+        docs.filter(col("source").isin("src0", "src1")))
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1736,6 +1745,32 @@ object SparkEntry {
         |       WHEN 1 + floor(CAST(pos AS DOUBLE) * 3 / n) = 3 THEN 'tail'
         |       ELSE 'middle' END AS ppl_bucket
         |FROM r""".stripMargin,
+
+    // importance-weight mirror: same add-one smoothing over the same
+    // full-outer union vocabulary; per-doc Σ over distinct terms with
+    // pre-aggregated counts, rounded at 6 — the q73 discipline
+    "q78_importance_weights" ->
+      """WITH dt AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |ct AS (SELECT doc_id, term, count(*) AS n_t FROM dt GROUP BY 1, 2),
+        |rawf AS (SELECT term, CAST(sum(n_t) AS BIGINT) AS freq
+        |  FROM ct GROUP BY 1),
+        |tg AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |tgtf AS (SELECT term, count(*) AS tfreq FROM tg GROUP BY 1),
+        |consts AS (SELECT count(*) AS v,
+        |    CAST(sum(coalesce(freq, 0)) AS BIGINT) AS raw_total,
+        |    CAST(sum(coalesce(tfreq, 0)) AS BIGINT) AS tgt_total
+        |  FROM rawf FULL OUTER JOIN tgtf USING (term))
+        |SELECT doc_id, CAST(sum(n_t) AS BIGINT) AS n_tokens,
+        |  round(sum(n_t *
+        |      (ln(CAST(coalesce(tfreq, 0) + 1 AS DOUBLE) / (tgt_total + v))
+        |     - ln(CAST(freq + 1 AS DOUBLE) / (raw_total + v)))) / sum(n_t),
+        |    6) AS logw
+        |FROM ct JOIN rawf USING (term) LEFT JOIN tgtf USING (term)
+        |CROSS JOIN consts
+        |GROUP BY doc_id""".stripMargin,
 
     "q74_gopher_filter" -> {
       val stopList = TextOps.stopwords.map(s => s"'$s'").mkString(", ")

@@ -153,6 +153,64 @@ object TextOps {
           .otherwise("middle"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", reduced to its
+    * unigram core): score every raw-corpus document by the
+    * log-likelihood ratio between a TARGET-domain unigram LM and the
+    * raw-corpus unigram LM,
+    * `logw = Σ_t n_t·(ln p_tgt(t) − ln p_raw(t)) / n_tokens`.
+    * Docs that look like the target domain get positive weight;
+    * pipelines then resample the raw pool ∝ exp(logw) (or keep top-w)
+    * to tilt a web-scale corpus toward a small high-quality exemplar
+    * set. Both LMs are add-one smoothed over the UNION vocabulary, so
+    * target-OOV terms are defined and the ratio stays finite.
+    *
+    * Scale shape: the paper's hashed-n-gram trick exists to bound the
+    * feature space; unigrams over a term-keyed shuffle join don't need
+    * it — two corpus-wide frequency tables (map-side combined), one
+    * equi-join on term against the doc's DISTINCT-term counts, one
+    * per-doc aggregation. The target table is the SMALL side by
+    * construction (an exemplar set), so its frequency table broadcasts;
+    * the raw side joins on the term key. Per-doc Σ runs over distinct
+    * terms with pre-aggregated counts, then rounds at 6 decimals —
+    * the q73 double-sum discipline.
+    *
+    * Output: (doc_id, n_tokens, logw).
+    */
+  def importanceWeights(docs: DataFrame, target: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    def termCounts(d: DataFrame) = d
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val docTerm = docs.select(col("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_t"))
+    val rawF = termCounts(docs)
+    val tgtF = termCounts(target)
+    // union-vocab size + both totals in ONE broadcast row: |V| rides the
+    // plan, never a driver-side .count()
+    val consts = rawF.join(tgtF.withColumnRenamed("freq", "tfreq"),
+        Seq("term"), "full_outer")
+      .agg(count(lit(1)).as("v"),
+        sum(coalesce(col("freq"), lit(0L))).as("raw_total"),
+        sum(coalesce(col("tfreq"), lit(0L))).as("tgt_total"))
+    docTerm.join(rawF, "term")
+      .join(broadcast(tgtF.withColumnRenamed("freq", "tfreq")),
+        Seq("term"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_t")).as("n_tokens"),
+        (sum(col("n_t") *
+          (log((coalesce(col("tfreq"), lit(0L)) + lit(1L)).cast("double") /
+             (col("tgt_total") + col("v"))) -
+           log((col("freq") + lit(1L)).cast("double") /
+             (col("raw_total") + col("v"))))) /
+          sum(col("n_t"))).as("logw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logw"), 6).as("logw"))
+  }
+
   /** Zipf vocabulary statistics: corpus-wide term frequencies, frequency
     * rank, and the Zipf exponent — the standard corpus-health diagnostic
     * for a training set (natural language follows freq ∝ rank^(−α) with

@@ -254,6 +254,60 @@ class MainSpec extends SparkSpec {
     assert(counts("selected") == 2 && counts("sequences") > 0)
   }
 
+  test("curate span-removal stage rewrites boilerplate out of survivors") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main").toString
+    // both docs open with the same 4-token boilerplate tile; contents
+    // otherwise disjoint (3-gram Jaccard 2/50 = 0.04 < the 0.05 gate,
+    // so near-dup clustering does NOT pair them — the span stage is
+    // the only one that can touch the shared tile)
+    val docs = Seq(
+      (1L, "click here to subscribe maple copper falcon harbor the violet meadow stone and ember lantern drift of quiet orchard bloom is velvet summit pine for golden reed dusk"),
+      (2L, "click here to subscribe tiger salmon breeze canyon the barrel spruce flint and cascade nimbus glade of winter prairie shard is cobalt thistle brook for amber fjord moss")
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/docs_in")
+    val counts = Main.runCurate(spark, s"$tmp/docs_in", s"$tmp/out",
+      tokenBudget = 10000L, spanWin = 4)
+    // nothing is fully boilerplate → no doc drops at the span stage…
+    assert(counts("after_dedup") == 2 && counts("after_span_dedup") == 2,
+      s"$counts")
+    assert(counts("selected") == 2)
+    // …but doc 2 was REWRITTEN: its copy of doc 1's opening tile is
+    // gone, so selection sees 24 tokens where doc 1 keeps all 28
+    val sel = spark.read.parquet(s"$tmp/out/selected")
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sel(1L) == 28L && sel(2L) == 24L, s"sel=$sel")
+  }
+
+  test("curate perplexity tail drop removes the rare-token doc") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main").toString
+    // five docs drawn from one shared common-word pool (every content
+    // token occurs in ≥2 docs) and one planted doc of singleton tokens
+    // — by construction the corpus-wide unigram xent maximum
+    val docs = Seq(
+      (1L, "the garden tea and bread walk in morning with a cup of river park home"),
+      (2L, "a walk near the river park and home with tea of bread cup for morning"),
+      (3L, "zqxv wvut the pklm mnbj and xcvq qwer of rtyu uiop zxcv"),
+      (4L, "morning bread in a park and the tea walk with home river of garden cup"),
+      (5L, "river home and garden walk the cup with park tea in bread a of morning"),
+      (6L, "walk tea the home and river in cup garden with morning park bread of a")
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/docs_in")
+    val counts = Main.runCurate(spark, s"$tmp/docs_in", s"$tmp/out",
+      tokenBudget = 10000L, dropPplTail = true)
+    // all six reach the ppl stage (pairwise 3-gram overlap below the
+    // near-dup gate), then the tail third (2 of 6) drops — the planted
+    // singleton-token doc 3 must be in it
+    assert(counts("after_dedup") == 6, s"$counts")
+    assert(counts("after_ppl_filter") == 4, s"$counts")
+    val kept = spark.read.parquet(s"$tmp/out/kept_docs")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(3L), s"kept=$kept")
+    assert(counts("selected") == 4)
+  }
+
   test("aa-smurf CLI pipeline runs from the reference's dense matrix") {
     val tmp = Files.createTempDirectory("graft-main").toString
     val n = Main.runAaSmurf(spark,

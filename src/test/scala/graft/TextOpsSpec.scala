@@ -285,6 +285,19 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._2 == "middle" || got(1L)._2 == "middle")
   }
 
+  test("importanceWeights: add-one smoothed log-ratio, hand-checked") {
+    // raw corpus: {a:2, b:2}, total 4; target: {a:1}, total 1; union
+    // vocab v=2. p_tgt(a)=2/3, p_raw(a)=3/6 → logw(doc1)=ln(4/3);
+    // p_tgt(b)=1/3, p_raw(b)=3/6 → logw(doc2)=ln(2/3).
+    val raw = Seq((1L, "a a"), (2L, "b b")).toDF("doc_id", "text")
+    val tgt = Seq((9L, "a")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.importanceWeights(raw, tgt).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("logw")))).toMap
+    assert(got(1L) == ((2L, 0.287682)))   // ln(4/3) rounded at 6
+    assert(got(2L) == ((2L, -0.405465)))  // ln(2/3): target-unlike < 0
+  }
+
   test("rolling hash is null-safe") {
     val d = Seq((1L, Option("x")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
