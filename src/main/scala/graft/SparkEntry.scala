@@ -634,6 +634,32 @@ object SparkEntry {
         docs.filter(col("source").isin("src0", "src1")))
     }),
 
+    // as-of join (strict, self): each order ← the same customer's
+    // strictly-previous order's date + total; single shuffle on the
+    // key, running-state window, no range explosion
+    "q79_asof_prev_order" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      graft.ops.Relational.asofJoin(o, o, key = "o_custkey",
+          leftTs = "o_orderdate", rightTs = "o_orderdate",
+          payload = Seq("o_totalprice"), tieBreak = "o_orderkey",
+          strict = true)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          date_format(col("asof_o_orderdate"), "yyyy-MM-dd")
+            .as("prev_date"),
+          col("asof_o_totalprice").as("prev_totalprice"))
+    }),
+
+    // deterministic A-ES weighted sampling: 5 docs per source, weight =
+    // n_chars, md5-coin derandomized so both engines draw the same rows
+    "q80_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSamplePerGroup(
+        Tables.table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        groupCol = "source", idCol = "doc_id", weightCol = "n_chars",
+        k = 5)),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1771,6 +1797,34 @@ object SparkEntry {
         |FROM ct JOIN rawf USING (term) LEFT JOIN tgtf USING (term)
         |CROSS JOIN consts
         |GROUP BY doc_id""".stripMargin,
+
+    // as-of mirror: DuckDB's native ASOF LEFT JOIN with the same
+    // (key, ts) tie collapse (arg_max ⟺ Spark's max(struct)) — an
+    // INDEPENDENT implementation of the same semantics, not a plan
+    // transliteration
+    "q79_asof_prev_order" ->
+      """WITH dedup AS (SELECT o_custkey, o_orderdate,
+        |    arg_max(o_totalprice, o_orderkey) AS tp
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT l.o_orderkey, l.o_custkey,
+        |  strftime(l.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  strftime(r.o_orderdate, '%Y-%m-%d') AS prev_date,
+        |  r.tp AS prev_totalprice
+        |FROM orders l ASOF LEFT JOIN dedup r
+        |  ON l.o_custkey = r.o_custkey
+        | AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    // weighted-sample mirror: same md5 ppm coin, same -ln(u)/w key
+    // rounded at 6 before the (wkey, doc_id) rank
+    "q80_weighted_sample" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+        |    round(-ln(((CAST(('0x' || substr(md5(doc_id || '|wsample'),
+        |        1, 15)) AS BIGINT) % 1000000) + 0.5) / 1000000.0)
+        |      / n_chars, 6) AS wkey
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY wkey, doc_id) AS rn FROM c)
+        |SELECT source, doc_id, n_chars, wkey FROM r WHERE rn <= 5""".stripMargin,
 
     "q74_gopher_filter" -> {
       val stopList = TextOps.stopwords.map(s => s"'$s'").mkString(", ")

@@ -143,4 +143,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(objAgg.isEmpty,
       "median must stay a sort-window pass, not an ObjectAggregate percentile")
   }
+
+  test("as-of join: no range explosion, key-partitioned shuffles only") {
+    val p = staticPlan(SparkEntry.queries("q79_asof_prev_order")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "as-of must never plan a cartesian/range join")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "as-of is a union+window, not a join operator")
+    // every shuffle is hash-partitioned on the customer key (the tie
+    // collapse agg and the running-state window share it)
+    val parts = shuffles(p).map(_.outputPartitioning.toString)
+    assert(parts.nonEmpty && parts.forall(_.contains("o_custkey")),
+      s"unexpected shuffle partitioning: $parts")
+  }
+
+  test("weighted sample: key projection is shuffle-free, one group window") {
+    val p = staticPlan(SparkEntry.queries("q80_weighted_sample")(spark, dir))
+    val sh = shuffles(p)
+    assert(sh.size == 1, s"expected exactly the group-window shuffle: $sh")
+    assert(sh.head.outputPartitioning.toString.contains("source"))
+    scans(p).foreach(s =>
+      assert(s.requiredSchema.names.toSet ==
+        Set("source", "doc_id", "n_chars")))
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Sampling}
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val right = Seq(
+    (1, 5, 1L, "a"), (1, 5, 2L, "a2"), (1, 9, 1L, "b")
+  ).toDF("k", "ts", "tb", "v")
+  private val left = Seq(
+    (1, 5, "l1"), (1, 9, "l2"), (1, 12, "l3"), (2, 7, "l4")
+  ).toDF("k", "ts", "name")
+
+  test("asofJoin inclusive: latest right ≤ left ts, ties to max tieBreak") {
+    val got = Relational.asofJoin(left, right, key = "k",
+        leftTs = "ts", rightTs = "ts", payload = Seq("v"), tieBreak = "tb")
+      .collect().map(r => r.getAs[String]("name") ->
+        ((Option(r.getAs[Integer]("asof_ts")).map(_.toInt),
+          Option(r.getAs[String]("asof_v"))))).toMap
+    assert(got("l1") == ((Some(5), Some("a2"))))  // equal ts matches; tb=2 wins
+    assert(got("l2") == ((Some(9), Some("b"))))
+    assert(got("l3") == ((Some(9), Some("b"))))
+    assert(got("l4") == ((None, None)))           // key 2 has no right rows
+  }
+
+  test("asofJoin strict: equal-ts right row is invisible") {
+    val got = Relational.asofJoin(left, right, key = "k",
+        leftTs = "ts", rightTs = "ts", payload = Seq("v"), tieBreak = "tb",
+        strict = true)
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[String]("asof_v"))).toMap
+    assert(got("l1") == None)          // nothing strictly before ts 5
+    assert(got("l2") == Some("a2"))    // ts 9 sees the ts-5 winner
+    assert(got("l3") == Some("b"))
+    assert(got("l4") == None)
+  }
+
+  test("weightedSamplePerGroup: per-group cap, weight dominance, jvm replay") {
+    val docs = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 100L),
+      ("s1", 4L, 1000000000000L),                    // ~∞ weight → key ~0
+      ("s2", 5L, 50L), ("s2", 6L, 50L)
+    ).toDF("source", "doc_id", "n_chars")
+    val got = Sampling.weightedSamplePerGroup(docs, "source", "doc_id",
+      "n_chars", k = 2).collect()
+    val byGroup = got.groupBy(_.getAs[String]("source"))
+    assert(byGroup("s1").length == 2 && byGroup("s2").length == 2)
+    assert(byGroup("s1").exists(_.getAs[Long]("doc_id") == 4L))
+
+    // independent JVM-side replay of the coin/key arithmetic picks the
+    // same s1 rows (MessageDigest here vs Spark's md5 expression there)
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|wsample".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) % 1000000L + 0.5) / 1e6
+      BigDecimal(-math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L,
+        4L -> 1000000000000L)
+      .sortBy { case (id, w) => (key(id, w), id) }.take(2).map(_._1).toSet
+    assert(byGroup("s1").map(_.getAs[Long]("doc_id")).toSet == expect)
+  }
+}
