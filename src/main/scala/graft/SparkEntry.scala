@@ -660,6 +660,21 @@ object SparkEntry {
         groupCol = "source", idCol = "doc_id", weightCol = "n_chars",
         k = 5)),
 
+    // interval join: per event, how many sessions (any user, closed
+    // [first,last]-event span of a 30-min-gap session) cover its ts —
+    // bucketed equi join on the hour bin, never a nested-loop range join
+    "q81_interval_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val iv = ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("s0"), max(col("ts")).as("s1"))
+        .select(col("s0"), col("s1"))
+      graft.ops.Relational.intervalJoin(
+          ev.select(col("event_id"), col("ts")), "ts", iv, "s0", "s1")
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1813,6 +1828,28 @@ object SparkEntry {
         |FROM orders l ASOF LEFT JOIN dedup r
         |  ON l.o_custkey = r.o_custkey
         | AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    // interval-concurrency mirror: sessions re-derived with the q41
+    // lag/running-sum construction, then a direct BETWEEN range join —
+    // DuckDB optimizes it natively, no bucket arithmetic to mirror
+    "q81_interval_concurrency" ->
+      """WITH l AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |              OR ts - prev >= INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |iv AS (SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1
+        |  FROM s GROUP BY 1, 2)
+        |SELECT e.event_id, count(*) AS n_active
+        |FROM events e JOIN iv ON e.ts BETWEEN iv.s0 AND iv.s1
+        |GROUP BY 1""".stripMargin,
 
     // weighted-sample mirror: same md5 ppm coin, same -ln(u)/w key
     // rounded at 6 before the (wkey, doc_id) rank

@@ -66,4 +66,39 @@ object Relational {
         (col("__match.asof_ts").as(s"asof_$rightTs") +:
           payload.map(c => col(s"__match.p.$c").as(s"asof_$c"))): _*)
   }
+
+  /** Interval (point-in-range) join: every `points` row paired with
+    * every `intervals` row whose closed `[startCol, endCol]` contains
+    * its `pointTs` — "which sessions / maintenance windows / validity
+    * ranges cover this event". Spark plans a raw
+    * `p.ts BETWEEN i.s AND i.e` join as a nested-loop cartesian; this
+    * is the bucketed form that never explodes:
+    *
+    * each point maps to ONE `bucketSeconds` time bin; each interval
+    * replicates to the bins it covers (length/bucket + 1 rows — pick
+    * the bucket near the median interval length to keep replication
+    * O(1)); the join is EQUI on the bin, co-locating by time, and the
+    * exact range predicate runs as a residual filter inside the joined
+    * partition. A (point, interval) pair meets in exactly the point's
+    * own bin, so no dedup pass is needed. Cost: one shuffle each side
+    * on the bin key; skew follows the event-time distribution (a hot
+    * bin wants a smaller bucket, or salting — the [[Skew]] treatment).
+    *
+    * Output: all point columns + all interval columns (caller renames
+    * collisions beforehand); inner-join semantics (uncovered points
+    * drop).
+    */
+  def intervalJoin(points: DataFrame, pointTs: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   bucketSeconds: Long = 3600L): DataFrame = {
+    val pb = points.withColumn("__b",
+      floor(col(pointTs).cast("double") / bucketSeconds).cast("long"))
+    val ib = intervals.withColumn("__b",
+      explode(sequence(
+        floor(col(startCol).cast("double") / bucketSeconds).cast("long"),
+        floor(col(endCol).cast("double") / bucketSeconds).cast("long"))))
+    pb.join(ib, "__b")
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__b")
+  }
 }

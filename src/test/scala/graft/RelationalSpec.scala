@@ -37,6 +37,21 @@ class RelationalSpec extends SparkSpec {
     assert(got("l4") == None)
   }
 
+  test("intervalJoin: closed bounds, multi-bucket spans pair exactly once") {
+    val pts = Seq((1L, 10), (2L, 25), (3L, 99)).toDF("pid", "pts")
+    val ivs = Seq((100L, 5, 30), (200L, 10, 10), (300L, 40, 60))
+      .toDF("iid", "s", "e")
+    // bucket = 8s → interval 100 spans buckets 0..3; each pair must
+    // appear exactly once despite the replication
+    val got = Relational.intervalJoin(pts, "pts", ivs, "s", "e",
+        bucketSeconds = 8L)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // p1@10 ∈ [5,30] and ∈ [10,10] (closed both ends); p2@25 ∈ [5,30];
+    // p3@99 covered by nothing → dropped
+    assert(got == Seq((1L, 100L), (1L, 200L), (2L, 100L)))
+  }
+
   test("weightedSamplePerGroup: per-group cap, weight dominance, jvm replay") {
     val docs = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 100L),
