@@ -25,7 +25,10 @@ object Explain {
         "q65_substring_dup", "q66_tfidf_keywords", "q67_source_profile",
         "q68_langid_eval", "q69_semdedup", "q70_zipf_vocab",
         "q71_source_mix", "q72_pii_scrub", "q73_unigram_xent",
-        "q74_gopher_filter", "q75_jsonl_roundtrip")
+        "q74_gopher_filter", "q75_jsonl_roundtrip", "q76_span_dedup",
+        "q77_ppl_buckets", "q78_importance_weights",
+        "q79_asof_prev_order", "q80_weighted_sample",
+        "q81_interval_concurrency")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

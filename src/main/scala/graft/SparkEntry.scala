@@ -660,6 +660,11 @@ object SparkEntry {
         groupCol = "source", idCol = "doc_id", weightCol = "n_chars",
         k = 5)),
 
+    // interpolated bigram LM cross-entropy: word-order-aware quality
+    // score (Jelinek-Mercer λ=0.7 against the unigram fallback)
+    "q82_bigram_xent" -> ((s, dir) =>
+      TextOps.bigramCrossEntropy(Tables.table(s, dir, "documents"))),
+
     // interval join: per event, how many sessions (any user, closed
     // [first,last]-event span of a 30-min-gap session) cover its ts —
     // bucketed equi join on the hour bin, never a nested-loop range join
@@ -1828,6 +1833,41 @@ object SparkEntry {
         |FROM orders l ASOF LEFT JOIN dedup r
         |  ON l.o_custkey = r.o_custkey
         | AND l.o_orderdate > r.o_orderdate""".stripMargin,
+
+    // bigram-xent mirror: positions via the q76 pos-struct unnest,
+    // prev via lag, λ literals INTERPOLATED from the Scala doubles so
+    // both engines parse bit-identical coefficients (1−0.7 is
+    // 0.30000000000000004 in binary — writing '0.3' would diverge)
+    "q82_bigram_xent" -> {
+      val lam = 0.7
+      s"""WITH tk AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |pt AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> {'pos': i, 'term': tk[i]}), recursive := true)
+         |  FROM tk WHERE len(tk) > 0),
+         |bg AS (SELECT doc_id, term,
+         |    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM pt),
+         |bc AS (SELECT doc_id, prev, term, count(*) AS n_bt
+         |  FROM bg WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+         |cbi AS (SELECT prev, term, CAST(sum(n_bt) AS BIGINT) AS cb
+         |  FROM bc GROUP BY 1, 2),
+         |cctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cc
+         |  FROM cbi GROUP BY 1),
+         |uni AS (SELECT term, count(*) AS freq
+         |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+         |          AS term FROM documents) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM uni)
+         |SELECT doc_id, CAST(sum(n_bt) AS BIGINT) AS n_bigrams,
+         |  round(-sum(n_bt * ln($lam * (CAST(cb AS DOUBLE) / cc)
+         |      + ${1.0 - lam} * (CAST(freq AS DOUBLE) / total)))
+         |    / sum(n_bt), 6) AS xent_bi
+         |FROM bc JOIN cbi USING (prev, term) JOIN cctx USING (prev)
+         |JOIN uni USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin
+    },
 
     // interval-concurrency mirror: sessions re-derived with the q41
     // lag/running-sum construction, then a direct BETWEEN range join —

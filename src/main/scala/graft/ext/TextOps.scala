@@ -153,6 +153,56 @@ object TextOps {
           .otherwise("middle"))
   }
 
+  /** Interpolated bigram LM cross-entropy — one rung up the LM ladder
+    * from [[unigramCrossEntropy]] (the Jelinek-Mercer member of the
+    * KenLM-style smoothed n-gram family, at the order SQL mirrors can
+    * still check exactly): per bigram token,
+    * `p̂(t|prev) = λ·c(prev,t)/c(prev,·) + (1−λ)·p_uni(t)`, and the doc
+    * scores the mean −ln p̂ over its bigrams. Catches word-salad that
+    * unigram scoring misses: plausible words in implausible order.
+    *
+    * Scale shape: positions come from one `posexplode`; the previous
+    * token is a per-document `lag` window (partitioned by doc — a
+    * partition is one document, never the corpus); corpus bigram and
+    * context tables are map-side-combined aggs keyed by the bigram, and
+    * the scoring join is equi on (prev, term). The per-doc Σ runs over
+    * DISTINCT bigram types with pre-aggregated counts, rounded at 6 —
+    * the q73 determinism discipline. Docs with fewer than 2 tokens have
+    * no bigrams and drop from the output (documented; the unigram score
+    * covers them).
+    *
+    * Output: (doc_id, n_bigrams, xent_bi).
+    */
+  def bigramCrossEntropy(docs: DataFrame, textCol: String = "text",
+                         lambda: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pt = docs.select(col("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bc = pt.withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("doc_id"), col("prev"), col("term"))
+      .agg(count(lit(1)).as("n_bt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbi = bc.groupBy(col("prev"), col("term"))
+      .agg(sum(col("n_bt")).as("cb"))
+    val cctx = cbi.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val tot = uni.agg(sum(col("freq")).as("total"))
+    bc.join(cbi, Seq("prev", "term")).join(cctx, Seq("prev"))
+      .join(uni, Seq("term")).crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_bt")).as("n_bigrams"),
+        (-sum(col("n_bt") * log(
+          lit(lambda) * (col("cb").cast("double") / col("cc")) +
+            lit(1.0 - lambda) *
+              (col("freq").cast("double") / col("total")))) /
+          sum(col("n_bt"))).as("xent_bi"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("xent_bi"), 6).as("xent_bi"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", reduced to its
     * unigram core): score every raw-corpus document by the

@@ -285,6 +285,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._2 == "middle" || got(1L)._2 == "middle")
   }
 
+  test("bigramCrossEntropy: hand-checked interpolation, short docs drop") {
+    // corpus "a b" + "a c" + "solo": bigrams (a,b),(a,c) → c(a,·)=2,
+    // each cb=1 → p_bi=0.5; unigrams a:2,b:1,c:1,solo:1 of 5 →
+    // p_uni(b)=p_uni(c)=0.2; p̂ = 0.7·0.5 + 0.3·0.2, both docs −ln p̂
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextOps.bigramCrossEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent_bi")))).toMap
+    val expect = BigDecimal(-math.log(0.7 * 0.5 + 0.3 * 0.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, expect)))
+    assert(got(2L) == ((1L, expect)))
+    assert(!got.contains(3L))   // single-token doc: no bigrams
+  }
+
+  test("bigramCrossEntropy ranks scrambled text above natural order") {
+    // six docs share one phrase; the scrambled twin reuses the SAME
+    // words (identical unigram profile) in an order the corpus never
+    // repeats → bigram xent must separate them where unigram can't
+    val phrase = "the cat sat on the mat"
+    val d = Seq(
+      (1L, phrase), (2L, phrase), (3L, phrase), (4L, phrase),
+      (5L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val bi = graft.ext.TextOps.bigramCrossEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent_bi")).toMap
+    assert(bi(5L) > bi(1L), s"scrambled should score worse: $bi")
+    val uni = graft.ext.TextOps.unigramCrossEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    assert(uni(5L) == uni(1L))  // unigram is blind to the scramble
+  }
+
   test("importanceWeights: add-one smoothed log-ratio, hand-checked") {
     // raw corpus: {a:2, b:2}, total 4; target: {a:1}, total 1; union
     // vocab v=2. p_tgt(a)=2/3, p_raw(a)=3/6 → logw(doc1)=ln(4/3);
