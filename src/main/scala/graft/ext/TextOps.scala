@@ -172,6 +172,11 @@ object TextOps {
     * covers them).
     *
     * Output: (doc_id, n_bigrams, xent_bi).
+    *
+    * Cache lifetime: the per-(doc, prev, term) table persists because
+    * it feeds both corpus aggregations and the scoring join of the SAME
+    * returned plan — the [[unigramCrossEntropy]] convention (LRU-
+    * evictable; long-lived sessions should materialize + clearCache).
     */
   def bigramCrossEntropy(docs: DataFrame, textCol: String = "text",
                          lambda: Double = 0.7): DataFrame = {

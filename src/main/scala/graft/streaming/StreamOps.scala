@@ -220,4 +220,68 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class AsofIn(key: Long, ts: java.sql.Timestamp, side: Int,
+                          value: Double)
+  final case class AsofHist(ts: List[Long], values: List[Double])
+  final case class AsofOut(key: Long, ts: java.sql.Timestamp,
+                           asofTs: Option[Long], asofValue: Option[Double])
+
+  /** Streaming as-of join — the streaming twin of
+    * [[graft.ops.Relational.asofJoin]]: a stream of query points
+    * matched against a stream of per-key updates ("latest quote as of
+    * this trade", "config version as of this request"), both event-time
+    * ordered. For each point, emit the update of the same key with the
+    * largest update-ts ≤ point-ts, or none if no update precedes it.
+    *
+    * State per key is the update HISTORY inside the watermark horizon,
+    * not just the latest value, so a point arriving out of order within
+    * the horizon still matches the update that was current AT ITS event
+    * time (the batch operator's semantics), never a newer one. History
+    * is pruned at every batch: entries older than the watermark
+    * collapse to the single newest among them (the floor any surviving
+    * point could still need) — bounded state, exact within the horizon,
+    * the same guarantee [[streamingDedup]] gives re-deliveries.
+    *
+    * `points` and `updates` need (key, ts[, value]) columns; both get
+    * the same watermark. Output is Append-mode safe.
+    */
+  def streamingAsof(points: DataFrame, updates: DataFrame,
+                    watermark: String = "1 hour"): Dataset[AsofOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val u = updates.withWatermark("ts", watermark)
+      .select(col("key"), col("ts"), lit(0).as("side"),
+        col("value").cast("double").as("value")).as[AsofIn]
+    val p = points.withWatermark("ts", watermark)
+      .select(col("key"), col("ts"), lit(1).as("side"),
+        lit(0.0).as("value")).as[AsofIn]
+    u.union(p).groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, events: Iterator[AsofIn],
+         state: GroupState[AsofHist]) =>
+          val prev = state.getOption.getOrElse(AsofHist(Nil, Nil))
+          var hist = prev.ts.zip(prev.values)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          // updates before points at equal (ts): inclusive ≤ boundary,
+          // matching the batch operator's side ordering
+          events.toSeq.sortBy(e => (e.ts.getTime, e.side)).foreach { e =>
+            if (e.side == 0) {
+              // insert in ts order (batches may interleave histories)
+              hist = (hist :+ (e.ts.getTime -> e.value)).sortBy(_._1)
+            } else {
+              val m = hist.filter(_._1 <= e.ts.getTime).lastOption
+              out += AsofOut(key, e.ts, m.map(_._1), m.map(_._2))
+            }
+          }
+          // prune: everything older than the watermark collapses to its
+          // newest member — the floor for any in-horizon late point
+          val wm = state.getCurrentWatermarkMs()
+          val (old, live) = hist.partition(_._1 < wm)
+          hist = old.takeRight(1) ++ live
+          state.update(AsofHist(hist.map(_._1), hist.map(_._2)))
+          out.iterator
+      }
+  }
 }

@@ -154,4 +154,34 @@ class StreamOpsSpec extends SparkSpec {
       assert(got(5L) > got(4L)) // the burst window spikes
     } finally q.stop()
   }
+
+  test("streamingAsof matches each point to the update current at its ts") {
+    implicit val sq = spark.sqlContext
+    val upd = MemoryStream[(Long, Timestamp, Double)]
+    val pts = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.streamingAsof(
+      pts.toDF.toDF("key", "ts"),
+      upd.toDF.toDF("key", "ts", "value"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sasof")
+      .outputMode("append").start()
+    try {
+      // batch 1: update @10, points @5 (before any update) and @10
+      // (equal ts → inclusive match)
+      upd.addData((1L, ts(10), 1.0))
+      pts.addData((1L, ts(5)), (1L, ts(10)))
+      q.processAllAvailable()
+      // batch 2: update @30; an out-of-order point @20 must still see
+      // the @10 value (history, not latest-wins), a point @40 sees @30
+      upd.addData((1L, ts(30), 2.0))
+      pts.addData((1L, ts(40)), (1L, ts(20)))
+      q.processAllAvailable()
+      val got = spark.table("sasof")
+        .select($"ts", $"asofValue").as[(Timestamp, Option[Double])]
+        .collect().toMap
+      assert(got(ts(5)) == None)
+      assert(got(ts(10)) == Some(1.0))
+      assert(got(ts(20)) == Some(1.0))
+      assert(got(ts(40)) == Some(2.0))
+    } finally q.stop()
+  }
 }
