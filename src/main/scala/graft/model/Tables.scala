@@ -20,17 +20,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader refuses outright (PARQUET_TYPE_ILLEGAL). Read nanos
-    * as raw Long (`spark.sql.legacy.parquet.nanosAsLong` — runtime conf,
-    * scoped to this read; micros-typed tables are unaffected) and convert
-    * to a micros timestamp column. Truncation ns→µs is exact for the
-    * driver's second-granular data.
+  /** The events table's `ts` has shipped in two parquet physical types
+    * across driver generations: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader refuses outright (PARQUET_TYPE_ILLEGAL) unless
+    * read as raw Long via `spark.sql.legacy.parquet.nanosAsLong` — and
+    * plain TIMESTAMP(MICROS), which reads natively. Branch on the dtype
+    * the scan actually produced: a Long means nanos (convert, exactly,
+    * to a micros timestamp — the data is second-granular); a timestamp
+    * (LTZ or NTZ) passes through untouched. The legacy conf is a no-op
+    * for micros-typed files, so setting it is safe in both worlds.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
 
   /** Canonical temporal edge list derived from the driver's star schema
