@@ -24,13 +24,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // deterministic name order: round-over-round comparability, and the
     // cheap scan/filter queries warm the JIT before the heavy ML ones
-    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // name → first error message: r07's q81 failure reached the artifact
+    // as a bare name, and the NTZ-cast message that would have named the
+    // root cause was swallowed — keep the message alongside
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a query that throws must not silently bench as "fast": record it
         try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => errors += name }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("\\s+", " ").take(300))
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val cold = pass()
@@ -100,8 +107,16 @@ object Bench {
     val floorMap = floors.toMap
     val floorTotal = best
       .map { case (k, b) => math.min(b, floorMap.getOrElse(k, b)) }.sum
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"best_value":$bestTotal,"floors":${fmt(floors)},"floor_value":$floorTotal,"errors":$errs,"sf":"$sfDir"}""")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errs = errors.keys.map(jq).mkString("[", ",", "]")
+    val errMsgs = errors
+      .map { case (k, m) => s"${jq(k)}:${jq(m)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"best_value":$bestTotal,"floors":${fmt(floors)},"floor_value":$floorTotal,"errors":$errs,"error_messages":$errMsgs,"sf":"$sfDir"}""")
     // totals-only line LAST: the full line above leads with the totals and
     // r03's artifact lost them to tail truncation — any tail capture of
     // this output keeps all the totals + the error list

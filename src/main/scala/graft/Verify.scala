@@ -29,6 +29,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must go RED, not vanish: leave a marker the
+        // correctness gate can surface as an err row (r07: q81's failure
+        // was invisible — absent from CORRECTNESS_r07.json entirely)
+        new java.io.File(s"$outDir/$name").mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+          s"$name\n${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -24,11 +24,19 @@ object Tables {
     * across driver generations: TIMESTAMP(NANOS) — which Spark's
     * vectorized reader refuses outright (PARQUET_TYPE_ILLEGAL) unless
     * read as raw Long via `spark.sql.legacy.parquet.nanosAsLong` — and
-    * plain TIMESTAMP(MICROS), which reads natively. Branch on the dtype
-    * the scan actually produced: a Long means nanos (convert, exactly,
-    * to a micros timestamp — the data is second-granular); a timestamp
-    * (LTZ or NTZ) passes through untouched. The legacy conf is a no-op
-    * for micros-typed files, so setting it is safe in both worlds.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers as
+    * TIMESTAMP_NTZ. Both branches normalize to one generation-independent
+    * schema, `ts TIMESTAMP` (LTZ): nanos-as-Long converts exactly (the
+    * data is second-granular), and the NTZ→LTZ cast is exact under the
+    * engine's pinned UTC session timezone. One schema means every
+    * downstream consumer — window(), session_window, intervalJoin's
+    * epoch math — sees a single dtype regardless of which driver
+    * generation wrote the file.
+    *
+    * NOTE the legacy conf is SESSION-WIDE and deliberately left set: it
+    * is a no-op for non-nanos parquet, and restoring it immediately would
+    * be unsafe anyway — the read is lazy, so the scan may consult the
+    * conf after this method returns.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -36,7 +44,7 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
 

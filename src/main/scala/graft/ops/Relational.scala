@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Relational operators Spark's DataFrame API lacks as primitives,
   * composed Spark-first from the operators it has (north-star extension
@@ -92,13 +93,27 @@ object Relational {
                    intervals: DataFrame, startCol: String, endCol: String,
                    bucketSeconds: Long = 3600L): DataFrame = {
     val pb = points.withColumn("__b",
-      floor(col(pointTs).cast("double") / bucketSeconds).cast("long"))
+      floor(epochSeconds(points, pointTs) / bucketSeconds).cast("long"))
     val ib = intervals.withColumn("__b",
       explode(sequence(
-        floor(col(startCol).cast("double") / bucketSeconds).cast("long"),
-        floor(col(endCol).cast("double") / bucketSeconds).cast("long"))))
+        floor(epochSeconds(intervals, startCol) / bucketSeconds).cast("long"),
+        floor(epochSeconds(intervals, endCol) / bucketSeconds).cast("long"))))
     pb.join(ib, "__b")
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("__b")
   }
+
+  /** Epoch seconds of a time-like column, whatever dtype the scan shipped.
+    * Spark refuses `CAST(TIMESTAMP_NTZ AS DOUBLE)` outright
+    * (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION), so temporal types route
+    * through TIMESTAMP first — exact under the engine's pinned UTC session
+    * timezone, where the NTZ wall clock IS the instant. Numerics (the
+    * reference's abstract integer periods) pass straight through.
+    */
+  private[graft] def epochSeconds(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampNTZType | TimestampType | DateType =>
+        col(c).cast(TimestampType).cast("double")
+      case _ => col(c).cast("double")
+    }
 }

@@ -221,6 +221,59 @@ object StreamOps {
       }
   }
 
+  /** Streaming interval (point-in-range) join — the streaming twin of
+    * [[graft.ops.Relational.intervalJoin]]: a stream of points matched
+    * against a stream of intervals whose closed `[startCol, endCol]`
+    * contains each point's `pointTs` ("which open sessions cover this
+    * event"), with out-of-order arrivals on both sides correct inside
+    * the watermark horizon.
+    *
+    * Same distributed shape as batch — never a nested-loop range join:
+    * each point maps to ONE `bucketSeconds` time bin, each interval
+    * replicates to the bins it covers, and the stream-stream join is
+    * EQUI on the bin with the exact range predicate as a residual. The
+    * bin key also partitions the JOIN STATE, so per-key state stores
+    * only intervals near that slice of time.
+    *
+    * State is BOUNDED, which is why `maxIntervalSeconds` is required:
+    * Spark prunes stream-stream join state from time-range conditions
+    * between the two WATERMARKED event-time columns, so the join carries
+    * `point.ts ∈ [interval.start, interval.start + maxIntervalSeconds]`
+    * alongside the exact `[start, end]` residual. Intervals are
+    * effectively clamped to `maxIntervalSeconds` (a longer interval
+    * stops matching points past start + max — the explicit contract that
+    * keeps an unbounded stream's state finite; size it to the longest
+    * session you accept to track).
+    *
+    * Both inputs need TIMESTAMP event-time columns (`pointTs`; `startCol`
+    * — the interval's watermark anchor) and caller-distinct column names.
+    * Inner-join semantics, Append-mode safe.
+    */
+  def streamingIntervalJoin(points: DataFrame, pointTs: String,
+                            intervals: DataFrame, startCol: String,
+                            endCol: String, maxIntervalSeconds: Long,
+                            bucketSeconds: Long = 3600L,
+                            watermark: String = "1 hour"): DataFrame = {
+    import graft.ops.Relational.epochSeconds
+    val pw = points.withWatermark(pointTs, watermark)
+    val pb = pw.withColumn("__pb",
+      floor(epochSeconds(pw, pointTs) / bucketSeconds).cast("long"))
+    val iw = intervals.withWatermark(startCol, watermark)
+    val startB = floor(epochSeconds(iw, startCol) / bucketSeconds)
+      .cast("long")
+    val ib = iw.withColumn("__ib", explode(sequence(startB,
+      // clamp replication to the state horizon: past start+max no point
+      // can match anyway (the residual below drops it)
+      least(floor(epochSeconds(iw, endCol) / bucketSeconds).cast("long"),
+        startB + maxIntervalSeconds / bucketSeconds + 1L))))
+    pb.join(ib,
+        pb("__pb") === ib("__ib") &&
+          pb(pointTs) >= ib(startCol) && pb(pointTs) <= ib(endCol) &&
+          pb(pointTs) <= ib(startCol) +
+            expr(s"INTERVAL $maxIntervalSeconds SECOND"))
+      .drop("__pb", "__ib")
+  }
+
   final case class AsofIn(key: Long, ts: java.sql.Timestamp, side: Int,
                           value: Double)
   final case class AsofHist(ts: List[Long], values: List[Double])

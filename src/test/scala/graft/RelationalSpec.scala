@@ -52,6 +52,51 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 100L), (1L, 200L), (2L, 100L)))
   }
 
+  // the r07 break: Tables.events ships ts as TIMESTAMP_NTZ on micros-
+  // generation parquet, and CAST(TIMESTAMP_NTZ AS DOUBLE) throws — both
+  // Relational ops must accept every time-like dtype the scans produce
+  private def tsDf(rows: Seq[(Long, String)], id: String, ts: String,
+                   dtype: String) = {
+    val df = rows.toDF(id, "__s")
+    df.withColumn(ts, col("__s").cast(dtype)).drop("__s")
+  }
+
+  for (dtype <- Seq("timestamp", "timestamp_ntz")) {
+    test(s"intervalJoin on $dtype columns (q81 shape)") {
+      val pts = tsDf(Seq(1L -> "2024-01-01 00:10:00",
+        2L -> "2024-01-01 02:30:00", 3L -> "2024-01-02 00:00:00"),
+        "pid", "pts", dtype)
+      val ivs = Seq(
+        (100L, "2024-01-01 00:00:00", "2024-01-01 01:30:00"),
+        (200L, "2024-01-01 02:30:00", "2024-01-01 02:30:00"),
+        (300L, "2024-01-01 05:00:00", "2024-01-01 06:00:00"))
+        .toDF("iid", "__s0", "__s1")
+        .withColumn("s0", col("__s0").cast(dtype))
+        .withColumn("s1", col("__s1").cast(dtype)).drop("__s0", "__s1")
+      val got = Relational.intervalJoin(pts, "pts", ivs, "s0", "s1",
+          bucketSeconds = 3600L)
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // p1 ∈ [00:00,01:30] (multi-bucket span, exactly once); p2 hits the
+      // degenerate closed point-interval; p3 (next day) uncovered → drops
+      assert(got == Seq((1L, 100L), (2L, 200L)))
+    }
+
+    test(s"asofJoin on $dtype columns") {
+      val l = tsDf(Seq(1L -> "2024-01-01 00:10:00",
+        2L -> "2024-01-01 03:00:00"), "id", "lts", dtype)
+        .withColumn("k", lit(1))
+      val r = tsDf(Seq(10L -> "2024-01-01 00:00:00",
+        20L -> "2024-01-01 02:00:00"), "rid", "rts", dtype)
+        .withColumn("k", lit(1)).withColumn("v", col("rid") * 10)
+      val got = Relational.asofJoin(l, r, key = "k", leftTs = "lts",
+          rightTs = "rts", payload = Seq("v"), tieBreak = "rid")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("asof_v"))
+        .toMap
+      assert(got == Map(1L -> 100L, 2L -> 200L))
+    }
+  }
+
   test("weightedSamplePerGroup: per-group cap, weight dominance, jvm replay") {
     val docs = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 100L),

@@ -155,6 +155,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin pairs out-of-order points with open intervals") {
+    implicit val sq = spark.sqlContext
+    val ivs = MemoryStream[(Long, Timestamp, Timestamp)]
+    val pts = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.streamingIntervalJoin(
+      pts.toDF.toDF("pid", "pts"), "pts",
+      ivs.toDF.toDF("iid", "s0", "s1"), "s0", "s1",
+      maxIntervalSeconds = 7200L, bucketSeconds = 600L,
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sij")
+      .outputMode("append").start()
+    try {
+      // batch 1: two sessions open (one spans multiple 10-min buckets),
+      // one point inside the first
+      ivs.addData((100L, ts(0), ts(45)), (200L, ts(60), ts(70)))
+      pts.addData((1L, ts(10)))
+      q.processAllAvailable()
+      // batch 2: a LATE point @40 (behind point 1's event time, inside
+      // the watermark) still matches session 100 exactly once despite
+      // the bucket replication; @65 matches session 200; @50 is covered
+      // by nothing
+      pts.addData((2L, ts(65)), (3L, ts(40)), (4L, ts(50)))
+      q.processAllAvailable()
+      val got = spark.table("sij").select($"pid", $"iid")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 100L), (2L, 200L), (3L, 100L)))
+    } finally q.stop()
+  }
+
   test("streamingAsof matches each point to the update current at its ts") {
     implicit val sq = spark.sqlContext
     val upd = MemoryStream[(Long, Timestamp, Double)]

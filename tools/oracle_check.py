@@ -104,9 +104,24 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sfdir}/{t}.parquet')")
 
+    def error_marker(name):
+        """Verify writes <out>/<name>/_ERROR when a query throws — surface
+        it as a red row (r07: a thrown query silently vanished)."""
+        p = os.path.join(outdir, name, "_ERROR")
+        if os.path.exists(p):
+            with open(p) as f:
+                lines = f.read().strip().splitlines()
+            return lines[1] if len(lines) > 1 else "(no message)"
+        return None
+
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
+        err = error_marker(name)
+        if err is not None:
+            print(f"FAIL {name}: query threw: {err}")
+            n_fail += 1
+            continue
         spark_tbl = load_spark(outdir, name)
         if spark_tbl is None:
             print(f"FAIL {name}: no spark output")
@@ -151,6 +166,11 @@ def main():
     for d in sorted(glob.glob(os.path.join(outdir, "q*"))):
         name = os.path.basename(d)
         if name in oracles:
+            continue
+        err = error_marker(name)
+        if err is not None:
+            print(f"FAIL {name}: query threw: {err}")
+            n_fail += 1
             continue
         tbl = load_spark(outdir, name)
         n = tbl.num_rows if tbl is not None else -1
