@@ -30,6 +30,8 @@ object Main {
       |  graft.Main stream   --f <eventsDir>  [--o <outdir>] [--w "1 hour"] [--m "2 hours"]
       |  graft.Main stream-dedup --f <docsDir> [--o <outdir>] [--m "1 hour"]
       |  graft.Main stream-neardup --f <docsDir> [--o <outdir>] [--m "1 hour"] [--k 8] [--b 4]
+      |  graft.Main stream-asof --f <dir with points/ updates/> [--o <outdir>] [--m "1 hour"]
+      |  graft.Main stream-interval --f <dir with points/ intervals/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |                      [--r <spanTokens>] [--p true]
@@ -88,6 +90,22 @@ object Main {
             k = opt("--k", "8").toInt, bands = opt("--b", "4").toInt)
           println(s"stream-neardup: $n near-dup candidate pairs -> " +
             s"${opt("--o", "results")}/stream_neardup")
+        case "stream-asof" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamAsof(spark, in, opt("--o", "results"),
+            watermark = opt("--m", "1 hour"))
+          println(s"stream-asof: $n matched points -> " +
+            s"${opt("--o", "results")}/stream_asof")
+        case "stream-interval" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamInterval(spark, in, opt("--o", "results"),
+            watermark = opt("--m", "1 hour"),
+            maxIntervalSeconds = opt("--x", "86400").toLong,
+            bucketSeconds = opt("--g", "3600").toLong)
+          println(s"stream-interval: $n covered points -> " +
+            s"${opt("--o", "results")}/stream_interval")
         case "curate" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -327,6 +345,82 @@ object Main {
     else spark.read.schema("docId BIGINT, dupOf BIGINT, bandId INT")
       .parquet(s"$out/stream_neardup")
       .dropDuplicates("docId", "dupOf").count()
+  }
+
+  /** Streaming as-of join end-to-end — the q79 operator's streaming twin
+    * ([[StreamOps.streamingAsof]]), user-reachable: two CSV directories
+    * consumed as file streams, `in/points` (`key,ts`) matched against
+    * `in/updates` (`key,ts,value`); each point gets the update of its key
+    * current AT ITS event time (out-of-order arrivals correct within the
+    * watermark horizon; per-key history pruned at the watermark — bounded
+    * state). Matches append to parquet; `Trigger.AvailableNow` drains a
+    * finite directory and exits, the checkpoint carries update history
+    * into the next run. Returns matched-point rows written so far.
+    */
+  def runStreamAsof(spark: SparkSession, in: String, out: String,
+                    watermark: String = "1 hour"): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val pts = spark.readStream
+      .schema(StructType.fromDDL("key BIGINT, ts TIMESTAMP"))
+      .option("header", "true").csv(s"$in/points")
+    val upd = spark.readStream
+      .schema(StructType.fromDDL("key BIGINT, ts TIMESTAMP, value DOUBLE"))
+      .option("header", "true").csv(s"$in/updates")
+    val q = StreamOps.streamingAsof(pts, upd, watermark).toDF()
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/stream_asof")
+      .option("checkpointLocation", s"$out/_asof_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_asof"))) 0L
+    else spark.read.schema(
+        "key BIGINT, ts TIMESTAMP, asofTs BIGINT, asofValue DOUBLE")
+      .parquet(s"$out/stream_asof").count()
+  }
+
+  /** Streaming interval join end-to-end — the q81 operator's streaming
+    * twin ([[StreamOps.streamingIntervalJoin]]), user-reachable: two CSV
+    * directories consumed as file streams, `in/points` (`pid,ts`) paired
+    * with every `in/intervals` (`iid,s0,s1`) row whose closed [s0,s1]
+    * covers the point's ts — a stream-stream equi join on the time bin
+    * with the exact range residual, join state bounded by the
+    * `maxIntervalSeconds` constraint (CLI `--x`; intervals are clamped
+    * to it). Pairs append to parquet; `Trigger.AvailableNow` drains a
+    * finite directory and exits. Returns covered-point pair rows.
+    */
+  def runStreamInterval(spark: SparkSession, in: String, out: String,
+                        watermark: String = "1 hour",
+                        maxIntervalSeconds: Long = 86400L,
+                        bucketSeconds: Long = 3600L): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val pts = spark.readStream
+      .schema(StructType.fromDDL("pid BIGINT, ts TIMESTAMP"))
+      .option("header", "true").csv(s"$in/points")
+    val ivs = spark.readStream
+      .schema(StructType.fromDDL("iid BIGINT, s0 TIMESTAMP, s1 TIMESTAMP"))
+      .option("header", "true").csv(s"$in/intervals")
+    val q = StreamOps.streamingIntervalJoin(pts, "ts", ivs, "s0", "s1",
+        maxIntervalSeconds = maxIntervalSeconds,
+        bucketSeconds = bucketSeconds, watermark = watermark)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/stream_interval")
+      .option("checkpointLocation", s"$out/_interval_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_interval"))) 0L
+    else spark.read.schema(
+        "pid BIGINT, ts TIMESTAMP, iid BIGINT, s0 TIMESTAMP, s1 TIMESTAMP")
+      .parquet(s"$out/stream_interval").count()
   }
 
   /** The LLM-training-data curation pipeline end-to-end, user-reachable:

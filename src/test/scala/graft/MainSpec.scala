@@ -176,6 +176,50 @@ class MainSpec extends SparkSpec {
       == Set((3L, 1L)))
   }
 
+  test("stream-asof CLI mode matches points to the update current at their ts") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    def write(sub: String, header: String, lines: Seq[String]): Unit = {
+      val d = new java.io.File(s"$tmp/in/$sub"); d.mkdirs()
+      val w = new java.io.PrintWriter(s"$d/part-0.csv")
+      w.println(header); lines.foreach(w.println); w.close()
+    }
+    def t(min: Int) =
+      java.time.Instant.ofEpochSecond(1700000000L + min * 60L).toString
+    write("updates", "key,ts,value",
+      Seq(s"1,${t(10)},1.0", s"1,${t(30)},2.0"))
+    write("points", "key,ts",
+      Seq(s"1,${t(5)}", s"1,${t(20)}", s"1,${t(40)}"))
+    val n = Main.runStreamAsof(spark, s"$tmp/in", s"$tmp/out")
+    assert(n == 3, s"expected every point emitted, got $n")
+    val got = spark.read.parquet(s"$tmp/out/stream_asof")
+      .collect().map(r => r.getTimestamp(1).toInstant.toString ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got(t(5)) == None)        // before any update
+    assert(got(t(20)) == Some(1.0))  // between the updates
+    assert(got(t(40)) == Some(2.0))  // after the second
+  }
+
+  test("stream-interval CLI mode pairs points with covering intervals") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    def write(sub: String, header: String, lines: Seq[String]): Unit = {
+      val d = new java.io.File(s"$tmp/in/$sub"); d.mkdirs()
+      val w = new java.io.PrintWriter(s"$d/part-0.csv")
+      w.println(header); lines.foreach(w.println); w.close()
+    }
+    def t(min: Int) =
+      java.time.Instant.ofEpochSecond(1700000000L + min * 60L).toString
+    write("intervals", "iid,s0,s1",
+      Seq(s"100,${t(0)},${t(45)}", s"200,${t(60)},${t(70)}"))
+    write("points", "pid,ts",
+      Seq(s"1,${t(10)}", s"2,${t(65)}", s"3,${t(50)}"))
+    val n = Main.runStreamInterval(spark, s"$tmp/in", s"$tmp/out",
+      maxIntervalSeconds = 7200L, bucketSeconds = 600L)
+    assert(n == 2, s"expected two covered points, got $n")
+    val got = spark.read.parquet(s"$tmp/out/stream_interval")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((1L, 100L), (2L, 200L))) // point 3 covered by nothing
+  }
+
   test("curate CLI mode: dedup → scrub → select → pack, tables land as parquet") {
     val tmp = Files.createTempDirectory("graft-main").toString
     // the sf0.001 documents plus a planted exact duplicate of doc 0 and

@@ -159,6 +159,27 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected shuffle partitioning: $parts")
   }
 
+  test("interval join: equi on the time bin, never a nested-loop range join") {
+    // q81 — the whole point of the bucketed form: Spark plans a raw
+    // `p.ts BETWEEN i.s AND i.e` join as BroadcastNestedLoopJoin (or a
+    // cartesian); the bin equi key must keep it a hash/sort-merge join
+    // with the range predicate as a residual
+    val p = staticPlan(
+      SparkEntry.queries("q81_interval_concurrency")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "interval join must never plan a cartesian")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "interval join must never plan a nested loop")
+    val equi = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(equi.nonEmpty && equi.exists(_.exists(_.toString.contains("__b"))),
+      s"expected an equi join keyed on the time bin, got $equi")
+  }
+
   test("weighted sample: key projection is shuffle-free, one group window") {
     val p = staticPlan(SparkEntry.queries("q80_weighted_sample")(spark, dir))
     val sh = shuffles(p)
