@@ -680,6 +680,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_active"))
     }),
 
+    // corpus n-gram novelty: per doc, fraction of its distinct 3-grams
+    // first seen at this doc — inverted-index min + join back, the
+    // redundancy signal pairwise near-dup misses (recycled phrasing)
+    "q83_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(Tables.table(s, dir, "documents"), n = 3)),
+
+    // Bloom-screened incremental dedup: history (even doc_ids) folds to
+    // a broadcast Bloom filter; the incoming batch (odd doc_ids) is
+    // screened map-only. Probabilistic (fpp-bounded keep errors), so
+    // rows-only by design — DedupSpec pins the zero-false-negative side
+    "q84_bloom_incremental" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      graft.ext.Dedup.bloomIncrementalDedup(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .select(col("doc_id"))
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -1889,6 +1907,25 @@ object SparkEntry {
         |  FROM s GROUP BY 1, 2)
         |SELECT e.event_id, count(*) AS n_active
         |FROM events e JOIN iv ON e.ts BETWEEN iv.s0 AND iv.s1
+        |GROUP BY 1""".stripMargin,
+
+    // novelty mirror: same tokenization as the q64 grams (3-gram slice),
+    // first occurrence via min(doc_id) per gram, inner join back
+    "q83_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |        string_split_regex(lower(text), '\s+') AS tk
+        |      FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        |    FROM t WHERE len(tk) >= 3)),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0
+        |      END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM g JOIN f USING (gram)
         |GROUP BY 1""".stripMargin,
 
     // weighted-sample mirror: same md5 ppm coin, same -ln(u)/w key

@@ -27,6 +27,42 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
            count(lit(1)).as("n_dups"))
 
+  /** Incremental dedup against a Bloom filter of the prior corpus — the
+    * broadcast-probe alternative to the digest semi-join (q46). The
+    * semi-join shape shuffles every incoming batch against the full
+    * history index forever; here the history is summarized ONCE into a
+    * Bloom filter of its text digests (built distributed via Spark's
+    * `stat.bloomFilter` treeAggregate), the filter ships broadcast
+    * (`8·n·ln(1/fpp)/ln²2` bits — ~1.8 GB for 10⁹ docs at fpp 1e-3,
+    * executor-resident like any broadcast dim), and screening each new
+    * batch is a MAP-ONLY pass with zero shuffle — the shape that wins
+    * when history ≫ batch, the steady state of a 100 TB ingest.
+    *
+    * Guarantees are one-sided, the right way around for dedup: a true
+    * duplicate is NEVER kept (no false negatives); a new doc is dropped
+    * with probability ≤ fpp (a false positive discards good data, never
+    * corrupts the corpus). Exactness-critical ingest keeps the q46
+    * semi-join; this is the cheap screen in front of it.
+    *
+    * The per-row probe is a Scala UDF — no built-in expression exposes
+    * `BloomFilter.mightContain`, and the stage is a non-shuffling scan
+    * filter where UDF overhead is bandwidth-bounded, not plan-shaping.
+    *
+    * Returns `batch` rows whose text digest the filter does NOT contain
+    * (the genuinely-new docs), original columns unchanged.
+    */
+  def bloomIncrementalDedup(history: DataFrame, batch: DataFrame,
+                            textCol: String = "text",
+                            fpp: Double = 0.001): DataFrame = {
+    val digests = history.select(md5(col(textCol)).as("d"))
+    // the builder needs an expected-item count: one agg pass over
+    // history, paid once per filter build, never per batch
+    val expected = math.max(digests.count(), 1L)
+    val bloom = digests.stat.bloomFilter("d", expected, fpp)
+    val seen = udf((d: String) => bloom.mightContain(d))
+    batch.filter(!seen(md5(col(textCol))))
+  }
+
   /** MinHash signature: k hash functions via the Kirsch–Mitzenmacher
     * two-hash scheme h_i(x) = h1(x) + i·h2(x), min over shingles.
     * Returned as array<bigint> of length k. Pure column expressions.

@@ -597,6 +597,39 @@ object TextOps {
         (coalesce(col("n_shared_ngrams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Corpus n-gram novelty — the diversity/redundancy signal a training
+    * pipeline tracks per document ("how much of this doc's surface form
+    * is NEW versus already in the corpus"): for each doc, the fraction
+    * of its DISTINCT word n-grams whose first corpus occurrence (min
+    * doc_id) is this doc. High-novelty docs expand coverage; near-zero
+    * novelty marks paraphrase mass that per-pair near-dup filters can
+    * miss (no single pair is similar, every phrase is recycled).
+    *
+    * Distributed shape: one inverted-index shuffle keyed on the gram
+    * with a map-side-combined `min` (the [[contaminationOverlap]]
+    * shape), the same exchange reused for the join back, then a
+    * doc-keyed agg — linear in corpus grams, no pairwise stage, no
+    * window. Docs with < n tokens have no grams and drop (inner
+    * semantics, mirrored in the q83 oracle).
+    *
+    * Output: (doc_id, n_distinct, n_novel, novelty).
+    */
+  def ngramNovelty(docs: DataFrame, textCol: String = "text",
+                   n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+    val first = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_distinct"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_distinct"), 6)
+          .as("novelty"))
+  }
+
   /** Per-language token-budget selection: keep the highest-quality docs
     * (rounded score `q`, ties to smallest doc_id) until `budget` tokens
     * fill. Cumulative sum over a unique ordering → frame semantics

@@ -168,4 +168,19 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == "p q r s t u")
     assert(got(2L) == "t u p q r s")
   }
+
+  test("bloomIncrementalDedup: no duplicate survives, new docs pass") {
+    val history = (0L until 200L).map(i => (i, s"history doc number $i"))
+      .toDF("doc_id", "text")
+    // batch: 100 verbatim re-deliveries + 100 genuinely new docs
+    val batch = ((0L until 100L).map(i => (1000L + i, s"history doc number $i")) ++
+      (0L until 100L).map(i => (2000L + i, s"fresh doc number $i")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.bloomIncrementalDedup(history, batch)
+      .select($"doc_id").as[Long].collect().toSet
+    // one-sided guarantee: every true duplicate is GONE
+    assert(kept.forall(_ >= 2000L), s"a duplicate survived: $kept")
+    // fpp=1e-3 over 100 fresh docs: expected fp ≈ 0.1 — allow a couple
+    assert(kept.size >= 98, s"too many fresh docs dropped: ${kept.size}")
+  }
 }

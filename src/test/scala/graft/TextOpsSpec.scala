@@ -337,4 +337,21 @@ class TextOpsSpec extends SparkSpec {
     val got = d.select(rolling_hash($"text")).collect()
     assert(got(1).isNullAt(0))
   }
+
+  test("ngramNovelty: first occurrence owns the gram, later docs lose it") {
+    val d = Seq(
+      (1L, "a b c d"),        // grams: "a b c","b c d" — both novel
+      (2L, "a b c x"),        // "a b c" seen at 1; "b c x" novel
+      (3L, "a b c d"),        // verbatim copy — zero novelty
+      (4L, "z z")             // < 3 tokens: no grams, drops
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.ngramNovelty(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_distinct"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(!got.contains(4L))
+  }
 }
