@@ -28,7 +28,8 @@ object Explain {
         "q74_gopher_filter", "q75_jsonl_roundtrip", "q76_span_dedup",
         "q77_ppl_buckets", "q78_importance_weights",
         "q79_asof_prev_order", "q80_weighted_sample",
-        "q81_interval_concurrency", "q82_bigram_xent")
+        "q81_interval_concurrency", "q82_bigram_xent",
+        "q83_ngram_novelty", "q84_bloom_incremental")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
