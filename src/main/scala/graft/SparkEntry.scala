@@ -1910,23 +1910,26 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     // novelty mirror: same tokenization as the q64 grams (3-gram slice),
-    // first occurrence via min(doc_id) per gram, inner join back
+    // same 60-bit md5 gram key as the Spark plan (the q80 coin idiom),
+    // novelty counted off the first-occurrence table — no join back
     "q83_ngram_novelty" ->
       """WITH t AS (SELECT doc_id,
         |        string_split_regex(lower(text), '\s+') AS tk
         |      FROM documents),
-        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |g AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15))
+        |        AS BIGINT) AS gk
+        |      FROM (SELECT DISTINCT doc_id, gram FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
         |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
-        |    FROM t WHERE len(tk) >= 3)),
-        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
-        |SELECT g.doc_id, count(*) AS n_distinct,
-        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_novel,
-        |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0
-        |      END) AS DOUBLE) / count(*), 6) AS novelty
-        |FROM g JOIN f USING (gram)
-        |GROUP BY 1""".stripMargin,
+        |    FROM t WHERE len(tk) >= 3))),
+        |d AS (SELECT doc_id, count(*) AS n_distinct FROM g GROUP BY 1),
+        |f AS (SELECT gk, min(doc_id) AS doc_id FROM g GROUP BY 1),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM f GROUP BY 1)
+        |SELECT d.doc_id, d.n_distinct,
+        |  COALESCE(nv.n_novel, 0) AS n_novel,
+        |  round(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / d.n_distinct, 6)
+        |    AS novelty
+        |FROM d LEFT JOIN nv USING (doc_id)""".stripMargin,
 
     // weighted-sample mirror: same md5 ppm coin, same -ln(u)/w key
     // rounded at 6 before the (wkey, doc_id) rank

@@ -605,29 +605,37 @@ object TextOps {
     * novelty marks paraphrase mass that per-pair near-dup filters can
     * miss (no single pair is similar, every phrase is recycled).
     *
-    * Distributed shape: one inverted-index shuffle keyed on the gram
-    * with a map-side-combined `min` (the [[contaminationOverlap]]
-    * shape), the same exchange reused for the join back, then a
-    * doc-keyed agg — linear in corpus grams, no pairwise stage, no
-    * window. Docs with < n tokens have no grams and drop (inner
-    * semantics, mirrored in the q83 oracle).
+    * Distributed shape — no join back to the gram table: a gram's
+    * novelty belongs to exactly ONE doc (its min), so `n_novel` per doc
+    * is just a count over the first-occurrence table, and `n_distinct`
+    * is a doc-keyed count of the exploded grams (rows of one doc never
+    * leave their partition — the partial agg collapses before any
+    * shuffle). The single wide shuffle is the gram-keyed min, and it
+    * rides a 60-bit md5-derived BIGINT key instead of gram strings —
+    * fixed 8-byte shuffle rows, engine-portable (the q83 oracle builds
+    * the identical key), collision odds ~g²/2⁶¹ and deterministic in
+    * both engines when they do occur. Docs with < n tokens have no
+    * grams and drop (inner semantics, mirrored in the oracle).
     *
     * Output: (doc_id, n_distinct, n_novel, novelty).
     */
   def ngramNovelty(docs: DataFrame, textCol: String = "text",
                    n: Int = 3): DataFrame = {
     val grams = docs.select(col("doc_id"),
-      explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
-    val first = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_distinct"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_distinct"), 6)
-          .as("novelty"))
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint")
+          .as("gk"))
+    val nDistinct = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val nNovel = grams.groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    nDistinct.join(nNovel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_distinct"), 6).as("novelty"))
   }
 
   /** Per-language token-budget selection: keep the highest-quality docs
