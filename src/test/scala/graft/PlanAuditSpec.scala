@@ -180,6 +180,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected an equi join keyed on the time bin, got $equi")
   }
 
+  test("ngram novelty: gram shuffle rides the 60-bit key, scans pruned") {
+    val p = staticPlan(SparkEntry.queries("q83_ngram_novelty")(spark, dir))
+    scans(p).foreach(s =>
+      assert(s.requiredSchema.names.toSet.subsetOf(Set("doc_id", "text")),
+        s"documents scan reads extra columns: ${s.requiredSchema.names.toSeq}"))
+    // the one wide exchange must be keyed on the md5-derived BIGINT,
+    // never on the gram string (8-byte shuffle rows vs ~30-byte grams)
+    val parts = shuffles(p).map(_.outputPartitioning.toString)
+    assert(parts.exists(_.contains("gk#")),
+      s"expected a gk-keyed exchange: $parts")
+    assert(!parts.exists(_.contains("(g#")),
+      s"gram-string exchange leaked into the plan: $parts")
+  }
+
   test("weighted sample: key projection is shuffle-free, one group window") {
     val p = staticPlan(SparkEntry.queries("q80_weighted_sample")(spark, dir))
     val sh = shuffles(p)
