@@ -97,6 +97,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin with DATE left ts and TIMESTAMP right ts coerces cleanly") {
+    // mixed temporal dtypes across sides: the union's type coercion must
+    // promote DATE → TIMESTAMP (midnight, exact under pinned UTC), not
+    // fail or mis-order — the q79 shape if one side ever ships dates
+    val l = Seq((1L, "2024-01-02"), (2L, "2024-01-05")).toDF("id", "__s")
+      .withColumn("k", lit(1))
+      .withColumn("lts", col("__s").cast("date")).drop("__s")
+    val r = Seq((10L, "2024-01-01 12:00:00"), (20L, "2024-01-04 08:00:00"))
+      .toDF("rid", "__s").withColumn("k", lit(1))
+      .withColumn("rts", col("__s").cast("timestamp")).drop("__s")
+      .withColumn("v", col("rid") * 10)
+    val got = Relational.asofJoin(l, r, key = "k", leftTs = "lts",
+        rightTs = "rts", payload = Seq("v"), tieBreak = "rid")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("asof_v"))
+      .toMap
+    // Jan 2 00:00 ≥ Jan 1 12:00; Jan 5 00:00 ≥ Jan 4 08:00
+    assert(got == Map(1L -> 100L, 2L -> 200L))
+  }
+
   test("weightedSamplePerGroup: per-group cap, weight dominance, jvm replay") {
     val docs = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 100L),
