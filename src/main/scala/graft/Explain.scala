@@ -29,7 +29,8 @@ object Explain {
         "q77_ppl_buckets", "q78_importance_weights",
         "q79_asof_prev_order", "q80_weighted_sample",
         "q81_interval_concurrency", "q82_bigram_xent",
-        "q83_ngram_novelty", "q84_bloom_incremental")
+        "q83_ngram_novelty", "q84_bloom_incremental",
+        "q85_quality_classifier", "q86_scalar_quantize")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algo.{AaAr, AaSmurf, SmurfGen}
-import graft.ext.{Dedup, Multimodal, SimSearch, TextOps}
+import graft.ext.{Dedup, Multimodal, Quantize, SimSearch, TextOps}
+import graft.ml.LogReg
 import graft.functions.RollingHash.rolling_hash
 import graft.model.Tables
 import graft.ops.{Features, GraphOps, Scoring, Windows}
@@ -696,6 +697,43 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(2)) === 0),
           docs.filter(pmod(col("doc_id"), lit(2)) === 1))
         .select(col("doc_id"))
+    }),
+
+    // fasttext-style quality classifier by DISTILLATION: logistic
+    // regression trained IN Spark (LogReg.fitIrls — each Newton step is
+    // one aggregation pass reducing the table to the p² normal-equation
+    // sums), the fitted weights become plan literals, and scoring is a
+    // map-only projection. The teacher is the q18 composite quality rule
+    // (threshold 0.55 ≈ the corpus median band); the student sees the
+    // raw ratios — the shape real pipelines use to distill an expensive
+    // labeler into a linear filter. Features and teacher label are both
+    // computed from the q17 ratios ROUNDED to 6dp in BOTH engines (q17's
+    // oracle proves 6dp parity), so the literal-weight dot product and
+    // the label are bit-identical and the mirror is stashed like the
+    // trained quantizers (q40/q50).
+    "q85_quality_classifier" -> ((s, dir) => {
+      val feats = q85Features(s, dir)
+      val w = ivfTrained(s, s"logreg:$dir")(
+        LogReg.fitIrls(feats, q85FeatCols, "is_hq"))
+      stashIvfSql(dir, "q85_quality_classifier", q85OracleSql(w))
+      val logit = (lit(1.0) * w(0) +:
+        q85FeatCols.zipWithIndex.map { case (f, i) => col(f) * w(i + 1) })
+        .reduce(_ + _)
+      feats.select(col("doc_id"), col("is_hq"),
+        round(logit, 6).as("logit"), (logit > 0).as("pred"))
+    }),
+
+    // int8-range scalar quantization of the embedding corpus: per-dim
+    // [min,max] fitted in one partial-agg pass, codes as a map-only
+    // floor-binned projection against range literals (floor, not round:
+    // IEEE floor agrees across engines; round-half rules differ).
+    // code_sum is an integer-exact checksum aggregate.
+    "q86_scalar_quantize" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val (mins, maxs) = ivfTrained(s, s"sq8:$dir")(Quantize.fitRanges(emb))
+      stashIvfSql(dir, "q86_scalar_quantize", q86OracleSql(mins, maxs))
+      Quantize.encode(emb, mins, maxs)
+        .select(col("vec_id"), col("codes"), col("code_sum"))
     }),
 
     // ───── similarity search (extension surface) ─────
@@ -2471,6 +2509,87 @@ object SparkEntry {
        |    AND (x.c2c < y.c2c OR (x.c2c = y.c2c AND x.vec_id < y.vec_id)))
        |SELECT a.vec_id, a.cell, (pr.vec_id IS NULL) AS keep
        |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id""".stripMargin
+  }
+
+  // ───── q85 logistic classifier: features + literal-weight mirror ─────
+  // Feature order is load-bearing: weights index [intercept, then these].
+  // The student deliberately sees only the ratios that VARY in this
+  // corpus (digit/punct are constant 0 in the synthetic docs — a
+  // zero-variance column adds nothing but ridge shrinkage); the teacher
+  // label still evaluates the full q18 rule.
+  private val q85FeatCols = Seq("f_stop", "f_distinct", "f_mtl")
+
+  /** q17's quality ratios rounded to 6dp (the q17 oracle proves 6dp
+    * parity engine-to-engine, so everything downstream of the rounding
+    * is exact arithmetic on identical doubles) + the teacher label:
+    * the q18 composite quality rule, re-evaluated ON the rounded
+    * features — pure +/·/min/max on identical doubles, so the 0.55
+    * threshold verdict is bit-identical in any engine.
+    */
+  private def q85Features(s: SparkSession, dir: String): DataFrame = {
+    val f = TextOps.qualityFeatures(Tables.table(s, dir, "documents"))
+      .select(col("doc_id"),
+        round(col("stopword_ratio"), 6).as("f_stop"),
+        round(col("digit_ratio"), 6).as("f_digit"),
+        round(col("distinct_token_ratio"), 6).as("f_distinct"),
+        round(col("mean_token_len"), 6).as("f_mtl"))
+    val teacher =
+      lit(0.4) * least(col("f_stop") * 4.0, lit(1.0)) +
+        lit(0.3) * col("f_distinct") +
+        lit(0.3) * (lit(1.0) - least(col("f_digit") * 5.0, lit(1.0)))
+    f.select(col("doc_id"), (teacher >= 0.55).as("is_hq"),
+      col("f_stop"), col("f_distinct"), col("f_mtl"))
+  }
+
+  /** Literal-weight scoring mirror: the q17 feature SQL (rounded 6dp),
+    * the q18 teacher rule on those rounded features, then the SAME
+    * left-associated dot product the Spark projection builds —
+    * w0 + f_stop·w1 + … — so logits are bit-identical; `pred` compares
+    * the unrounded logit in both engines.
+    */
+  private def q85OracleSql(w: Array[Double]): String = {
+    val dot = (s"(${w(0)})" +:
+      q85FeatCols.zipWithIndex.map { case (f, i) => s"($f * (${w(i + 1)}))" })
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |  round(CAST(len(list_filter(toks, tk -> tk IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'))) AS DOUBLE) / len(toks), 6) AS f_stop,
+       |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS f_digit,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS f_distinct,
+       |  round(CAST(length(text) AS DOUBLE) / len(toks), 6) AS f_mtl
+       |  FROM t),
+       |lab AS (SELECT doc_id, f_stop, f_distinct, f_mtl,
+       |  ((0.4 * least(f_stop * 4.0, 1.0) + 0.3 * f_distinct +
+       |    0.3 * (1.0 - least(f_digit * 5.0, 1.0))) >= 0.55) AS is_hq
+       |  FROM f),
+       |sc AS (SELECT doc_id, is_hq, $dot AS logit FROM lab)
+       |SELECT doc_id, is_hq, round(logit, 6) AS logit,
+       |       (logit > 0) AS pred
+       |FROM sc""".stripMargin
+  }
+
+  /** q86 mirror: the same floor-binned code per dimension against the
+    * SAME (min, max) literals — (v[i]−mn)/(mx−mn)·256.0 floor-clamped,
+    * identical IEEE ops in both engines — and the integer-exact
+    * `code_sum` (HUGEINT list_sum cast back to BIGINT).
+    */
+  private def q86OracleSql(mins: Array[Double],
+                           maxs: Array[Double]): String = {
+    val codes = mins.indices.map { i =>
+      val (mn, mx) = (mins(i), maxs(i))
+      if (mx == mn) "0"
+      else s"CAST(least(255, greatest(0, floor((v[${i + 1}] - ($mn)) / " +
+        s"(($mx) - ($mn)) * 256.0))) AS INTEGER)"
+    }.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, $codes AS codes FROM e)
+       |SELECT vec_id, codes,
+       |       CAST(list_sum(codes) AS BIGINT) AS code_sum
+       |FROM q""".stripMargin
   }
 
   /** IVF-PQ mirror: per-subspace code assignment from the literal

@@ -455,24 +455,25 @@ object TextOps {
   val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
-  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def qualityFeatures(docs: DataFrame, textCol: String = "text",
+                      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     docs.select(
-      col("doc_id"),
-      length(t).as("n_chars"),
-      nTok.as("n_tokens"),
-      (length(t).cast("double") / nTok).as("mean_token_len"),
-      (size(filter(toks, tk => array_contains(stopArr, tk))).cast("double")
-        / nTok).as("stopword_ratio"),
-      (length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
-        length(t)).as("punct_ratio"),
-      (length(regexp_replace(t, "[^0-9]", "")).cast("double") /
-        length(t)).as("digit_ratio"),
-      (size(array_distinct(toks)).cast("double") / nTok)
-        .as("distinct_token_ratio"))
+      (col("doc_id") +: keep.map(col)) ++ Seq(
+        length(t).as("n_chars"),
+        nTok.as("n_tokens"),
+        (length(t).cast("double") / nTok).as("mean_token_len"),
+        (size(filter(toks, tk => array_contains(stopArr, tk))).cast("double")
+          / nTok).as("stopword_ratio"),
+        (length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
+          length(t)).as("punct_ratio"),
+        (length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+          length(t)).as("digit_ratio"),
+        (size(array_distinct(toks)).cast("double") / nTok)
+          .as("distinct_token_ratio")): _*)
   }
 
   /** Composite quality score in [0,1]: high stopword share, moderate token
