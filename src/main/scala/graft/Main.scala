@@ -34,7 +34,7 @@ object Main {
       |  graft.Main stream-interval --f <dir with points/ intervals/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
-      |                      [--r <spanTokens>] [--p true]
+      |                      [--r <spanTokens>] [--p true] [--c true]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -111,17 +111,22 @@ object Main {
             { System.err.println(usage); sys.exit(2); "" })
           val spanWin = opt("--r", "0").toInt
           val dropTail = opt("--p", "false").toBoolean
+          val useClf = opt("--c", "false").toBoolean
           val counts = runCurate(spark, in, opt("--o", "results"),
             seqLen = opt("--l", "512").toInt,
             tokenBudget = opt("--t", "2000").toLong,
             benchPath = opts.get("--e"),
             embPath = opts.get("--v"),
             spanWin = spanWin,
-            dropPplTail = dropTail)
+            dropPplTail = dropTail,
+            clfGate = useClf)
           val stages = Seq(
             Some(s"${counts("input")} docs in"),
             Some(s"${counts("pii_docs")} PII-bearing after exact dedup"),
             Some(s"${counts("after_gopher")} after gopher filter"),
+            if (useClf)
+              Some(s"${counts("after_classifier")} after distilled classifier")
+            else None,
             opts.get("--e").map(_ =>
               s"${counts("after_decontam")} after decontamination"),
             Some(s"${counts("after_dedup")} after near-dup"),
@@ -447,6 +452,9 @@ object Main {
     * `spanWin`-token tile, so packing never spends budget on
     * boilerplate. `dropPplTail` (CLI `--p true`): CCNet-style
     * perplexity bucketing (q77) drops the worst-scoring third.
+    * `clfGate` (CLI `--c true`): distilled-classifier quality gate
+    * (q85) — an IRLS logistic student of the q18 teacher rule scores
+    * every doc map-only and low-quality predictions drop.
     */
   def runCurate(spark: SparkSession, in: String, out: String,
                 seqLen: Int = 512, tokenBudget: Long = 2000L,
@@ -454,7 +462,8 @@ object Main {
                 embPath: Option[String] = None,
                 semMinCos: Double = 0.95,
                 spanWin: Int = 0,
-                dropPplTail: Boolean = false): Map[String, Long] = {
+                dropPplTail: Boolean = false,
+                clfGate: Boolean = false): Map[String, Long] = {
     import graft.ext.{Dedup, SimSearch, TextOps}
     val docs = spark.read.parquet(in)
       .select(col("doc_id"), col("text"))
@@ -491,19 +500,38 @@ object Main {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nGopher = gophered.count()
 
+    // distilled-classifier quality gate (q85 — ml.LogReg) when
+    // requested: the q18 teacher rule labels the corpus, an IRLS
+    // logistic student distills it onto three cheap ratios, and the
+    // STUDENT's verdict gates. At this corpus the teacher is cheap and
+    // the stage is demonstrative; the shape is the one that scales when
+    // the teacher is an expensive labeler run on a sample — training
+    // stays `iters` aggregation passes and scoring stays map-only.
+    val clfed = if (!clfGate) gophered else {
+      val feats = TextOps.distillFeatures(gophered)
+      val w = graft.ml.LogReg.fitIrls(
+        feats, TextOps.distillFeatCols, "is_hq")
+      gophered.join(
+        feats.filter(graft.ml.LogReg.logit(w, TextOps.distillFeatCols) > 0)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nClf = if (clfGate) clfed.count() else nGopher
+
     // benchmark decontamination (q64): drop any training doc sharing a
     // 5-gram with the held-out eval split, so the selection can't leak
     // eval data into training sequences.
-    val decon = benchPath.fold(gophered) { bp =>
+    val decon = benchPath.fold(clfed) { bp =>
       val bench = spark.read.parquet(bp)
         .select(col("doc_id"), col("text"))
-      gophered.join(
-        TextOps.contaminationOverlap(gophered, bench)
+      clfed.join(
+        TextOps.contaminationOverlap(clfed, bench)
           .filter(!col("contaminated")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val nDecon = if (benchPath.isDefined) decon.count() else nGopher
+    val nDecon = if (benchPath.isDefined) decon.count() else nClf
 
     // … then near-dup clusters over the survivors; keep the best-quality
     // representative of each cluster (Dedup.clusterRepresentatives —
@@ -585,12 +613,14 @@ object Main {
       .agg(countDistinct(col("lang_pred"), col("seq_id"))).head().getLong(0)
     docs.unpersist(); scrub.unpersist(); exact.unpersist()
     gophered.unpersist(); clusters.unpersist(); kept0.unpersist()
+    if (clfGate) clfed.unpersist()
     if (benchPath.isDefined) decon.unpersist()
     if (embPath.isDefined) kept.unpersist()
     if (spanWin > 0) spanned.unpersist()
     if (dropPplTail) plFiltered.unpersist()
     selected.unpersist()
     Map("input" -> nIn, "pii_docs" -> nPii, "after_gopher" -> nGopher,
+      "after_classifier" -> nClf,
       "after_decontam" -> nDecon, "after_dedup" -> nNear,
       "after_semdedup" -> nKept, "after_span_dedup" -> nSpan,
       "after_ppl_filter" -> nPpl,

@@ -712,13 +712,12 @@ object SparkEntry {
     // the label are bit-identical and the mirror is stashed like the
     // trained quantizers (q40/q50).
     "q85_quality_classifier" -> ((s, dir) => {
-      val feats = q85Features(s, dir)
+      val feats =
+        TextOps.distillFeatures(Tables.table(s, dir, "documents"))
       val w = ivfTrained(s, s"logreg:$dir")(
-        LogReg.fitIrls(feats, q85FeatCols, "is_hq"))
+        LogReg.fitIrls(feats, TextOps.distillFeatCols, "is_hq"))
       stashIvfSql(dir, "q85_quality_classifier", q85OracleSql(w))
-      val logit = (lit(1.0) * w(0) +:
-        q85FeatCols.zipWithIndex.map { case (f, i) => col(f) * w(i + 1) })
-        .reduce(_ + _)
+      val logit = LogReg.logit(w, TextOps.distillFeatCols)
       feats.select(col("doc_id"), col("is_hq"),
         round(logit, 6).as("logit"), (logit > 0).as("pred"))
     }),
@@ -2511,35 +2510,10 @@ object SparkEntry {
        |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id""".stripMargin
   }
 
-  // ───── q85 logistic classifier: features + literal-weight mirror ─────
-  // Feature order is load-bearing: weights index [intercept, then these].
-  // The student deliberately sees only the ratios that VARY in this
-  // corpus (digit/punct are constant 0 in the synthetic docs — a
-  // zero-variance column adds nothing but ridge shrinkage); the teacher
-  // label still evaluates the full q18 rule.
-  private val q85FeatCols = Seq("f_stop", "f_distinct", "f_mtl")
-
-  /** q17's quality ratios rounded to 6dp (the q17 oracle proves 6dp
-    * parity engine-to-engine, so everything downstream of the rounding
-    * is exact arithmetic on identical doubles) + the teacher label:
-    * the q18 composite quality rule, re-evaluated ON the rounded
-    * features — pure +/·/min/max on identical doubles, so the 0.55
-    * threshold verdict is bit-identical in any engine.
-    */
-  private def q85Features(s: SparkSession, dir: String): DataFrame = {
-    val f = TextOps.qualityFeatures(Tables.table(s, dir, "documents"))
-      .select(col("doc_id"),
-        round(col("stopword_ratio"), 6).as("f_stop"),
-        round(col("digit_ratio"), 6).as("f_digit"),
-        round(col("distinct_token_ratio"), 6).as("f_distinct"),
-        round(col("mean_token_len"), 6).as("f_mtl"))
-    val teacher =
-      lit(0.4) * least(col("f_stop") * 4.0, lit(1.0)) +
-        lit(0.3) * col("f_distinct") +
-        lit(0.3) * (lit(1.0) - least(col("f_digit") * 5.0, lit(1.0)))
-    f.select(col("doc_id"), (teacher >= 0.55).as("is_hq"),
-      col("f_stop"), col("f_distinct"), col("f_mtl"))
-  }
+  // ───── q85 logistic classifier: literal-weight mirror ─────
+  // Features + teacher label live in TextOps.distillFeatures (shared
+  // with the curate CLI's --c gate); weight order is [intercept, then
+  // TextOps.distillFeatCols].
 
   /** Literal-weight scoring mirror: the q17 feature SQL (rounded 6dp),
     * the q18 teacher rule on those rounded features, then the SAME
@@ -2549,7 +2523,8 @@ object SparkEntry {
     */
   private def q85OracleSql(w: Array[Double]): String = {
     val dot = (s"(${w(0)})" +:
-      q85FeatCols.zipWithIndex.map { case (f, i) => s"($f * (${w(i + 1)}))" })
+      TextOps.distillFeatCols.zipWithIndex
+        .map { case (f, i) => s"($f * (${w(i + 1)}))" })
       .mkString(" + ")
     s"""WITH t AS (
        |  SELECT doc_id, text,

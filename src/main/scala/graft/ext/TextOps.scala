@@ -476,6 +476,36 @@ object TextOps {
           .as("distinct_token_ratio")): _*)
   }
 
+  /** Feature names of [[distillFeatures]], in weight-index order
+    * (intercept first in the fitted array, then these).
+    */
+  val distillFeatCols: Seq[String] = Seq("f_stop", "f_distinct", "f_mtl")
+
+  /** Training frame for the distilled quality classifier (q85): the
+    * quality ratios rounded to 6dp — the q17 oracle proves 6dp parity
+    * engine-to-engine, so everything downstream of the rounding is exact
+    * arithmetic on identical doubles — plus the teacher label `is_hq`:
+    * the [[qualityScore]] composite rule re-evaluated ON the rounded
+    * features at threshold 0.55 (pure +/·/min/max on identical doubles,
+    * so the verdict is bit-identical in any engine). The student sees
+    * only the ratios that vary in this corpus; the teacher still
+    * evaluates the full rule.
+    */
+  def distillFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val f = qualityFeatures(docs, textCol)
+      .select(col("doc_id"),
+        round(col("stopword_ratio"), 6).as("f_stop"),
+        round(col("digit_ratio"), 6).as("f_digit"),
+        round(col("distinct_token_ratio"), 6).as("f_distinct"),
+        round(col("mean_token_len"), 6).as("f_mtl"))
+    val teacher =
+      lit(0.4) * least(col("f_stop") * 4.0, lit(1.0)) +
+        lit(0.3) * col("f_distinct") +
+        lit(0.3) * (lit(1.0) - least(col("f_digit") * 5.0, lit(1.0)))
+    f.select(col("doc_id"), (teacher >= 0.55).as("is_hq"),
+      col("f_stop"), col("f_distinct"), col("f_mtl"))
+  }
+
   /** Composite quality score in [0,1]: high stopword share, moderate token
     * length, low digit/punct noise. Deterministic arithmetic.
     */

@@ -80,6 +80,15 @@ object LogReg {
     } finally { base.unpersist(); () }
   }
 
+  /** Literal-weight logit `w0 + x₁·w₁ + …` (left-associated, so the
+    * double arithmetic is reproducible term-for-term in any engine) —
+    * the map-only scoring projection for a fitted model.
+    */
+  def logit(w: Array[Double], features: Seq[String]): Column =
+    (lit(1.0) * w(0) +:
+      features.zipWithIndex.map { case (f, i) => col(f) * w(i + 1) })
+      .reduce(_ + _)
+
   /** In-place Gaussian elimination with partial pivoting — p is tiny
     * (hand-picked features + intercept), so the driver-local O(p³) solve
     * is nanoseconds next to one cluster scan.

@@ -298,6 +298,29 @@ class MainSpec extends SparkSpec {
     assert(counts("selected") == 2 && counts("sequences") > 0)
   }
 
+  test("curate distilled-classifier gate tracks the teacher rule") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.parquet(s"$tmp/docs_in")
+    val counts = Main.runCurate(spark, s"$tmp/docs_in", s"$tmp/out",
+      tokenBudget = 100000L, clfGate = true)
+    assert(counts("after_classifier") > 0)
+    assert(counts("after_classifier") <= counts("after_gopher"))
+    // distillation fidelity: the student's keep-set size stays within a
+    // few percent of the teacher's own verdict on the same survivors
+    // (the q18 rule is near-linear in the student's features here)
+    val gophered = docs.join(
+      graft.ext.TextOps.gopherFilter(docs).filter(col("pass"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val teacherKeep = graft.ext.TextOps.distillFeatures(gophered)
+      .filter(col("is_hq")).count()
+    val diff = math.abs(counts("after_classifier") - teacherKeep)
+    assert(diff <= math.max(5L, counts("after_gopher") / 20),
+      s"student=${counts("after_classifier")} teacher=$teacherKeep")
+    assert(counts("selected") > 0 && counts("sequences") > 0)
+  }
+
   test("curate span-removal stage rewrites boilerplate out of survivors") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-main").toString
