@@ -30,7 +30,8 @@ object Explain {
         "q79_asof_prev_order", "q80_weighted_sample",
         "q81_interval_concurrency", "q82_bigram_xent",
         "q83_ngram_novelty", "q84_bloom_incremental",
-        "q85_quality_classifier", "q86_scalar_quantize")
+        "q85_quality_classifier", "q86_scalar_quantize",
+        "q87_ann_recall")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -735,6 +735,42 @@ object SparkEntry {
         .select(col("vec_id"), col("codes"), col("code_sum"))
     }),
 
+    // ANN index quality evaluation: recall@10 of each approximate method
+    // (hyperplane LSH, IVF-Flat, IVF-PQ) against the brute-force ground
+    // truth, per query — the harness that decides which index a corpus
+    // gets. Truth and candidates are the SAME operators q27/q28/q40/q50
+    // hash-check; the oracle composes their four mirrors (the trained-
+    // quantizer literals included) and re-derives recall in DuckDB, so
+    // even the EVALUATION is engine-checked. Recall joins are tiny
+    // (queries×k rows) — cost is the underlying searches.
+    "q87_ann_recall" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val centers = ivfTrained(s, s"ivf:$dir")(SimSearch.ivfCentroids(emb))
+      val model = ivfTrained(s, s"ivfpq:$dir")(
+        SimSearch.ivfPqModel(emb, dim = 64))
+      stashIvfSql(dir, "q87_ann_recall", q87OracleSql(centers, model))
+      val truth = SimSearch.bruteForceTopK(emb, queries, 10)
+        .select(col("query_id"), col("nbr_id"))
+      def recallOf(name: String, approx: DataFrame): DataFrame =
+        truth.join(
+            approx.select(col("query_id"), col("nbr_id"),
+              lit(1L).as("hit")),
+            Seq("query_id", "nbr_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .select(lit(name).as("method"), col("query_id"), col("hits"),
+            (col("hits").cast("double") / lit(10.0)).as("recall"))
+      recallOf("ivf",
+          SimSearch.ivfTopK(emb, queries, dim = 64, k = 10,
+            centersOpt = Some(centers)))
+        .unionByName(recallOf("lsh",
+          SimSearch.lshTopK(emb, queries, dim = 64, k = 10)))
+        .unionByName(recallOf("ivfpq",
+          SimSearch.ivfPqTopK(emb, queries, dim = 64, k = 10,
+            modelOpt = Some(model))))
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -2565,6 +2601,39 @@ object SparkEntry {
        |SELECT vec_id, codes,
        |       CAST(list_sum(codes) AS BIGINT) AS code_sum
        |FROM q""".stripMargin
+  }
+
+  /** q87 mirror: the q27 (brute truth), q28 (LSH), q40 (IVF), and q50
+    * (IVF-PQ) mirrors — trained-quantizer literals included — composed
+    * as CTEs, with per-method recall@10 as a left-join hit count against
+    * the truth. DuckDB accepts a WITH inside a CTE body, so the four
+    * statements nest verbatim.
+    */
+  private def q87OracleSql(centers: Array[Array[Double]],
+                           model: (Array[Array[Double]],
+                             Array[Array[Array[Double]]])): String = {
+    val statics = oracleSql
+    def arm(name: String, cte: String): String =
+      s"""SELECT '$name' AS method, b.query_id,
+         |       CAST(count(i.nbr_id) AS BIGINT) AS hits,
+         |       CAST(count(i.nbr_id) AS DOUBLE) / 10.0 AS recall
+         |FROM brute b LEFT JOIN $cte i
+         |  ON b.query_id = i.query_id AND b.nbr_id = i.nbr_id
+         |GROUP BY b.query_id""".stripMargin
+    s"""WITH brute AS (
+       |${statics("q27_simsearch_topk")}
+       |), lsh_r AS (
+       |${statics("q28_simsearch_lsh")}
+       |), ivf_r AS (
+       |${q40OracleSql(centers, nprobe = 4, k = 10)}
+       |), pq_r AS (
+       |${q50OracleSql(model._1, model._2, nprobe = 4, k = 10, dsub = 8)}
+       |)
+       |${arm("ivf", "ivf_r")}
+       |UNION ALL
+       |${arm("lsh", "lsh_r")}
+       |UNION ALL
+       |${arm("ivfpq", "pq_r")}""".stripMargin
   }
 
   /** IVF-PQ mirror: per-subspace code assignment from the literal

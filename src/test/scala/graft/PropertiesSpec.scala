@@ -123,6 +123,32 @@ object LocalPropsSpec extends Properties("local-invariants") {
         s > 0.0 && s < 1.0 && s == f2.score(p)
       }
     }
+
+  // ── LogReg normal-equation solver ──
+  // random well-conditioned SPD systems A = B'B + I: the solve must
+  // satisfy A·x = b to numerical precision at every size IRLS uses
+  private val spdGen: Gen[(Array[Array[Double]], Array[Double])] = for {
+    p <- Gen.choose(1, 6)
+    bs <- Gen.listOfN(p * p, Gen.choose(-3.0, 3.0))
+    rhs <- Gen.listOfN(p, Gen.choose(-10.0, 10.0))
+  } yield {
+    val bm = bs.toArray.grouped(p).toArray
+    val a = Array.tabulate(p, p) { (i, j) =>
+      (0 until p).map(k => bm(k)(i) * bm(k)(j)).sum +
+        (if (i == j) 1.0 else 0.0)
+    }
+    (a, rhs.toArray)
+  }
+
+  property("LogReg.solve satisfies A·x = b on random SPD systems") =
+    forAll(spdGen) { case (a, b) =>
+      val x = graft.ml.LogReg.solve(a, b)
+      val p = b.length
+      (0 until p).forall { i =>
+        val ax = (0 until p).map(j => a(i)(j) * x(j)).sum
+        math.abs(ax - b(i)) <= 1e-8 * math.max(1.0, math.abs(b(i)))
+      }
+    }
 }
 
 /** DataFrame-level invariants — each case pays a Spark job, so the case
