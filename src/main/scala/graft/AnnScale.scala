@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.SimSearch
+
+/** Corpus-scale ANN run record — the similarity-search companion to
+  * [[ArScale]]/[[SmurfScale]] (dev tool, run manually; results recorded
+  * in README).
+  *
+  * The sf0.1 testdata carries 5k embeddings; this main synthesizes a
+  * deterministic clustered corpus 200× that (default 1M × 64 dims:
+  * 256 latent clusters, vectors = cluster center + 0.15 noise, both
+  * derived from the sine-fract hash so the same id yields the same
+  * vector anywhere, no RNG state), then times the full IVF lifecycle at
+  * that scale on the same operators q40/q87 hash-check: quantizer train
+  * (bounded sample, driver-local k-means, self-scaled nlist), IVF search
+  * for a query batch, brute-force ground truth over the whole corpus,
+  * and recall@10 of the index against that truth.
+  *
+  * Prints one JSON line:
+  * {"n":N,"dims":64,"nlist":L,"gen_sec":…,"train_sec":…,
+  *  "ivf_search_sec":…,"brute_sec":…,"recall_ivf":…,"queries":Q}
+  */
+object AnnScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val dims = 64
+    val latent = 256
+    val nQueries = 100
+    val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic uniform in [-1, 1): the sine-fract hash — pure
+    // codegen arithmetic, no per-row RNG state to coordinate across
+    // partitions, same (a, b) → same value in any engine or layout
+    def u(a: Column, b: Column): Column = {
+      val s = sin(a * 12.9898 + b * 78.233) * 43758.5453
+      (s - floor(s)) * 2.0 - 1.0
+    }
+    def t0() = System.nanoTime()
+    def secs(t: Long) = (System.nanoTime() - t) / 1e9
+
+    val tGen = t0()
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), i => {
+        val c = pmod(col("id"), lit(latent)).cast("double")
+        (u(c * 1.61803 + 0.5, i.cast("double")) +
+          lit(0.15) * u(col("id").cast("double") * 1.000173 + 7.77,
+            i.cast("double") + 31.0)).cast("float")
+      }).as("embedding"))
+      .persist()
+    emb.count()
+    val genSec = secs(tGen)
+
+    val tTrain = t0()
+    val centers = SimSearch.ivfCentroids(emb)
+    val trainSec = secs(tTrain)
+
+    // the inverted file materializes ONCE (a deployment writes it
+    // bucketed by cell); per-batch search must not pay the O(n·nlist·dim)
+    // assignment again
+    val tBuild = t0()
+    val index = SimSearch.ivfIndex(emb, centers).persist()
+    index.count()
+    val buildSec = secs(tBuild)
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+    val tIvf = t0()
+    val ivf = SimSearch.ivfTopK(emb, queries, dim = dims, k = k,
+        centersOpt = Some(centers), indexOpt = Some(index))
+      .select(col("query_id"), col("nbr_id")).persist()
+    ivf.count()
+    val ivfSec = secs(tIvf)
+
+    val tBrute = t0()
+    val truth = SimSearch.bruteForceTopK(emb, queries, k)
+      .select(col("query_id"), col("nbr_id")).persist()
+    truth.count()
+    val bruteSec = secs(tBrute)
+
+    val recall = truth.join(ivf, Seq("query_id", "nbr_id"), "left_semi")
+      .count().toDouble / (nQueries.toDouble * k)
+
+    println(s"""{"n":$n,"dims":$dims,"nlist":${centers.length},""" +
+      s""""gen_sec":$genSec,"train_sec":$trainSec,""" +
+      s""""index_build_sec":$buildSec,"ivf_search_sec":$ivfSec,""" +
+      s""""brute_sec":$bruteSec,""" +
+      s""""recall_ivf":$recall,"queries":$nQueries}""")
+    spark.stop()
+  }
+}

