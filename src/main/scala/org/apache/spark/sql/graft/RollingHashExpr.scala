@@ -60,4 +60,8 @@ object GraftExprBridge {
   def cosineSimilarity(u: Column, v: Column): Column =
     ExpressionUtils.column(ArrayCosineSimilarityExpr(
       ExpressionUtils.expression(u), ExpressionUtils.expression(v)))
+
+  def nearestCell(v: Column, centers: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCellExpr(
+      ExpressionUtils.expression(v), centers))
 }

@@ -57,6 +57,51 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(interp - expected) < 1e-12)
   }
 
+  test("nearest_cell equals the HOF argmin formulation exactly") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val dim = 8
+    val centers = Array.fill(7)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
+    // random vectors plus exact centroid copies (distance-0 rows) and a
+    // duplicated centroid pair to exercise the first-index tie-break
+    val tieCenters = centers.updated(3, centers(5).clone())
+    val vecs = Seq.fill(300)(Seq.fill(dim)(rng.nextDouble() * 2 - 1)) ++
+      tieCenters.map(_.toSeq).toSeq
+    val df = vecs.toDF("v")
+    val bad = df.select(
+        graft.ext.SimSearch.cellExpr(col("v"), tieCenters).as("native"),
+        graft.ext.SimSearch.cellExprHof(col("v"), tieCenters).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
+  test("nearest_cell: null element and dim mismatch → null; interpreted = codegen") {
+    val s = spark
+    import s.implicits._
+    val centers = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(9.0), Some(9.0)))),
+      (2L, Some(Seq(Some(1.0), None))),          // null element
+      (3L, Some(Seq(Some(1.0), Some(2.0), Some(3.0)))), // dim mismatch
+      (4L, Option.empty[Seq[Option[Double]]])    // null vector
+    ).toDF("id", "v")
+    val r = df.select(col("id"),
+        graft.ext.SimSearch.cellExpr(col("v"), centers).as("c"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getInt(1)))).toMap
+    assert(r(1L) == Some(1) && r(2L).isEmpty && r(3L).isEmpty &&
+      r(4L).isEmpty)
+    // interpreted path (direct eval) agrees with the dataframe result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val v = Literal.create(ArrayData.toArrayData(Array(9.0, 9.0)),
+      ArrayType(DoubleType))
+    val e = org.apache.spark.sql.graft.NearestCellExpr(v, centers)
+    assert(e.eval(null).asInstanceOf[Int] == 1)
+  }
+
   test("extensions register rolling_hash and cosine_sim for SQL") {
     // getOrCreate returns the suite session (ignoring extensions) unless
     // the default is cleared first; the fresh session shares the
