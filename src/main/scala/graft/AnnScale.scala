@@ -27,7 +27,13 @@ object AnnScale {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val dims = 64
-    val latent = 256
+    // ~15 members per latent cluster: queries have a SMALL set of true
+    // near neighbors (their siblings) among many distinguishable
+    // strangers — the shape real embedding corpora have. Few huge
+    // clusters of iid noise would instead make every member
+    // exchangeable, and recall@10 against exact truth would measure
+    // codebook resolution, not search quality.
+    val latent = 65536
     val nQueries = 100
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,11 +96,48 @@ object AnnScale {
     val recall = truth.join(ivf, Seq("query_id", "nbr_id"), "left_semi")
       .count().toDouble / (nQueries.toDouble * k)
 
+    // the memory-bound path: PQ-encode the corpus once (the at-rest
+    // index is m codes + a norm per vector — no float vectors), then
+    // ADC-scan the same query batch
+    val tPqTrain = t0()
+    val model = SimSearch.ivfPqModel(emb, dim = dims)
+    val pqTrainSec = secs(tPqTrain)
+    val tPqBuild = t0()
+    val pqIndex = SimSearch.ivfPqIndex(emb, dim = dims, model = model)
+      .persist()
+    pqIndex.count()
+    val pqBuildSec = secs(tPqBuild)
+    val tPq = t0()
+    val pq = SimSearch.ivfPqTopK(emb, queries, dim = dims, k = k,
+        modelOpt = Some(model), indexOpt = Some(pqIndex))
+      .select(col("query_id"), col("nbr_id")).persist()
+    pq.count()
+    val pqSec = secs(tPq)
+    val recallPq = truth.join(pq, Seq("query_id", "nbr_id"), "left_semi")
+      .count().toDouble / (nQueries.toDouble * k)
+
+    // ADC shortlist + exact re-rank (refine = 10·k): the standard
+    // two-stage PQ deployment — full vectors touched only for the
+    // shortlist
+    val tPqR = t0()
+    val pqR = SimSearch.ivfPqTopK(emb, queries, dim = dims, k = k,
+        modelOpt = Some(model), indexOpt = Some(pqIndex),
+        refine = 10 * k)
+      .select(col("query_id"), col("nbr_id")).persist()
+    pqR.count()
+    val pqRSec = secs(tPqR)
+    val recallPqR = truth.join(pqR, Seq("query_id", "nbr_id"), "left_semi")
+      .count().toDouble / (nQueries.toDouble * k)
+
     println(s"""{"n":$n,"dims":$dims,"nlist":${centers.length},""" +
       s""""gen_sec":$genSec,"train_sec":$trainSec,""" +
       s""""index_build_sec":$buildSec,"ivf_search_sec":$ivfSec,""" +
-      s""""brute_sec":$bruteSec,""" +
-      s""""recall_ivf":$recall,"queries":$nQueries}""")
+      s""""brute_sec":$bruteSec,"recall_ivf":$recall,""" +
+      s""""pq_train_sec":$pqTrainSec,"pq_index_sec":$pqBuildSec,""" +
+      s""""pq_search_sec":$pqSec,"recall_ivfpq_adc":$recallPq,""" +
+      s""""pq_refine_search_sec":$pqRSec,""" +
+      s""""recall_ivfpq_refined":$recallPqR,""" +
+      s""""queries":$nQueries}""")
     spark.stop()
   }
 }

@@ -368,45 +368,74 @@ object SimSearch {
     (coarse, books)
   }
 
+  /** The PQ-encoded inverted file: `(nbr_id, cell, c0…c(m−1),
+    * recon_norm)` — the m-byte-per-vector structure a deployment stores
+    * INSTEAD of the embeddings (the 64× scan-width cut is the point of
+    * PQ), materialized ONCE at index-build time like [[ivfIndex]]. Both
+    * the coarse cell and the per-subspace codes are the native
+    * [[cellExpr]] argmin (bit-identical to the HOF form, so the q50 SQL
+    * mirror is untouched); the reconstruction norm is carried per code
+    * so the ADC scan never touches a float vector. Persist or write
+    * once, then pass to [[ivfPqTopK]] as `indexOpt`.
+    */
+  def ivfPqIndex(corpus: DataFrame, dim: Int, m: Int = 8,
+                 model: (Array[Array[Double]],
+                   Array[Array[Array[Double]]])): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val (coarse, books) = model
+    val corpusV = corpus.select(col("vec_id").as("nbr_id"),
+      asDouble(col("embedding")).as("v"))
+    def subCol(v: org.apache.spark.sql.Column, j: Int) =
+      slice(v, j * dsub + 1, dsub)
+    val codeCols = (0 until m).map(j =>
+      cellExpr(subCol(col("v"), j), books(j)).as(s"c$j"))
+    val encoded = corpusV
+      .withColumn("cell", cellExpr(col("v"), coarse))
+      .select(Seq(col("nbr_id"), col("cell")) ++ codeCols: _*)
+    val norm2Lits = books.map(_.map(c => c.map(x => x * x).sum))
+    val reconNorm = sqrt((0 until m).map(j =>
+      element_at(array(norm2Lits(j).map(lit): _*), col(s"c$j") + 1))
+      .reduce(_ + _))
+    encoded.withColumn("recon_norm", reconNorm)
+  }
+
+  /** `refine > 0` adds the standard exact re-rank stage (FAISS's
+    * IVFPQR): the ADC scan shortlists `refine` candidates per query,
+    * their FULL vectors are fetched back from the corpus (a k·refine-row
+    * semi-join — the only point full vectors are read), and the final
+    * top-k ranks by exact cosine in a `cos` column. ADC is a shortlist
+    * mechanism: within a tight cluster its quantization error exceeds
+    * the true neighbor gaps, so ADC-only top-k (refine = 0, the q50
+    * shape) measures the codebook, not the corpus — re-rank whenever
+    * exact order matters.
+    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
                 k: Int = 10, nlist: Int = 0, nprobe: Int = 4, m: Int = 8,
                 ksub: Int = 16, seed: Long = 42L,
                 trainMax: Int = 65536,
                 modelOpt: Option[(Array[Array[Double]],
-                  Array[Array[Array[Double]]])] = None): DataFrame = {
+                  Array[Array[Array[Double]]])] = None,
+                indexOpt: Option[DataFrame] = None,
+                refine: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
-
-    val corpusV = corpus.select(col("vec_id").as("nbr_id"),
-      asDouble(col("embedding")).as("v"))
 
     def subCol(v: org.apache.spark.sql.Column, j: Int) =
       slice(v, j * dsub + 1, dsub)
     def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
       aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    def argminCell(v: org.apache.spark.sql.Column,
-                   cs: Array[Array[Double]]) = {
-      val ds = array(cs.map(c => dist2(v, c)): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
 
     // coarse quantizer + one product sub-quantizer per subspace, all
     // trained locally on one bounded sample (sub-vectors sliced in-place)
     val (coarse, books) = modelOpt.getOrElse(
       ivfPqModel(corpus, dim, nlist, m, ksub, seed, trainMax))
 
-    // encode: cell + m codes + reconstruction norm (all from literals)
-    val codeCols = (0 until m).map(j =>
-      argminCell(subCol(col("v"), j), books(j)).as(s"c$j"))
-    val encoded = corpusV
-      .withColumn("cell", argminCell(col("v"), coarse))
-      .select(Seq(col("nbr_id"), col("cell")) ++ codeCols: _*)
-    val norm2Lits = books.map(_.map(c => c.map(x => x * x).sum))
-    val reconNorm = sqrt((0 until m).map(j =>
-      element_at(array(norm2Lits(j).map(lit): _*), col(s"c$j") + 1))
-      .reduce(_ + _))
-    val withNorm = encoded.withColumn("recon_norm", reconNorm)
+    // the PQ-encoded inverted file: prebuilt (the at-rest shape) or
+    // derived inline for one-shot use
+    val withNorm = indexOpt.getOrElse(
+      ivfPqIndex(corpus, dim, m, (coarse, books)))
 
     // queries: probe nprobe nearest cells and precompute the ADC table
     // lut[j][c] = dot(q_sub_j, books[j][c])
@@ -440,9 +469,28 @@ object SimSearch {
         try_divide(adc, col("q_norm") * col("recon_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("nbr_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("adc_cos"))
+    val adcRanked = cand.withColumn("rank", row_number().over(w))
+    if (refine <= 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          col("adc_cos"))
+    else {
+      val corpusV = corpus.select(col("vec_id").as("nbr_id"),
+        asDouble(col("embedding")).as("v_c"))
+      val qV = queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("v_q"))
+      val short = adcRanked.filter(col("rank") <= refine)
+        .select(col("query_id"), col("nbr_id"))
+      val exact = short
+        .join(corpusV, "nbr_id")
+        .join(broadcast(qV), "query_id")
+        .withColumn("cos", Scoring.cosineSimilarity(col("v_q"), col("v_c")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nbr_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+    }
   }
 
   /** ANN top-k via hyperplane LSH buckets + exact re-rank of candidates. */

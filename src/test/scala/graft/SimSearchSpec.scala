@@ -119,6 +119,41 @@ class SimSearchSpec extends SparkSpec {
     assert(viaIndex == inline && viaIndex.nonEmpty)
   }
 
+  test("ivfPqTopK over a prebuilt PQ index matches the inline path") {
+    val queries = corpus.filter(col("vec_id") < 2)
+    val model = SimSearch.ivfPqModel(corpus, dim = 8, nlist = 3, m = 2,
+      ksub = 4)
+    val index = SimSearch.ivfPqIndex(corpus, dim = 8, m = 2, model)
+    assert(index.columns.toSeq ==
+      Seq("nbr_id", "cell", "c0", "c1", "recon_norm"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaIndex = rows(SimSearch.ivfPqTopK(corpus, queries, dim = 8,
+      k = 3, m = 2, ksub = 4, modelOpt = Some(model),
+      indexOpt = Some(index)))
+    val inline = rows(SimSearch.ivfPqTopK(corpus, queries, dim = 8,
+      k = 3, m = 2, ksub = 4, modelOpt = Some(model)))
+    assert(viaIndex == inline && viaIndex.nonEmpty)
+  }
+
+  test("PQ refine stage: full probe + full refine equals brute force") {
+    val queries = corpus.filter(col("vec_id") < 2)
+    val model = SimSearch.ivfPqModel(corpus, dim = 8, nlist = 3, m = 2,
+      ksub = 4)
+    val refined = SimSearch.ivfPqTopK(corpus, queries, dim = 8, k = 3,
+        nprobe = 3, m = 2, ksub = 4, modelOpt = Some(model),
+        refine = 100)
+      .select(col("query_id"), col("rank"), col("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = SimSearch.bruteForceTopK(corpus, queries, 3)
+      .select(col("query_id"), col("rank"), col("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // every candidate survives the shortlist, so the exact re-rank IS
+    // brute force — ADC quantization error cannot reorder the output
+    assert(refined == brute && refined.nonEmpty)
+  }
+
   test("IVF candidate set is cell-bounded: nprobe=nlist degrades to exact") {
     val q = corpus.filter($"vec_id" === 3L)
     val exact = SimSearch.bruteForceTopK(corpus, q, 3).collect()
