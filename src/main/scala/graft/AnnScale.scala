@@ -11,17 +11,19 @@ import graft.ext.SimSearch
   *
   * The sf0.1 testdata carries 5k embeddings; this main synthesizes a
   * deterministic clustered corpus 200× that (default 1M × 64 dims:
-  * 256 latent clusters, vectors = cluster center + 0.15 noise, both
-  * derived from the sine-fract hash so the same id yields the same
-  * vector anywhere, no RNG state), then times the full IVF lifecycle at
-  * that scale on the same operators q40/q87 hash-check: quantizer train
-  * (bounded sample, driver-local k-means, self-scaled nlist), IVF search
-  * for a query batch, brute-force ground truth over the whole corpus,
-  * and recall@10 of the index against that truth.
+  * 65,536 small latent clusters — ~15 true neighbors per query among
+  * distinguishable strangers — vectors = cluster center + 0.15 noise,
+  * both derived from the sine-fract hash so the same id yields the same
+  * vector anywhere, no RNG state), then times the full ANN lifecycle at
+  * that scale on the same operators q40/q50/q69/q87 hash-check:
+  * quantizer train (bounded sample, driver-local k-means, self-scaled
+  * nlist), one-time inverted-file build, IVF search for a query batch,
+  * brute-force ground truth over the whole corpus, recall@10 against
+  * that truth, the PQ lifecycle (model train, PQ-index build, ADC-only
+  * search, ADC + exact-refine search) with recalls, and a full-corpus
+  * SemDeDup pass over a denser dedup quantizer.
   *
-  * Prints one JSON line:
-  * {"n":N,"dims":64,"nlist":L,"gen_sec":…,"train_sec":…,
-  *  "ivf_search_sec":…,"brute_sec":…,"recall_ivf":…,"queries":Q}
+  * Prints one JSON line with all the timings and recalls.
   */
 object AnnScale {
   def main(args: Array[String]): Unit = {
@@ -129,6 +131,19 @@ object AnnScale {
     val recallPqR = truth.join(pqR, Seq("query_id", "nbr_id"), "left_semi")
       .count().toDouble / (nQueries.toDouble * k)
 
+    // SemDeDup over the full corpus: dedup wants a much denser
+    // quantizer than search (within-cell pairwise work is n²/nlist —
+    // 125 search cells would mean 8G cosine pairs at 1M rows; 1024
+    // cells ≈ 1G). The cell assignment rides the same native fused
+    // loops as the IVF index build.
+    val tSemTrain = t0()
+    val semCenters = SimSearch.ivfCentroids(emb, nlist = 1024)
+    val semTrainSec = secs(tSemTrain)
+    val tSem = t0()
+    val semKept = graft.ext.Dedup.semDedup(emb, semCenters,
+      minCos = 0.95).filter(col("keep")).count()
+    val semSec = secs(tSem)
+
     println(s"""{"n":$n,"dims":$dims,"nlist":${centers.length},""" +
       s""""gen_sec":$genSec,"train_sec":$trainSec,""" +
       s""""index_build_sec":$buildSec,"ivf_search_sec":$ivfSec,""" +
@@ -137,6 +152,8 @@ object AnnScale {
       s""""pq_search_sec":$pqSec,"recall_ivfpq_adc":$recallPq,""" +
       s""""pq_refine_search_sec":$pqRSec,""" +
       s""""recall_ivfpq_refined":$recallPqR,""" +
+      s""""sem_train_sec":$semTrainSec,"sem_nlist":${semCenters.length},""" +
+      s""""semdedup_sec":$semSec,"sem_kept":$semKept,""" +
       s""""queries":$nQueries}""")
     spark.stop()
   }

@@ -496,26 +496,25 @@ object Dedup {
                minCos: Double = 0.95): DataFrame = {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    def dist2(v: Column, c: Array[Double]) =
-      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val ds = array(centers.map(c => dist2(col("v"), c)): _*)
     // ‖c‖² per centroid: Scala-computed literals, mirrored verbatim into
     // the oracle SQL (the q50 reconstruction-norm precedent)
     val cn2 = array(centers.map(c => lit(c.map(x => x * x).sum)): _*)
-    // materialize the distance list once per row, derive cell + own
-    // distance from it (argmin with first-index tie-break, the
-    // SimSearch.ivfTopK idiom)
+    // cell + own distance via the native fused argmin/min loops
+    // (NearestCellExpr — same accumulation order and first-index
+    // tie-break as the HOF ds-array idiom this replaced, so the q69
+    // mirror's list_position/list_min doubles are untouched; the HOF
+    // form evaluated nlist interpreted folds per row and dominated the
+    // assignment at corpus scale)
     // persisted: the assignment (the O(rows × centers × dim) distance
     // fold over the embeddings scan) feeds BOTH sides of the within-cell
     // self-join plus the final keep-join — the multi-consumer persist
     // discipline of minhashLshPairs/ngramJaccardPairs
     val c2 = element_at(cn2, col("cell") + 1)
-    val assigned = e.withColumn("ds", ds)
+    val bridge = org.apache.spark.sql.graft.GraftExprBridge
+    val assigned = e
       .select(col("vec_id"), col("v"),
-        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int")
-          .as("cell"),
-        array_min(col("ds")).as("d2c"),
+        bridge.nearestCell(col("v"), centers).as("cell"),
+        bridge.nearestCellDist(col("v"), centers).as("d2c"),
         aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("n2"))
       .withColumn("c2c",
         (col("n2") + c2 - col("d2c")) /

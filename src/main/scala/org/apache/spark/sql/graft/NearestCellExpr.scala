@@ -26,13 +26,21 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * match; the strict `<` comparison here does the same). Null vector,
   * null element, or a length that doesn't match the centroid dim →
   * null.
+  *
+  * `returnDist = true` returns the minimal squared distance itself
+  * (double) instead of the argmin — the `array_min(ds)` companion
+  * SemDeDup's keep-farthest rule needs alongside the cell; same loop,
+  * same accumulation order, so the distances are the bit-identical
+  * doubles the q69 mirror replays.
   */
 case class NearestCellExpr(child: Expression,
-                           centers: Array[Array[Double]])
+                           centers: Array[Array[Double]],
+                           returnDist: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType =
+    if (returnDist) DoubleType else IntegerType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
@@ -57,7 +65,8 @@ case class NearestCellExpr(child: Expression,
       if (s < bestD) { bestD = s; best = j }
       j += 1
     }
-    java.lang.Integer.valueOf(best)
+    if (returnDist) java.lang.Double.valueOf(bestD)
+    else java.lang.Integer.valueOf(best)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -96,7 +105,7 @@ case class NearestCellExpr(child: Expression,
          |      }
          |      if ($s < $bestD) { $bestD = $s; $best = $j; }
          |    }
-         |    ${ev.value} = $best;
+         |    ${ev.value} = ${if (returnDist) bestD else best};
          |  }
          |}
        """.stripMargin

@@ -64,4 +64,8 @@ object GraftExprBridge {
   def nearestCell(v: Column, centers: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCellExpr(
       ExpressionUtils.expression(v), centers))
+
+  def nearestCellDist(v: Column, centers: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCellExpr(
+      ExpressionUtils.expression(v), centers, returnDist = true))
 }

@@ -76,6 +76,25 @@ class NativeExprSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("nearest_cell dist mode equals array_min of the HOF distances bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    val dim = 8
+    val centers = Array.fill(5)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
+    val df = Seq.fill(300)(Seq.fill(dim)(rng.nextDouble() * 2 - 1)).toDF("v")
+    def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) =
+      aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val hof = array_min(array(centers.map(c => dist2(col("v"), c)): _*))
+    val bad = df.select(
+        org.apache.spark.sql.graft.GraftExprBridge
+          .nearestCellDist(col("v"), centers).as("native"),
+        hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
   test("nearest_cell: null element and dim mismatch → null; interpreted = codegen") {
     val s = spark
     import s.implicits._
