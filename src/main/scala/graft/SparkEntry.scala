@@ -771,6 +771,17 @@ object SparkEntry {
             modelOpt = Some(model))))
     }),
 
+    // training-mixture epoch manifest: q71's per-source mix weights
+    // EXECUTED — each doc appears ⌊w⌋ + coin(frac w) times with a
+    // deterministic md5 shuffle-order key; broadcast weights join, the
+    // corpus-side materialization is map-only (see Sampling.mixtureEpoch)
+    "q88_mixture_epoch" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      graft.ops.Sampling.mixtureEpoch(
+        sharedDocCuration(s, dir).select(col("doc_id"), col("n_tokens"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"))
+    }),
+
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings")
@@ -2003,6 +2014,35 @@ object SparkEntry {
         |  round(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / d.n_distinct, 6)
         |    AS novelty
         |FROM d LEFT JOIN nv USING (doc_id)""".stripMargin,
+
+    // mixture-epoch mirror: q71's weight formula re-derived, routed
+    // through ppm integers (round-to-6 then ×10⁶, one rounding) so the
+    // ⌊w⌋/frac split never compares raw doubles; same md5 ppm coin per
+    // doc, copies unrolled via range(), same md5 shuffle-order key
+    "q88_mixture_epoch" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+        |    count(*) OVER () AS n_sources FROM src),
+        |mw AS (SELECT source, CAST(round(round(least(CAST(5.0 AS DOUBLE),
+        |      (CAST(1.0 AS DOUBLE) / n_sources) /
+        |      (CAST(n_tokens AS DOUBLE) / total)), 6) * 1000000)
+        |    AS BIGINT) AS w_ppm FROM w),
+        |d AS (SELECT t.doc_id, t.source, t.n_tokens,
+        |    w_ppm // 1000000 + CASE WHEN
+        |      (CAST(('0x' || substr(md5(t.doc_id || '|mixepoch'), 1, 15))
+        |        AS BIGINT) % 1000000) < w_ppm % 1000000
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM t JOIN mw USING (source)),
+        |e AS (SELECT doc_id, source, n_tokens,
+        |    unnest(range(copies)) AS copy FROM d WHERE copies > 0)
+        |SELECT doc_id, source, n_tokens, CAST(copy AS BIGINT) AS copy,
+        |  md5(doc_id || '|' || copy || '|mixepoch-ord') AS ord
+        |FROM e""".stripMargin,
 
     // weighted-sample mirror: same md5 ppm coin, same -ln(u)/w key
     // rounded at 6 before the (wkey, doc_id) rank

@@ -43,4 +43,46 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Materialize one training epoch from the data-mixing weights — the
+    * execution step AFTER [[graft.ext.TextOps.sourceMixWeights]] decides
+    * the per-source multipliers: each document of a source with mix
+    * weight w appears ⌊w⌋ times plus one more with probability w − ⌊w⌋
+    * (the standard fractional-epoch upsampling of mixture training), so
+    * the expected token mass per source lands exactly on w × tokens(src).
+    * Every coin is the md5 ppm idiom on the doc id, so the SAME manifest
+    * materializes in any engine, any run, any partitioning.
+    *
+    * Each emitted copy also carries `ord` — md5(doc_id | copy | seed) —
+    * a deterministic global shuffle key: sorting by it IS the epoch's
+    * training order (engine-independent, and at scale a range-partitioned
+    * sort on a uniform hex key is perfectly balanced by construction).
+    *
+    * Scale shape: the weight table is one row per source (≪ docs), so the
+    * join is a broadcast and the whole materialization is MAP-ONLY — no
+    * shuffle touches the corpus; a 100 TB epoch manifest streams straight
+    * from the scan to the sink. The fractional weight routes through ppm
+    * integers (w·10⁶ rounded once) so the ⌊w⌋/frac split never compares
+    * raw doubles across engines.
+    *
+    * Input: (idCol, `source`, `n_tokens`) rows. Output: idCol, source,
+    * n_tokens, copy ∈ [0, copies), ord.
+    */
+  def mixtureEpoch(docSource: DataFrame, cap: Double = 5.0,
+                   idCol: String = "doc_id",
+                   seed: String = "mixepoch"): DataFrame = {
+    val wPpm = graft.ext.TextOps.sourceMixWeights(docSource, cap)
+      .select(col("source"),
+        round(col("mix_weight") * 1e6, 0).cast("bigint").as("w_ppm"))
+    val coin = graft.ext.Splits.ppmCoin(col(idCol), seed)
+    docSource.join(broadcast(wPpm), "source")
+      .withColumn("copies",
+        expr("w_ppm div 1000000") +
+          when(coin < col("w_ppm") % 1000000L, 1L).otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col(idCol), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+      .withColumn("ord",
+        md5(concat_ws("|", col(idCol), col("copy"), lit(seed + "-ord"))))
+  }
 }

@@ -143,4 +143,48 @@ class RelationalSpec extends SparkSpec {
       .sortBy { case (id, w) => (key(id, w), id) }.take(2).map(_._1).toSet
     assert(byGroup("s1").map(_.getAs[Long]("doc_id")).toSet == expect)
   }
+
+  test("mixtureEpoch: capped source gets exactly ⌊w⌋ copies, fractional " +
+    "source follows the coin, jvm replay matches") {
+    // s1 is tiny → uncapped weight ≫ cap → exactly 5 copies per doc;
+    // s2 carries ~99% of tokens → weight ≈ 0.505 → 0/1 copies by coin
+    val docSource = ((1L to 4L).map(i => (i, "s1", 250L)) ++
+      (10L to 59L).map(i => (i, "s2", 2000L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Sampling.mixtureEpoch(docSource).collect()
+    val s1 = got.filter(_.getAs[String]("source") == "s1")
+    assert(s1.length == 4 * 5)
+    assert(s1.groupBy(_.getAs[Long]("doc_id"))
+      .forall { case (_, rs) =>
+        rs.map(_.getAs[Long]("copy")).sorted.toSeq == (0L to 4L) })
+
+    // JVM replay of the weight→ppm→coin arithmetic for the s2 side
+    val total = 4 * 250L + 50 * 2000L
+    val w2 = math.min(5.0, 0.5 / (2000.0 * 50 / total))
+    val w6 = BigDecimal(w2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val wPpm = (w6 * 1000000).toLong
+    def coin(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|mixepoch".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expectS2 = (10L to 59L)
+      .filter(id => wPpm / 1000000 + (if (coin(id) < wPpm % 1000000) 1 else 0) > 0)
+      .toSet
+    val s2 = got.filter(_.getAs[String]("source") == "s2")
+    assert(s2.map(_.getAs[Long]("doc_id")).toSet == expectS2)
+    assert(s2.forall(_.getAs[Long]("copy") == 0L))
+
+    // ord is a 32-hex key, unique per (doc, copy) — the shuffle order
+    val ords = got.map(_.getAs[String]("ord"))
+    assert(ords.forall(_.matches("[0-9a-f]{32}")))
+    assert(ords.distinct.length == ords.length)
+
+    // deterministic under replay
+    val again = Sampling.mixtureEpoch(docSource).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).toSet
+    assert(again == got.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).toSet)
+  }
 }
