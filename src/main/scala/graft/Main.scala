@@ -34,7 +34,7 @@ object Main {
       |  graft.Main stream-interval --f <dir with points/ intervals/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
-      |                      [--r <spanTokens>] [--p true] [--c true]
+      |                      [--r <spanTokens>] [--p true] [--c true] [--x true]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -112,6 +112,7 @@ object Main {
           val spanWin = opt("--r", "0").toInt
           val dropTail = opt("--p", "false").toBoolean
           val useClf = opt("--c", "false").toBoolean
+          val useMix = opt("--x", "false").toBoolean
           val counts = runCurate(spark, in, opt("--o", "results"),
             seqLen = opt("--l", "512").toInt,
             tokenBudget = opt("--t", "2000").toLong,
@@ -119,7 +120,8 @@ object Main {
             embPath = opts.get("--v"),
             spanWin = spanWin,
             dropPplTail = dropTail,
-            clfGate = useClf)
+            clfGate = useClf,
+            mixEpoch = useMix)
           val stages = Seq(
             Some(s"${counts("input")} docs in"),
             Some(s"${counts("pii_docs")} PII-bearing after exact dedup"),
@@ -139,7 +141,10 @@ object Main {
               Some(s"${counts("after_ppl_filter")} after perplexity tail drop")
             else None,
             Some(s"${counts("selected")} selected"),
-            Some(s"${counts("sequences")} packed sequences")).flatten
+            Some(s"${counts("sequences")} packed sequences"),
+            if (useMix)
+              Some(s"${counts("mixture_rows")} mixture-epoch manifest rows")
+            else None).flatten
           println(s"curate: ${stages.mkString(", ")} -> " +
             s"${opt("--o", "results")}")
         case other =>
@@ -455,6 +460,12 @@ object Main {
     * `clfGate` (CLI `--c true`): distilled-classifier quality gate
     * (q85) — an IRLS logistic student of the q18 teacher rule scores
     * every doc map-only and low-quality predictions drop.
+    * `mixEpoch` (CLI `--x true`): materialize a per-LANGUAGE
+    * training-mixture epoch over the selection (q88,
+    * `Sampling.mixtureEpoch` with lang_pred as the mixture group) —
+    * the manifest (doc_id, copy, md5 shuffle-order key) lands as
+    * `mixture`, balancing languages toward a uniform token share with
+    * capped upsampling.
     */
   def runCurate(spark: SparkSession, in: String, out: String,
                 seqLen: Int = 512, tokenBudget: Long = 2000L,
@@ -463,7 +474,8 @@ object Main {
                 semMinCos: Double = 0.95,
                 spanWin: Int = 0,
                 dropPplTail: Boolean = false,
-                clfGate: Boolean = false): Map[String, Long] = {
+                clfGate: Boolean = false,
+                mixEpoch: Boolean = false): Map[String, Long] = {
     import graft.ext.{Dedup, SimSearch, TextOps}
     val docs = spark.read.parquet(in)
       .select(col("doc_id"), col("text"))
@@ -609,6 +621,16 @@ object Main {
       .parquet(s"$out/kept_docs")
     selected.write.mode("overwrite").parquet(s"$out/selected")
     packed.write.mode("overwrite").parquet(s"$out/packed")
+    // optional per-language mixture epoch over the selection (q88):
+    // lang_pred stands in for the source grouping — balance languages
+    // toward a uniform token share with capped upsampling
+    val nMix = if (!mixEpoch) 0L else {
+      val manifest = graft.ops.Sampling.mixtureEpoch(
+        selected.select(col("doc_id"),
+          col("lang_pred").as("source"), col("n_tokens")))
+      manifest.write.mode("overwrite").parquet(s"$out/mixture")
+      spark.read.parquet(s"$out/mixture").count()
+    }
     val nSeq = spark.read.parquet(s"$out/packed")
       .agg(countDistinct(col("lang_pred"), col("seq_id"))).head().getLong(0)
     docs.unpersist(); scrub.unpersist(); exact.unpersist()
@@ -624,7 +646,7 @@ object Main {
       "after_decontam" -> nDecon, "after_dedup" -> nNear,
       "after_semdedup" -> nKept, "after_span_dedup" -> nSpan,
       "after_ppl_filter" -> nPpl,
-      "selected" -> nSel, "sequences" -> nSeq)
+      "selected" -> nSel, "sequences" -> nSeq, "mixture_rows" -> nMix)
   }
 
   /** aa-smurf pipeline on an arbitrary session; returns the number of

@@ -109,11 +109,18 @@ object Dedup {
     // ~2× xxhash64 on this scan, but the scan is linear, map-side-only and
     // embarrassingly parallel — the price of end-to-end verifiability, not
     // a scale bottleneck.
+    // the two halves come from ONE native digest (Md5HalvesExpr — packed
+    // (h1 << 28) | h2, bit-identical to the conv(substring(md5)) form the
+    // oracle mirrors): the composed form pays two digests plus the
+    // hex-string round-trip per shingle (measured 1.6× on the 24.5M-row
+    // hashing pass of a 200k-doc probe)
+    val packed = org.apache.spark.sql.graft.GraftExprBridge
+      .md5Halves(col("s"))
     val docSh = docs
       .select(col("doc_id"), explode(shingles(col(textCol))).as("s"))
       .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("s")), 8, 7), 16, 10).cast("long").as("h2"))
+        shiftrightunsigned(packed, 28).as("h1"),
+        (packed bitwiseAND lit((1L << 28) - 1)).as("h2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minCols = (0 until k).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
@@ -141,13 +148,27 @@ object Dedup {
     // exact Jaccard from co-occurrence counts over the hashed shingle
     // rows restricted to candidates — per-candidate work only, no arrays
     // through any shuffle (shingles() already emits distinct shingles per
-    // doc, so docSh needs no dedup)
-    val sizes = docSh.groupBy(col("doc_id"))
+    // doc, so docSh needs no dedup). The restriction happens FIRST, as a
+    // semi-join of the shingle table against the candidate MEMBERS
+    // (docs in ≥1 pair): members ≪ corpus in any healthy near-dup pass,
+    // so the big intersection join below touches only their shingles
+    // instead of shuffling the full corpus-scale table twice (the id
+    // list rides AQE's runtime broadcast conversion, so the semi pass
+    // over the cached shingle table is map-only — at 1M docs that is
+    // 123M shuffled rows saved per join side). In the pathological
+    // all-duplicates corpus candSh degenerates to docSh and the plan is
+    // no worse than the unrestricted one.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val candSh = docSh.join(candIds, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = candSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(docSh.select(col("doc_id").as("doc_a"), col("h1"), col("h2")),
+      .join(candSh.select(col("doc_id").as("doc_a"), col("h1"), col("h2")),
         "doc_a")
-      .join(docSh.select(col("doc_id").as("doc_b"), col("h1"), col("h2")),
+      .join(candSh.select(col("doc_id").as("doc_b"), col("h1"), col("h2")),
         Seq("doc_b", "h1", "h2"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))

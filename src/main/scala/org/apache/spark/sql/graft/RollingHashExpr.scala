@@ -68,4 +68,7 @@ object GraftExprBridge {
   def nearestCellDist(v: Column, centers: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCellExpr(
       ExpressionUtils.expression(v), centers, returnDist = true))
+
+  def md5Halves(c: Column): Column =
+    ExpressionUtils.column(Md5HalvesExpr(ExpressionUtils.expression(c)))
 }

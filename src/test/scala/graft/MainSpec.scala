@@ -375,6 +375,32 @@ class MainSpec extends SparkSpec {
     assert(counts("selected") == 4)
   }
 
+  test("curate mixture-epoch stage lands a deterministic manifest over " +
+    "the selection") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .write.parquet(s"$tmp/docs_in")
+    val counts = Main.runCurate(spark, s"$tmp/docs_in", s"$tmp/out",
+      tokenBudget = 100000L, mixEpoch = true)
+    val mix = spark.read.parquet(s"$tmp/out/mixture")
+    assert(counts("mixture_rows") == mix.count() && mix.count() > 0)
+    Seq("doc_id", "source", "n_tokens", "copy", "ord")
+      .foreach(c => assert(mix.columns.contains(c)))
+    // every manifest doc is a selected doc, groups are the predicted
+    // languages, and (doc_id, copy) rows are unique with 32-hex ord keys
+    val sel = spark.read.parquet(s"$tmp/out/selected")
+    assert(mix.join(sel, "doc_id").count() == mix.count())
+    val langs = sel.select(col("lang_pred")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(mix.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet.subsetOf(langs))
+    assert(mix.select(col("doc_id"), col("copy")).distinct().count()
+      == mix.count())
+    assert(mix.collect().forall(
+      _.getAs[String]("ord").matches("[0-9a-f]{32}")))
+  }
+
   test("aa-smurf CLI pipeline runs from the reference's dense matrix") {
     val tmp = Files.createTempDirectory("graft-main").toString
     val n = Main.runAaSmurf(spark,

@@ -148,4 +148,34 @@ class NativeExprSpec extends SparkSpec {
       prev.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("md5_halves equals the conv(substring(md5)) composition bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val strs = Seq("", "a", "ab c", "κόσμε 漢字", "w1 w2 w3") ++
+      Seq.fill(500)(rng.alphanumeric.take(rng.nextInt(40) + 1).mkString)
+    val df = strs.toDF("s")
+    val packed = org.apache.spark.sql.graft.GraftExprBridge
+      .md5Halves(col("s"))
+    val bad = df.select(
+        shiftrightunsigned(packed, 28).as("h1n"),
+        (packed bitwiseAND lit((1L << 28) - 1)).as("h2n"),
+        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h1c"),
+        conv(substring(md5(col("s")), 8, 7), 16, 10).cast("long").as("h2c"))
+      .filter(col("h1n") =!= col("h1c") || col("h2n") =!= col("h2c"))
+      .count()
+    assert(bad == 0)
+    // interpreted path agrees with codegen (nullSafeEval vs doGenCode)
+    val one = Md5HalvesCheck.interpreted("ab c")
+    val viaDf = df.filter(col("s") === "ab c").select(packed.as("p"))
+      .head().getLong(0)
+    assert(one == viaDf)
+  }
+}
+
+/** Driver-side replay of Md5Halves.pack for the interpreted-parity check. */
+object Md5HalvesCheck {
+  def interpreted(s: String): Long =
+    org.apache.spark.sql.graft.Md5Halves.pack(s.getBytes("UTF-8"))
 }
