@@ -681,6 +681,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_active"))
     }),
 
+    // interval-overlap join: cross-user pairs of concurrent sessions —
+    // both session sets replicate to hour bins, equi join on the bin,
+    // exact overlap + first-shared-bin dedup as residuals (overlapJoin)
+    "q89_session_overlap" -> ((s, dir) => {
+      val sess = Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("s0"), max(col("ts")).as("s1"))
+      val a = sess.select(col("user_id").as("user_a"),
+        col("s0").as("a0"), col("s1").as("a1"))
+      val b = sess.select(col("user_id").as("user_b"),
+        col("s0").as("b0"), col("s1").as("b1"))
+      // bucket well below the hour (sessions are minutes long):
+      // replication stays ~1 and per-bin fan-in drops; the dominant cost
+      // is the genuinely-overlapping pair volume itself — the output is
+      // quadratic in true concurrency, which no bucketing can shrink
+      graft.ops.Relational.overlapJoin(a, "a0", "a1", b, "b0", "b1",
+          bucketSeconds = 600L)
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"))
+    }),
+
     // corpus n-gram novelty: per doc, fraction of its distinct 3-grams
     // first seen at this doc — inverted-index min + join back, the
     // redundancy signal pairwise near-dup misses (recycled phrasing)
@@ -1997,6 +2019,31 @@ object SparkEntry {
         |SELECT e.event_id, count(*) AS n_active
         |FROM events e JOIN iv ON e.ts BETWEEN iv.s0 AND iv.s1
         |GROUP BY 1""".stripMargin,
+
+    // overlap-join mirror: same gaps-and-islands session derivation as
+    // q81, then the plain two-sided closed-interval overlap predicate —
+    // DuckDB at oracle scale affords the direct range join the Spark
+    // side must bucket
+    "q89_session_overlap" ->
+      """WITH l AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |              OR ts - prev >= INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |iv AS (SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1
+        |  FROM s GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       count(*) AS n_overlaps
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.s0 <= b.s1 AND b.s0 <= a.s1
+        |GROUP BY 1, 2""".stripMargin,
 
     // novelty mirror: same tokenization as the q64 grams (3-gram slice),
     // same 60-bit md5 gram key as the Spark plan (the q80 coin idiom),

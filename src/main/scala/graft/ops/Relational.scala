@@ -103,6 +103,46 @@ object Relational {
       .drop("__b")
   }
 
+  /** Interval-overlap join: every (left, right) row pair whose closed
+    * intervals `[lStart, lEnd]` and `[rStart, rEnd]` intersect
+    * (`lStart ≤ rEnd AND rStart ≤ lEnd`) — "which sessions ran during
+    * this outage", "which validity ranges coexist". The two-sided
+    * sibling of [[intervalJoin]]: Spark would plan the raw predicate as
+    * a nested-loop cartesian; this is the bucketed equi form.
+    *
+    * BOTH sides replicate to the `bucketSeconds` bins they cover, the
+    * join is EQUI on the bin, and the exact predicate runs as a
+    * residual. Unlike the point case, an overlapping pair meets in
+    * EVERY bin the two intervals share — so a second residual keeps the
+    * pair only in the FIRST shared bin, `bin = max(firstBin(l),
+    * firstBin(r))`: each pair emits exactly once with NO distinct pass
+    * (a distinct would re-shuffle the whole join output; the residual
+    * is free). Cost: one shuffle per side on the bin key; replication
+    * is interval-length/bucket + 1 rows, so pick the bucket near the
+    * median interval length.
+    *
+    * Output: all left columns + all right columns (caller renames
+    * collisions beforehand); inner-join semantics.
+    */
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                  right: DataFrame, rStart: String, rEnd: String,
+                  bucketSeconds: Long = 3600L): DataFrame = {
+    val lb = left
+      .withColumn("__b0l",
+        floor(epochSeconds(left, lStart) / bucketSeconds).cast("long"))
+      .withColumn("__b", explode(sequence(col("__b0l"),
+        floor(epochSeconds(left, lEnd) / bucketSeconds).cast("long"))))
+    val rb = right
+      .withColumn("__b0r",
+        floor(epochSeconds(right, rStart) / bucketSeconds).cast("long"))
+      .withColumn("__b", explode(sequence(col("__b0r"),
+        floor(epochSeconds(right, rEnd) / bucketSeconds).cast("long"))))
+    lb.join(rb, "__b")
+      .filter(col("__b") === greatest(col("__b0l"), col("__b0r")))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__b", "__b0l", "__b0r")
+  }
+
   /** Epoch seconds of a time-like column, whatever dtype the scan shipped.
     * Spark refuses `CAST(TIMESTAMP_NTZ AS DOUBLE)` outright
     * (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION), so temporal types route

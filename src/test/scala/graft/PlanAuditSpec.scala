@@ -203,4 +203,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(s.requiredSchema.names.toSet ==
         Set("source", "doc_id", "n_chars")))
   }
+
+  test("mixture epoch: weights broadcast, corpus side map-only") {
+    import org.apache.spark.sql.functions.col
+    val docs = model.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").as("n_tokens"))
+    val p = staticPlan(graft.ops.Sampling.mixtureEpoch(docs))
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == 1, s"expected one broadcast weights join: $p")
+    // the streamed (corpus) side must reach its parquet scan without any
+    // exchange — the epoch manifest is a map-only pass over the corpus
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.left
+      case _ => bhj.head.right
+    }
+    assert(shuffles(streamed).isEmpty,
+      s"corpus side shuffles before the weights join: $streamed")
+    assert(scans(streamed).nonEmpty, "corpus side lost its parquet scan")
+  }
 }

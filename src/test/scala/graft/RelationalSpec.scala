@@ -52,6 +52,22 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 100L), (1L, 200L), (2L, 100L)))
   }
 
+  test("overlapJoin: closed-bound overlap, multi-bucket pairs exactly once") {
+    val l = Seq((1L, 0, 20), (2L, 35, 36), (3L, 90, 95))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 5, 50), (20L, 20, 21), (30L, 60, 80))
+      .toDF("rid", "rs", "re")
+    // bucket = 8s → (1,10) share buckets 0..2, (2,10) share bucket 4;
+    // the first-shared-bin residual must emit each pair exactly once
+    val got = Relational.overlapJoin(l, "ls", "le", r, "rs", "re",
+        bucketSeconds = 8L)
+      .select(col("lid"), col("rid")).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).sorted.toSeq
+    // 1:[0,20] meets 10:[5,50] and touches 20:[20,21] at the closed
+    // bound; 2:[35,36] ⊂ [5,50]; 3:[90,95] overlaps nothing
+    assert(got == Seq((1L, 10L), (1L, 20L), (2L, 10L)))
+  }
+
   // the r07 break: Tables.events ships ts as TIMESTAMP_NTZ on micros-
   // generation parquet, and CAST(TIMESTAMP_NTZ AS DOUBLE) throws — both
   // Relational ops must accept every time-like dtype the scans produce
@@ -80,6 +96,28 @@ class RelationalSpec extends SparkSpec {
       // p1 ∈ [00:00,01:30] (multi-bucket span, exactly once); p2 hits the
       // degenerate closed point-interval; p3 (next day) uncovered → drops
       assert(got == Seq((1L, 100L), (2L, 200L)))
+    }
+
+    test(s"overlapJoin on $dtype columns (q89 shape)") {
+      def iv(rows: Seq[(Long, String, String)], id: String) =
+        rows.toDF(id, "__s0", "__s1")
+          .withColumn(s"${id}0", col("__s0").cast(dtype))
+          .withColumn(s"${id}1", col("__s1").cast(dtype))
+          .drop("__s0", "__s1")
+      val a = iv(Seq(
+        (1L, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+        (2L, "2024-01-01 06:00:00", "2024-01-01 06:30:00")), "a")
+      val b = iv(Seq(
+        (10L, "2024-01-01 01:00:00", "2024-01-01 04:00:00"),
+        (20L, "2024-01-01 02:00:00", "2024-01-01 02:10:00"),
+        (30L, "2024-01-01 08:00:00", "2024-01-01 09:00:00")), "b")
+      val got = Relational.overlapJoin(a, "a0", "a1", b, "b0", "b1",
+          bucketSeconds = 3600L)
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // a1 spans 3 buckets with b10 (once), touches b20 at the closed
+      // 02:00 bound; a2 overlaps nothing
+      assert(got == Seq((1L, 10L), (1L, 20L)))
     }
 
     test(s"asofJoin on $dtype columns") {
