@@ -255,20 +255,38 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup: candidate pairs = docs sharing ≥ 1 shingle
-    * (inverted-index self-join, linear in Σ shingles), then exact Jaccard
-    * from co-occurrence counts — |A∩B| from the join, |A|,|B| from per-doc
-    * shingle counts. No arrays are carried through the shuffle.
+    * (inverted-index self-join), then exact Jaccard from co-occurrence
+    * counts — |A∩B| from the join, |A|,|B| from per-doc shingle counts.
+    * No arrays are carried through the shuffle.
+    *
+    * COST SHAPE, honestly: the self-join is Σ df² over shingle document
+    * frequencies, not linear — a boilerplate shingle in D docs alone
+    * contributes D² join rows. Exact all-pairs n-gram Jaccard is
+    * therefore the SMALL-to-MID-corpus exact tool; corpus scale belongs
+    * to [[minhashLshPairs]] (whose banding keeps per-bucket work capped).
+    * `maxDf > 0` is the middle path: shingles appearing in more than
+    * `maxDf` docs leave the universe BEFORE the join (both the
+    * intersection and the |A|/|B| sizes — self-consistent "Jaccard over
+    * the informative shingles", the stopword-filtering every IR system
+    * applies), bounding the join at Σ min(df, maxDf)². Default 0 = exact,
+    * which is what the q25 oracle mirrors.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", n: Int = 3,
-                        minJaccard: Double = 0.1): DataFrame = {
+                        minJaccard: Double = 0.1,
+                        maxDf: Int = 0): DataFrame = {
     // the inverted-index self-join keys on the 64-bit shingle hash, not
     // the shingle string: narrower shuffle rows and long-vs-long join
     // comparisons (collision odds ~2⁻⁶⁴ per pair — immaterial next to
     // the n-gram model itself)
-    val docSh = docs.select(col("doc_id"),
+    val allSh = docs.select(col("doc_id"),
         explode(shingles(col(textCol), n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docSh = (if (maxDf <= 0) allSh else {
+      val dfw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sh"))
+      allSh.withColumn("__df", count(lit(1)).over(dfw))
+        .filter(col("__df") <= maxDf).drop("__df")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
     val co = docSh.alias("x")

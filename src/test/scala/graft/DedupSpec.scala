@@ -76,6 +76,28 @@ class DedupSpec extends SparkSpec {
     assert(got.getAs[Double]("jaccard") == 0.5)
   }
 
+  test("ngram jaccard maxDf gate: boilerplate shingle leaves the universe") {
+    // "x y z" appears in all four docs (df 4 — boilerplate); docs 1/2
+    // additionally share their real content, docs 3/4 share ONLY the
+    // boilerplate shingle
+    val d = Seq((1L, "a b c d x y z"), (2L, "a b c q x y z"),
+        (3L, "p q r x y z"), (4L, "s t u x y z"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.0)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // exact: every pair shares ≥ the boilerplate shingle → all 6 pairs
+    assert(exact.length == 6)
+    val gated = Dedup.ngramJaccardPairs(d, n = 3, minJaccard = 0.0,
+        maxDf = 3)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("inter"))).toMap
+    // df-4 shingles ("x y z" and the per-doc bridges ending in x/x y)
+    // leave BOTH the index and the sizes; only the real-content overlap
+    // of (1,2) survives: shingles of "a b c (d|q) x" → inter = {"a b c"}
+    assert(gated.keySet == Set((1L, 2L)), s"got $gated")
+    assert(gated((1L, 2L)) == 1L)
+  }
+
   test("connected components: chains merge, separate components stay apart") {
     val s = spark
     import s.implicits._
