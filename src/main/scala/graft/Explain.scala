@@ -31,7 +31,8 @@ object Explain {
         "q81_interval_concurrency", "q82_bigram_xent",
         "q83_ngram_novelty", "q84_bloom_incremental",
         "q85_quality_classifier", "q86_scalar_quantize",
-        "q87_ann_recall", "q88_mixture_epoch", "q89_session_overlap")
+        "q87_ann_recall", "q88_mixture_epoch", "q89_session_overlap",
+        "q90_simhash_pairs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -703,6 +703,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // SimHash near-dup pairs over a versioned corpus: every doc plus a
+    // leading-token-trimmed copy (the "same page minus boilerplate
+    // header" shape); 16-bit-block equi candidates + exact Hamming
+    // residual find each doc's trimmed twin (simhashPairs)
+    "q90_simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val trimmed = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      graft.ext.Dedup.simhashPairs(docs.unionByName(trimmed), hamMax = 8)
+    }),
+
     // corpus n-gram novelty: per doc, fraction of its distinct 3-grams
     // first seen at this doc — inverted-index min + join back, the
     // redundancy signal pairwise near-dup misses (recycled phrasing)
@@ -1249,6 +1261,51 @@ object SparkEntry {
          |  $sums
          |  FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM b""".stripMargin
+    },
+
+    // SimHash-pairs mirror: the q24 signature pipeline over the
+    // doc ∪ trimmed-copy corpus, the same arithmetic-shift-and-mask
+    // 16-bit blocks, the same [2, 64] bucket gate, exact Hamming via
+    // bit_count(xor). Sum/fold columns generated like q24's.
+    "q90_simhash_pairs" -> {
+      val sums = (0 until 64).map { b =>
+        val h = if (b < 32) "h_lo" else "h_hi"
+        val w = 1L << (if (b < 32) b else b - 32)
+        s"sum(CASE WHEN ($h & CAST($w AS BIGINT)) <> 0 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n  ")
+      val fold = (0 until 64).map { b =>
+        s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" | ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, $b AS band_id, (simhash >> ${16 * b}) & 65535 AS block FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |         regexp_replace(text, '^\\S+\\s+', '') FROM documents),
+         |toks AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS token
+         |  FROM corpus),
+         |h AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h_hi,
+         |    CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h_lo
+         |  FROM toks),
+         |b AS (SELECT doc_id,
+         |  $sums
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM b),
+         |band AS ($bandSelects),
+         |bsz AS (SELECT band_id, block FROM band
+         |  GROUP BY band_id, block HAVING count(*) BETWEEN 2 AND 64),
+         |bandk AS (SELECT band.* FROM band JOIN bsz USING (band_id, block)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+         |      AS hamming
+         |  FROM bandk a JOIN bandk b
+         |    ON a.band_id = b.band_id AND a.block = b.block
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8""".stripMargin
     },
 
     // Hyperplane-LSH near-dup mirror: bucket = 8 sign bits of dot products

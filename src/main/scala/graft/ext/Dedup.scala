@@ -254,6 +254,55 @@ object Dedup {
           .reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS — the pairing step on top of [[simhash]]:
+    * signatures band into 4 × 16-bit blocks; by pigeonhole, any pair at
+    * Hamming distance ≤ 3 agrees exactly on at least one block, so the
+    * candidate join is EQUI on (block index, block value) — never n² —
+    * and the exact Hamming distance `bit_count(xor)` runs as a residual
+    * on candidates only. `hamMax` beyond 3 weakens the pigeonhole
+    * guarantee (a pair differing in ≥ 4 bits can straddle all four
+    * blocks) — the standard SimHash-dedup recall trade (Manku et al.
+    * 2007 use exact-block candidates the same way).
+    *
+    * Arithmetic-shift-then-mask block extraction is engine-portable
+    * (sign-fill bits mask away identically everywhere); buckets outside
+    * [2, maxBucket] drop before the self-join — the q23 mega-bucket
+    * treatment, mirrored in the q90 oracle.
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   hamMax: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val sigs = simhash(docs, textCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            (shiftright(col("simhash"), 16 * b) bitwiseAND lit(0xffffL))
+              .as("block"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band_id").as("band_id"), col("bb.block").as("block"))
+    val bcWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("block"))
+    // pin: both sides of the self-join consume `gated`; unpinned, each
+    // would recompute the 64-column signature aggregation over the corpus
+    val gated = banded
+      .withColumn("bc", count(lit(1)).over(bcWin))
+      .filter(col("bc").between(2, maxBucket))
+      .drop("bc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gated.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+        col("band_id"), col("block"))
+      .join(gated.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sig_b"), col("band_id"), col("block")),
+        Seq("band_id", "block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a") bitwiseXOR col("sig_b")).cast("bigint")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hamMax)
+  }
+
   /** N-gram Jaccard near-dup: candidate pairs = docs sharing ≥ 1 shingle
     * (inverted-index self-join), then exact Jaccard from co-occurrence
     * counts — |A∩B| from the join, |A|,|B| from per-doc shingle counts.

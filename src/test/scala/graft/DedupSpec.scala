@@ -66,6 +66,24 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
   }
 
+  test("simhashPairs: identical docs at hamming 0, near pair found via " +
+    "block candidates, dissimilar pair absent") {
+    val got = Dedup.simhashPairs(docs, hamMax = 16).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got((1L, 2L)) == 0L)   // identical texts, identical signature
+    // near pair (jumps→leaps) shares blocks with both copies
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) > 0L)
+    assert(got((1L, 3L)) == got((2L, 3L)))
+    // the unrelated doc never pairs
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // replay: hamming matches the signatures' xor popcount
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(got((1L, 3L)) ==
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)).toLong)
+  }
+
   test("ngram jaccard: hand-computed intersection") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d x"))
       .toDF("doc_id", "text")
