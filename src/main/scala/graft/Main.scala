@@ -32,6 +32,7 @@ object Main {
       |  graft.Main stream-neardup --f <docsDir> [--o <outdir>] [--m "1 hour"] [--k 8] [--b 4]
       |  graft.Main stream-asof --f <dir with points/ updates/> [--o <outdir>] [--m "1 hour"]
       |  graft.Main stream-interval --f <dir with points/ intervals/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
+      |  graft.Main stream-overlap --f <dir with left/ right/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |                      [--r <spanTokens>] [--p true] [--c true] [--x true]
@@ -106,6 +107,15 @@ object Main {
             bucketSeconds = opt("--g", "3600").toLong)
           println(s"stream-interval: $n covered points -> " +
             s"${opt("--o", "results")}/stream_interval")
+        case "stream-overlap" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamOverlap(spark, in, opt("--o", "results"),
+            watermark = opt("--m", "1 hour"),
+            maxIntervalSeconds = opt("--x", "86400").toLong,
+            bucketSeconds = opt("--g", "3600").toLong)
+          println(s"stream-overlap: $n overlapping pairs -> " +
+            s"${opt("--o", "results")}/stream_overlap")
         case "curate" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -431,6 +441,42 @@ object Main {
     else spark.read.schema(
         "pid BIGINT, ts TIMESTAMP, iid BIGINT, s0 TIMESTAMP, s1 TIMESTAMP")
       .parquet(s"$out/stream_interval").count()
+  }
+
+  /** Streaming overlap join end-to-end: `in/left` and `in/right` CSV
+    * directories (`id,s0,s1` header rows, one interval each) → bucketed
+    * stream-stream overlap join → parquet, checkpointed,
+    * `Trigger.AvailableNow` (the [[runStreamInterval]] contract for the
+    * two-sided op).
+    */
+  def runStreamOverlap(spark: SparkSession, in: String, out: String,
+                       watermark: String = "1 hour",
+                       maxIntervalSeconds: Long = 86400L,
+                       bucketSeconds: Long = 3600L): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val l = spark.readStream
+      .schema(StructType.fromDDL("lid BIGINT, l0 TIMESTAMP, l1 TIMESTAMP"))
+      .option("header", "true").csv(s"$in/left")
+    val r = spark.readStream
+      .schema(StructType.fromDDL("rid BIGINT, r0 TIMESTAMP, r1 TIMESTAMP"))
+      .option("header", "true").csv(s"$in/right")
+    val q = StreamOps.streamingOverlapJoin(l, "l0", "l1", r, "r0", "r1",
+        maxIntervalSeconds = maxIntervalSeconds,
+        bucketSeconds = bucketSeconds, watermark = watermark)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/stream_overlap")
+      .option("checkpointLocation", s"$out/_overlap_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_overlap"))) 0L
+    else spark.read.schema("lid BIGINT, l0 TIMESTAMP, l1 TIMESTAMP, " +
+        "rid BIGINT, r0 TIMESTAMP, r1 TIMESTAMP")
+      .parquet(s"$out/stream_overlap").count()
   }
 
   /** The LLM-training-data curation pipeline end-to-end, user-reachable:

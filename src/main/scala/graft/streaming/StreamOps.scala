@@ -274,6 +274,64 @@ object StreamOps {
       .drop("__pb", "__ib")
   }
 
+  /** Streaming interval-OVERLAP join — the streaming twin of
+    * [[graft.ops.Relational.overlapJoin]]: two interval streams, every
+    * pair whose closed ranges intersect ("which sessions ran during this
+    * outage", live), out-of-order arrivals on both sides correct inside
+    * the watermark horizon.
+    *
+    * Same shape as [[streamingIntervalJoin]] — both sides replicate to
+    * `bucketSeconds` bins, the stream-stream join is EQUI on the bin —
+    * plus the batch operator's exactly-once residual: an overlapping
+    * pair meets in every shared bin, so only the FIRST shared bin
+    * (max of the two start bins) emits, with no dedup state beyond the
+    * join's own.
+    *
+    * `maxIntervalSeconds` bounds state exactly as in the interval join,
+    * but symmetrically: both `start` columns are watermark anchors and
+    * the join carries `|l.start − r.start| ≤ max` (implied by overlap
+    * under clamped lengths) as time-range conditions BETWEEN the two
+    * watermarked columns, so Spark prunes both state stores; interval
+    * replication also clamps to the same horizon. Intervals longer than
+    * `max` stop matching partners past `start + max` — the finite-state
+    * contract, size it to the longest interval you accept to track.
+    *
+    * Inputs need TIMESTAMP start/end columns and caller-distinct column
+    * names. Inner-join semantics, Append-mode safe.
+    */
+  def streamingOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                           right: DataFrame, rStart: String, rEnd: String,
+                           maxIntervalSeconds: Long,
+                           bucketSeconds: Long = 3600L,
+                           watermark: String = "1 hour"): DataFrame = {
+    import graft.ops.Relational.epochSeconds
+    val maxBins = maxIntervalSeconds / bucketSeconds + 1L
+    val lw = left.withWatermark(lStart, watermark)
+    val lb = lw
+      .withColumn("__b0l",
+        floor(epochSeconds(lw, lStart) / bucketSeconds).cast("long"))
+      .withColumn("__lb", explode(sequence(col("__b0l"),
+        least(floor(epochSeconds(lw, lEnd) / bucketSeconds).cast("long"),
+          col("__b0l") + maxBins))))
+    val rw = right.withWatermark(rStart, watermark)
+    val rb = rw
+      .withColumn("__b0r",
+        floor(epochSeconds(rw, rStart) / bucketSeconds).cast("long"))
+      .withColumn("__rb", explode(sequence(col("__b0r"),
+        least(floor(epochSeconds(rw, rEnd) / bucketSeconds).cast("long"),
+          col("__b0r") + maxBins))))
+    val horizon = expr(s"INTERVAL $maxIntervalSeconds SECOND")
+    lb.join(rb,
+        lb("__lb") === rb("__rb") &&
+          lb("__lb") === greatest(lb("__b0l"), rb("__b0r")) &&
+          lb(lStart) <= rb(rEnd) && rb(rStart) <= lb(lEnd) &&
+          // state-pruning range conditions between the two WATERMARKED
+          // event-time columns (both directions → both stores bounded)
+          rb(rStart) <= lb(lStart) + horizon &&
+          lb(lStart) <= rb(rStart) + horizon)
+      .drop("__lb", "__rb", "__b0l", "__b0r")
+  }
+
   final case class AsofIn(key: Long, ts: java.sql.Timestamp, side: Int,
                           value: Double)
   final case class AsofHist(ts: List[Long], values: List[Double])

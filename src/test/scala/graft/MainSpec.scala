@@ -220,6 +220,28 @@ class MainSpec extends SparkSpec {
     assert(got == Set((1L, 100L), (2L, 200L))) // point 3 covered by nothing
   }
 
+  test("stream-overlap CLI mode pairs intersecting intervals exactly once") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    def write(sub: String, header: String, lines: Seq[String]): Unit = {
+      val d = new java.io.File(s"$tmp/in/$sub"); d.mkdirs()
+      val w = new java.io.PrintWriter(s"$d/part-0.csv")
+      w.println(header); lines.foreach(w.println); w.close()
+    }
+    def t(min: Int) =
+      java.time.Instant.ofEpochSecond(1700000000L + min * 60L).toString
+    // left [0,45] spans several 10-min buckets with right [30,50] (one
+    // emission expected), right [60,70] overlaps nothing on the left
+    write("left", "lid,l0,l1", Seq(s"1,${t(0)},${t(45)}"))
+    write("right", "rid,r0,r1",
+      Seq(s"10,${t(30)},${t(50)}", s"20,${t(60)},${t(70)}"))
+    val n = Main.runStreamOverlap(spark, s"$tmp/in", s"$tmp/out",
+      maxIntervalSeconds = 7200L, bucketSeconds = 600L)
+    assert(n == 1, s"expected one overlapping pair, got $n")
+    val got = spark.read.parquet(s"$tmp/out/stream_overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("curate CLI mode: dedup → scrub → select → pack, tables land as parquet") {
     val tmp = Files.createTempDirectory("graft-main").toString
     // the sf0.001 documents plus a planted exact duplicate of doc 0 and

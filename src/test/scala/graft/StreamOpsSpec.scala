@@ -184,6 +184,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingOverlapJoin pairs out-of-order intervals exactly once") {
+    implicit val sq = spark.sqlContext
+    val ls = MemoryStream[(Long, Timestamp, Timestamp)]
+    val rs = MemoryStream[(Long, Timestamp, Timestamp)]
+    val out = StreamOps.streamingOverlapJoin(
+      ls.toDF.toDF("lid", "l0", "l1"), "l0", "l1",
+      rs.toDF.toDF("rid", "r0", "r1"), "r0", "r1",
+      maxIntervalSeconds = 7200L, bucketSeconds = 600L,
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sovl")
+      .outputMode("append").start()
+    try {
+      // batch 1: left [0,45] spans multiple 10-min buckets; right [30,50]
+      // overlaps it (must emit once despite 2+ shared bins), right
+      // [60,70] does not
+      ls.addData((1L, ts(0), ts(45)))
+      rs.addData((10L, ts(30), ts(50)), (20L, ts(60), ts(70)))
+      q.processAllAvailable()
+      // batch 2: a LATE left [40,65] (behind batch 1's event times,
+      // inside the watermark) overlaps BOTH rights — the closed-bound
+      // touch at 40 ≤ 50 and the span into [60,70]
+      ls.addData((2L, ts(40), ts(65)))
+      q.processAllAvailable()
+      val got = spark.table("sovl").select($"lid", $"rid")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 10L), (2L, 10L), (2L, 20L)))
+    } finally q.stop()
+  }
+
   test("streamingAsof matches each point to the update current at its ts") {
     implicit val sq = spark.sqlContext
     val upd = MemoryStream[(Long, Timestamp, Double)]
