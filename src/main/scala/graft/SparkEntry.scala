@@ -929,8 +929,8 @@ object SparkEntry {
           (col("ts") % 7).cast("int").as("pid"))
         .agg(sum(col("weight")).cast("double").as("s"))
       def coin(c1: Column, seed: String) =
-        conv(substring(md5(concat_ws("|", c1, col("ski"), lit(seed))),
-          1, 15), 16, 10).cast("bigint") % 1000000L
+        org.apache.spark.sql.graft.GraftExprBridge.md5Ppm(
+          concat_ws("|", c1, col("ski"), lit(seed)))
       val skis = broadcast((0 until 64).toDF("ski"))
       val asel = g.select(col("account")).distinct().crossJoin(skis)
         .filter(coin(col("account"), "gpk-a") < 20000L)

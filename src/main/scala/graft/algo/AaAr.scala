@@ -177,8 +177,10 @@ object AaAr {
     val spark = scores.sparkSession
     import spark.implicits._
     val skis = broadcast((0 until sketchNum).toDF("ski"))
-    val coin = conv(substring(md5(concat_ws("|", col("account"), col("ski"),
-      lit(seed))), 1, 15), 16, 10).cast("bigint") % 1000000L
+    // native single-digest ppm coin (Md5PpmExpr) — bit-identical to the
+    // conv(substring(md5)) form the q53 oracle mirrors
+    val coin = org.apache.spark.sql.graft.GraftExprBridge.md5Ppm(
+      concat_ws("|", col("account"), col("ski"), lit(seed)))
     val sel = scores.select(col("account")).distinct()
       .crossJoin(skis).filter(coin < keepPpm)
       .select(col("ski"), col("account"))

@@ -84,8 +84,12 @@ object SmurfGen {
                       seed: String = "bg|0"): DataFrame = {
     import org.apache.spark.sql.functions._
     val keepBelow = ppmThreshold(interactProb)
-    val coin = conv(substring(md5(concat_ws("|", col("src"), col("dst"),
-      lit(seed))), 1, 15), 16, 10).cast("bigint") % 1000000L
+    // native single-digest ppm coin (Md5PpmExpr): this coin runs once
+    // per CANDIDATE pair of the n² cross join — the generator's hottest
+    // expression — and stays bit-identical to the conv(substring(md5))
+    // form the q58 oracle mirrors
+    val coin = org.apache.spark.sql.graft.GraftExprBridge.md5Ppm(
+      concat_ws("|", col("src"), col("dst"), lit(seed)))
     banks.select(col("b").as("src"))
       .crossJoin(banks.select(col("b").as("dst")))
       .filter(coin < keepBelow)

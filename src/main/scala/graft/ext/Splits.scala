@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Ppm coin on the id: uniform in [0, 10⁶) per (id, seed). */
+  /** Ppm coin on the id: uniform in [0, 10⁶) per (id, seed). Evaluated
+    * by the native single-digest expression
+    * ([[org.apache.spark.sql.graft.Md5PpmExpr]]) — bit-identical to the
+    * `conv(substring(md5(...), 1, 15), 16, 10) % 1000000` composition
+    * every sampling oracle mirrors (NativeExprSpec pins the parity), at
+    * one digest and two integer ops per row instead of the hex-string
+    * round-trip.
+    */
   def ppmCoin(id: Column, seed: String): Column =
-    conv(substring(md5(concat_ws("|", id, lit(seed))), 1, 15), 16, 10)
-      .cast("bigint") % 1000000L
+    org.apache.spark.sql.graft.GraftExprBridge
+      .md5Ppm(concat_ws("|", id, lit(seed)))
 
   /** Assign each row a split label by hash: coin < trainPpm → "train",
     * < valPpm → "val", else "test". Defaults: 90/5/5.

@@ -47,6 +47,33 @@ case class Md5HalvesExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** The ppm-coin sibling: `conv(substring(md5(s), 1, 15), 16, 10) %
+  * 1000000` — the repo's derandomized-sampling idiom
+  * ([[graft.ext.Splits.ppmCoin]]) — as one native digest: the first 15
+  * hex digits are the top 60 bits of the digest's first 8 bytes, so the
+  * whole composition is one shift and one modulo. Bit-identical to the
+  * composed form every sampling oracle mirrors.
+  */
+case class Md5PpmExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Md5Halves.ppm(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.Md5Halves.ppm($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PpmExpr =
+    copy(child = newChild)
+}
+
 object Md5Halves {
   // MessageDigest is stateful and not thread-safe; getInstance per row
   // would dominate the loop. digest() resets the instance, so one
@@ -56,15 +83,24 @@ object Md5Halves {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** (hex digits 1–7 of md5) << 28 | (hex digits 8–14). */
-  def pack(bytes: Array[Byte]): Long = {
+  private def first8BigEndian(bytes: Array[Byte]): Long = {
     val d = md.get().digest(bytes)
-    // first 8 digest bytes, big-endian — hex digits 1–16 of the string form
     var l = 0L
     var i = 0
     while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    l
+  }
+
+  /** (hex digits 1–7 of md5) << 28 | (hex digits 8–14). */
+  def pack(bytes: Array[Byte]): Long = {
+    // first 8 digest bytes, big-endian — hex digits 1–16 of the string form
+    val l = first8BigEndian(bytes)
     val h1 = l >>> 36            // top 28 bits  = hex digits 1–7
     val h2 = (l >>> 8) & 0xfffffffL // bits 28–56 = hex digits 8–14
     (h1 << 28) | h2
   }
+
+  /** (hex digits 1–15 of md5, an unsigned 60-bit value) mod 10⁶. */
+  def ppm(bytes: Array[Byte]): Long =
+    (first8BigEndian(bytes) >>> 4) % 1000000L
 }

@@ -71,4 +71,7 @@ object GraftExprBridge {
 
   def md5Halves(c: Column): Column =
     ExpressionUtils.column(Md5HalvesExpr(ExpressionUtils.expression(c)))
+
+  def md5Ppm(c: Column): Column =
+    ExpressionUtils.column(Md5PpmExpr(ExpressionUtils.expression(c)))
 }

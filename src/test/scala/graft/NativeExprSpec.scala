@@ -172,6 +172,21 @@ class NativeExprSpec extends SparkSpec {
       .head().getLong(0)
     assert(one == viaDf)
   }
+
+  test("md5_ppm equals the conv(substring(md5)) % 1e6 composition") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(13)
+    val strs = Seq("", "7|gsk", "1|2|bg|0", "κόσμε|0|x") ++
+      Seq.fill(500)(rng.alphanumeric.take(rng.nextInt(30) + 1).mkString)
+    val bad = strs.toDF("s").select(
+        org.apache.spark.sql.graft.GraftExprBridge.md5Ppm(col("s"))
+          .as("n"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint")
+          % 1000000L).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(bad == 0)
+  }
 }
 
 /** Driver-side replay of Md5Halves.pack for the interpreted-parity check. */
