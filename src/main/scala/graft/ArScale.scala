@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * attention routing → parquet + PNG sinks.
   *
   * Prints one JSON line:
-  * {"nodes":N,"edges":E,"windows":W,"changes":C,"routed":R,"aaar_sec":S}
+  * {"nodes":N,"edges":E,"changes":C,"routed":R,"aaar_sec":S}
   */
 object ArScale {
   def main(args: Array[String]): Unit = {
@@ -43,8 +43,8 @@ object ArScale {
     val interactProb = 1.0 - targetEdges.toDouble / (nAcc.toDouble * nAcc)
     val acc = spark.range(nAcc).toDF("b")
     def ppm(cols: org.apache.spark.sql.Column*) =
-      conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
-        .cast("bigint") % 1000000L
+      org.apache.spark.sql.graft.GraftExprBridge
+        .md5Ppm(concat_ws("|", cols: _*))
     val edges = graft.algo.SmurfGen
       .backgroundEdges(acc, interactProb, seed = "ar|7")
       .filter(col("src") =!= col("dst"))

@@ -59,7 +59,10 @@ object Dedup {
     // history, paid once per filter build, never per batch
     val expected = math.max(digests.count(), 1L)
     val bloom = digests.stat.bloomFilter("d", expected, fpp)
-    val seen = udf((d: String) => bloom.mightContain(d))
+    // null-tolerant like the q46 digest semi-join: md5(NULL) is null,
+    // a null digest matches no history row, the doc passes as new —
+    // mightContain(null) would instead NPE the executor
+    val seen = udf((d: String) => d != null && bloom.mightContain(d))
     batch.filter(!seen(md5(col(textCol))))
   }
 
@@ -628,10 +631,19 @@ object Dedup {
     // discipline of minhashLshPairs/ngramJaccardPairs
     val c2 = element_at(cn2, col("cell") + 1)
     val bridge = org.apache.spark.sql.graft.GraftExprBridge
+    // cell AND distance from ONE fused scan: the struct-returning mode's
+    // two field extractions share a common subexpression codegen
+    // evaluates once, where the earlier sibling-expression pair (argmin
+    // + min) each paid the full O(nlist × dim) loop. At the 1M-corpus
+    // AnnScale shape this halves the assignment pass but not the stage
+    // total (the within-cell n²/nlist cosine join dominates there —
+    // measured ~25 s either way); the single-scan shape is simply the
+    // right one for any dim/nlist where assignment IS the bottleneck.
+    val cb = bridge.nearestCellBoth(col("v"), centers)
     val assigned = e
       .select(col("vec_id"), col("v"),
-        bridge.nearestCell(col("v"), centers).as("cell"),
-        bridge.nearestCellDist(col("v"), centers).as("d2c"),
+        cb.getField("cell").as("cell"),
+        cb.getField("d2c").as("d2c"),
         aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("n2"))
       .withColumn("c2c",
         (col("n2") + c2 - col("d2c")) /

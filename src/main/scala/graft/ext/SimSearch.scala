@@ -492,7 +492,9 @@ object SimSearch {
         asDouble(col("embedding")).as("v_c"))
       val qV = queries.select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("v_q"))
-      val short = adcRanked.filter(col("rank") <= refine)
+      // a shortlist narrower than k could only ever return `refine`
+      // rows per query — silently capping recall; floor it at k
+      val short = adcRanked.filter(col("rank") <= math.max(refine, k))
         .select(col("query_id"), col("nbr_id"))
       val exact = short
         .join(corpusV, "nbr_id")

@@ -467,14 +467,14 @@ object TextOps {
   val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
-  def qualityFeatures(docs: DataFrame, textCol: String = "text",
-                      keep: Seq[String] = Nil): DataFrame = {
+  def qualityFeatures(docs: DataFrame,
+                      textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     docs.select(
-      (col("doc_id") +: keep.map(col)) ++ Seq(
+      col("doc_id") +: Seq(
         length(t).as("n_chars"),
         nTok.as("n_tokens"),
         (length(t).cast("double") / nTok).as("mean_token_len"),

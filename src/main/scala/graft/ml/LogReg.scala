@@ -65,6 +65,11 @@ object LogReg {
             yield sum(wt * xs(i) * xs(j)).as(s"a_${i}_$j")) ++
             (0 until p).map(i => sum(wt * z * xs(i)).as(s"b_$i"))
         val r = base.agg(aggs.head, aggs.tail: _*).head()
+        // sum() over zero rows is null — surface "no training rows" as a
+        // clear error instead of an NPE deep inside the normal equations
+        require(!r.isNullAt(0),
+          "fitIrls: training frame has no rows (upstream filter left " +
+            "nothing to fit)")
         val a = Array.ofDim[Double](p, p)
         var k = 0
         for { i <- 0 until p; j <- i until p } {

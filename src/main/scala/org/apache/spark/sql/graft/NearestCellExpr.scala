@@ -32,15 +32,30 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * SemDeDup's keep-farthest rule needs alongside the cell; same loop,
   * same accumulation order, so the distances are the bit-identical
   * doubles the q69 mirror replays.
+  *
+  * `returnBoth = true` returns BOTH as a struct<cell int, d2c double> —
+  * a consumer needing cell AND distance (SemDeDup) extracts two fields
+  * of ONE shared subexpression, and whole-stage codegen's common-
+  * subexpression elimination runs the O(nlist × dim) loop once per row;
+  * two sibling expressions (one per flag) are NOT common subexpressions
+  * and each pay the full scan.
   */
 case class NearestCellExpr(child: Expression,
                            centers: Array[Array[Double]],
-                           returnDist: Boolean = false)
+                           returnDist: Boolean = false,
+                           returnBoth: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType =
-    if (returnDist) DoubleType else IntegerType
+    if (returnBoth)
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", IntegerType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("d2c", DoubleType,
+          nullable = false)))
+    else if (returnDist) DoubleType
+    else IntegerType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
@@ -65,7 +80,10 @@ case class NearestCellExpr(child: Expression,
       if (s < bestD) { bestD = s; best = j }
       j += 1
     }
-    if (returnDist) java.lang.Double.valueOf(bestD)
+    if (returnBoth)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](best, bestD))
+    else if (returnDist) java.lang.Double.valueOf(bestD)
     else java.lang.Integer.valueOf(best)
   }
 
@@ -105,7 +123,13 @@ case class NearestCellExpr(child: Expression,
          |      }
          |      if ($s < $bestD) { $bestD = $s; $best = $j; }
          |    }
-         |    ${ev.value} = ${if (returnDist) bestD else best};
+         |    ${ev.value} = ${
+                if (returnBoth)
+                  "new org.apache.spark.sql.catalyst.expressions." +
+                    s"GenericInternalRow(new Object[]{" +
+                    s"java.lang.Integer.valueOf($best), " +
+                    s"java.lang.Double.valueOf($bestD)})"
+                else if (returnDist) bestD else best};
          |  }
          |}
        """.stripMargin

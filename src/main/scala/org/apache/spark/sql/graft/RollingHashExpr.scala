@@ -69,6 +69,10 @@ object GraftExprBridge {
     ExpressionUtils.column(NearestCellExpr(
       ExpressionUtils.expression(v), centers, returnDist = true))
 
+  def nearestCellBoth(v: Column, centers: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCellExpr(
+      ExpressionUtils.expression(v), centers, returnBoth = true))
+
   def md5Halves(c: Column): Column =
     ExpressionUtils.column(Md5HalvesExpr(ExpressionUtils.expression(c)))
 

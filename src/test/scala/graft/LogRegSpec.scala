@@ -96,8 +96,11 @@ class LogRegSpec extends SparkSpec {
   test("scoring is a map-only projection (no exchange in the plan)") {
     val df = synth(100)
     val w = Array(0.1, 0.2, 0.3)
-    val scored = df.select((lit(1.0) * w(0) + col("x1") * w(1) +
-      col("x2") * w(2)).as("logit"))
+    // the PRODUCTION scoring path (q85 / curate --c), not a hand-built
+    // twin: if LogReg.logit ever grew plan-shaping structure, this must
+    // fail
+    val scored = df.select(
+      LogReg.logit(w, Seq("x1", "x2")).as("logit"))
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
