@@ -115,6 +115,26 @@ object TextScale {
     val recallNear = recallOf(nearLo)
     val recallExact = recallOf(exactLo)
 
+    // df-gated exact n-gram Jaccard (q25's operator with maxDf): the
+    // UNgated form's inverted-index self-join is Σ df² — boilerplate
+    // shingles alone make it infeasible at this scale — while the gate
+    // bounds it at Σ min(df, 50)²; planted pairs share mostly
+    // family-unique shingles (df ≤ 3), so the gate costs ~no recall
+    val tNj = t0()
+    val njPairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5,
+        maxDf = 50)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val nNjPairs = njPairs.count()
+    val njSec = secs(tNj)
+    def njRecallOf(lo: Long): Double = {
+      val expect = spark.range(planted)
+        .select(col("id").as("doc_a"), (col("id") + lo).as("doc_b"))
+      expect.join(njPairs, Seq("doc_a", "doc_b"), "left_semi")
+        .count().toDouble / planted
+    }
+    val njRecallNear = njRecallOf(nearLo)
+    val njRecallExact = njRecallOf(exactLo)
+
     assert(dupGroups == planted,
       s"exact dedup found $dupGroups dup groups, expected $planted")
     assert(keptExact == 0,
@@ -127,7 +147,10 @@ object TextScale {
       s""""dup_groups":$dupGroups,"bloom_sec":$bloomSec,""" +
       s""""bloom_kept_exact":$keptExact,"bloom_kept_near":$keptNear,""" +
       s""""lsh_sec":$lshSec,"lsh_pairs":$nPairs,""" +
-      s""""recall_near":$recallNear,"recall_exact":$recallExact}""")
+      s""""recall_near":$recallNear,"recall_exact":$recallExact,""" +
+      s""""ngram_gated_sec":$njSec,"ngram_gated_pairs":$nNjPairs,""" +
+      s""""ngram_recall_near":$njRecallNear,""" +
+      s""""ngram_recall_exact":$njRecallExact}""")
     spark.stop()
   }
 }
