@@ -204,6 +204,21 @@ class PlanAuditSpec extends SparkSpec {
         Set("source", "doc_id", "n_chars")))
   }
 
+  test("overlap join (q89) and simhash pairing (q90) stay cartesian-free") {
+    // both are bucketed/banded equi joins by construction — a raw range
+    // or pairwise predicate would plan a nested-loop cartesian
+    for (q <- Seq("q89_session_overlap", "q90_simhash_pairs")) {
+      val p = staticPlan(SparkEntry.queries(q)(spark, dir))
+      val cart = p.collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$q planned a cartesian: $p")
+      val bnl = p.collect {
+        case b: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => b
+      }
+      assert(bnl.isEmpty, s"$q planned a nested-loop join: $p")
+    }
+  }
+
   test("mixture epoch: weights broadcast, corpus side map-only") {
     import org.apache.spark.sql.functions.col
     val docs = model.Tables.table(spark, dir, "documents")
