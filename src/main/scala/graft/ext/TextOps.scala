@@ -664,11 +664,16 @@ object TextOps {
     */
   def ngramNovelty(docs: DataFrame, textCol: String = "text",
                    n: Int = 3): DataFrame = {
+    // pinned: the hashed gram table feeds BOTH the per-doc distinct
+    // counts and the first-occurrence index; unpinned, each consumer
+    // re-tokenizes and re-hashes the corpus (the minhashLshPairs
+    // multi-consumer persist discipline)
     val grams = docs.select(col("doc_id"),
         explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint")
           .as("gk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDistinct = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"))
     val nNovel = grams.groupBy(col("gk"))
