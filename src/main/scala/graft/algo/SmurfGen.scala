@@ -3,7 +3,6 @@ package graft.algo
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.collection.mutable
-import scala.util.Random
 
 /** Seeded smurf-pattern injector — the labeled-evaluation-data generator
   * (reference `/root/reference/smurf_generator.py:12-67`, SURVEY §3.3).
@@ -25,38 +24,57 @@ object SmurfGen {
   final case class Fold(middleNum: Int, fold: Int,
                         edges: Set[(Long, Long)], label: (Long, Long))
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** 28-bit uniform draw keyed by `tag` — the exact value
+    * `CAST(('0x' || substr(md5(tag), 1, 7)) AS BIGINT)` yields in any SQL
+    * engine (the q23/q58 md5 idiom, here on the driver).
+    */
+  def h28(tag: String): Long =
+    java.lang.Long.parseLong(md5Hex(tag).substring(0, 7), 16)
+
   /** Port of generate_eval_df (`smurf_generator.py:12-40`), deterministic
-    * under `seed`. Uses scala.util.Random — parity with numpy's exact draws
-    * is impossible and not required (SURVEY §5: planted-pattern tests
-    * assert *recall*, not RNG equality).
+    * under `seed`. The reference's sequential numpy RNG is replaced by
+    * INDEPENDENT tag-keyed md5 draws — `arr[h28(tag) % len]` per choice,
+    * one tag per (fold, role, index) — because the reference's eval design
+    * only needs *a* seeded deterministic draw (parity with numpy's exact
+    * stream is impossible and not required; SURVEY §5 asserts recall, not
+    * RNG equality), and tag-keyed hashing is reproducible OUTSIDE the JVM:
+    * the q33/q38/q39 oracles regenerate the identical folds in DuckDB from
+    * the same md5 arithmetic, which puts the whole generator — stars,
+    * noise stars, intermediary interactions — under the hash gate rather
+    * than rows-only.
     */
   def generateFolds(base: Set[(Long, Long)], bankAcc: Array[Long],
                     clientAcc: Array[Long], middleNum: Int, folds: Int = 10,
                     seed: Long = 0L): Seq[Fold] = {
-    val rng = new Random(seed)
-    def choice(arr: Array[Long]): Long = arr(rng.nextInt(arr.length))
+    def pick(arr: Array[Long], tag: String): Long =
+      arr((h28(tag) % arr.length).toInt)
     (0 until folds).map { f =>
-      val src = choice(clientAcc)
-      val dst = choice(clientAcc)
-      val middles = Array.fill(middleNum)(choice(bankAcc))
+      val t = s"sg|$seed|$middleNum|$f"
+      val src = pick(clientAcc, s"$t|s")
+      val dst = pick(clientAcc, s"$t|d")
+      val middles = (0 until middleNum).map(i => pick(bankAcc, s"$t|m|$i"))
       val el = mutable.Set.empty[(Long, Long)] ++ base
       middles.foreach { m => el += ((src, m)); el += ((m, dst)) }
-      val noiseNum = 1 + rng.nextInt(5)
-      (0 until noiseNum).foreach { _ =>
-        val r = rng.nextInt(11)
-        val mn = middleNum + (5 - r)
+      val noiseNum = 1 + (h28(s"$t|nn") % 5).toInt
+      (0 until noiseNum).foreach { j =>
+        val r = (h28(s"$t|n|$j|r") % 11).toInt
+        val mnj = math.max(middleNum + (5 - r), 0)
         val others = clientAcc.filter(ca => ca != src && ca != dst)
-        val nSrc = choice(others)
-        val nDst = choice(others)
-        val nMiddle = Array.fill(math.max(mn, 0))(choice(bankAcc))
-        nMiddle.foreach { mcc =>
-          el += ((nSrc, mcc)); el += ((mcc, nDst))
-          nMiddle.foreach { c =>
-            // interaction between intermediaries (smurf_generator.py:34-37)
-            if (c != mcc && (1 + rng.nextInt(10)) > r / 2.5 + 6)
-              el += ((mcc, c))
-          }
-        }
+        val nSrc = pick(others, s"$t|n|$j|s")
+        val nDst = pick(others, s"$t|n|$j|d")
+        val nMiddle = (0 until mnj).map(i => pick(bankAcc, s"$t|n|$j|m|$i"))
+        nMiddle.foreach { mcc => el += ((nSrc, mcc)); el += ((mcc, nDst)) }
+        for (a <- 0 until mnj; b <- 0 until mnj if a != b)
+          // interaction between intermediaries (smurf_generator.py:34-37):
+          // coin keyed by the index pair, value-distinct middles only
+          if (nMiddle(a) != nMiddle(b) &&
+              (1 + (h28(s"$t|n|$j|x|$a|$b") % 10)).toDouble > r / 2.5 + 6.0)
+            el += ((nMiddle(a), nMiddle(b)))
       }
       Fold(middleNum, f, el.toSet, (src, dst))
     }
@@ -131,8 +149,8 @@ object SmurfGen {
     val background = backgroundEdges(banks, interactProb, s"bg|$seed")
     val baseBg = bin.select(col("src"), col("dst")).union(background)
 
-    // planted stars: RNG-identical to the previous driver construction —
-    // generateFolds' draw sequence never depended on the base content
+    // planted stars: tag-keyed md5 draws — independent of the base
+    // content and bit-reproducible outside the JVM (see generateFolds)
     val allFolds = middleNums.flatMap(mn =>
       generateFolds(Set.empty, bankAcc, clientAcc, mn, folds, seed))
     val plantedRows = allFolds.flatMap(f =>

@@ -27,43 +27,97 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
            count(lit(1)).as("n_dups"))
 
+  /** Bloom geometry for `n` items at false-positive rate `fpp`: the
+    * textbook bit count m = ⌈−n·ln(fpp)/ln²2⌉ rounded up to a multiple of
+    * 32 (the filter packs into 32-bit slices of BIGINT words — 32, not
+    * 64, because a portable mirror cannot form the 1<<63 mask: signed
+    * BIGINT shift overflows in other engines), and hash count
+    * k = round(m/n·ln2), ≥ 1. Deterministic in (n, fpp), so both engines
+    * agree on the geometry from the stashed literals.
+    */
+  def bloomParams(n: Long, fpp: Double): (Long, Int) = {
+    val nn = math.max(n, 1L)
+    val ln2 = math.log(2.0)
+    val bits = math.ceil(-nn.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
+    val m = ((bits + 31) / 32) * 32
+    (m, math.max(1L, math.round(m.toDouble / nn.toDouble * ln2)).toInt)
+  }
+
   /** Incremental dedup against a Bloom filter of the prior corpus — the
     * broadcast-probe alternative to the digest semi-join (q46). The
     * semi-join shape shuffles every incoming batch against the full
     * history index forever; here the history is summarized ONCE into a
-    * Bloom filter of its text digests (built distributed via Spark's
-    * `stat.bloomFilter` treeAggregate), the filter ships broadcast
-    * (`8·n·ln(1/fpp)/ln²2` bits — ~1.8 GB for 10⁹ docs at fpp 1e-3,
+    * Bloom filter of its text digests, the filter ships broadcast
+    * (`n·ln(1/fpp)/ln²2` bits — ~1.8 GB for 10⁹ docs at fpp 1e-3,
     * executor-resident like any broadcast dim), and screening each new
     * batch is a MAP-ONLY pass with zero shuffle — the shape that wins
     * when history ≫ batch, the steady state of a 100 TB ingest.
     *
-    * Guarantees are one-sided, the right way around for dedup: a true
-    * duplicate is NEVER kept (no false negatives); a new doc is dropped
-    * with probability ≤ fpp (a false positive discards good data, never
-    * corrupts the corpus). Exactness-critical ingest keeps the q46
-    * semi-join; this is the cheap screen in front of it.
+    * The filter itself is PORTABLE arithmetic, not an engine-private
+    * sketch: h1/h2 are the 28-bit md5-hex halves of the text (the exact
+    * minhash idiom the q23 oracle mirrors, one native digest via
+    * Md5HalvesExpr), position i is Kirsch–Mitzenmacher (h1 + i·h2) mod m,
+    * and the filter is `bit_or`-aggregated 32-bit masks grouped by word
+    * index — ONE grouped aggregation over k·|history| exploded positions
+    * with map-side partial OR, m/32 result rows. The probe chains k left
+    * broadcast-joins of that word table against the batch (one broadcast
+    * exchange, reused across all k — map-only like a UDF probe, but every
+    * bit reproducible in any SQL engine, which is what puts the q84 face
+    * under the hash oracle rather than rows-only).
     *
-    * The per-row probe is a Scala UDF — no built-in expression exposes
-    * `BloomFilter.mightContain`, and the stage is a non-shuffling scan
-    * filter where UDF overhead is bandwidth-bounded, not plan-shaping.
+    * Guarantees are one-sided, the right way around for dedup: a true
+    * duplicate is NEVER kept (identical text → identical digest → the
+    * same k positions, all set — no false negatives); a new doc is
+    * dropped with probability ≤ fpp (a false positive discards good
+    * data, never corrupts the corpus). Exactness-critical ingest keeps
+    * the q46 semi-join; this is the cheap screen in front of it. A null
+    * text has a null digest, matches no history row, and passes as new.
     *
     * Returns `batch` rows whose text digest the filter does NOT contain
     * (the genuinely-new docs), original columns unchanged.
+    * `paramsOpt` overrides the (m, k) geometry (callers that already
+    * counted history — e.g. to stash an oracle mirror — avoid the
+    * internal count pass).
     */
   def bloomIncrementalDedup(history: DataFrame, batch: DataFrame,
                             textCol: String = "text",
-                            fpp: Double = 0.001): DataFrame = {
-    val digests = history.select(md5(col(textCol)).as("d"))
-    // the builder needs an expected-item count: one agg pass over
-    // history, paid once per filter build, never per batch
-    val expected = math.max(digests.count(), 1L)
-    val bloom = digests.stat.bloomFilter("d", expected, fpp)
-    // null-tolerant like the q46 digest semi-join: md5(NULL) is null,
-    // a null digest matches no history row, the doc passes as new —
-    // mightContain(null) would instead NPE the executor
-    val seen = udf((d: String) => d != null && bloom.mightContain(d))
-    batch.filter(!seen(md5(col(textCol))))
+                            fpp: Double = 0.001,
+                            paramsOpt: Option[(Long, Int)] = None)
+      : DataFrame = {
+    val packed = org.apache.spark.sql.graft.GraftExprBridge
+      .md5Halves(col(textCol))
+    def withHalves(df: DataFrame): DataFrame =
+      df.withColumn("__h1", shiftrightunsigned(packed, 28))
+        .withColumn("__h2", packed.bitwiseAND(lit((1L << 28) - 1)))
+    val hist = withHalves(history.select(col(textCol)))
+      .filter(col("__h1").isNotNull)
+    val (m, k) = paramsOpt.getOrElse(
+      bloomParams(hist.count(), fpp))
+    def pos(i: Int): Column =
+      pmod(col("__h1") + lit(i.toLong) * col("__h2"), lit(m))
+    // word index / bit mask in portable arithmetic: integer division via
+    // subtract-mod (exact in double well past any realistic m), mask via
+    // pow(2, bit) (exact for bit ≤ 31 — the reason for 32-bit slices)
+    def wordOf(p: Column): Column =
+      ((p - pmod(p, lit(32L))) / lit(32.0)).cast("long")
+    def maskOf(p: Column): Column =
+      pow(lit(2.0), pmod(p, lit(32L)).cast("double")).cast("long")
+    val words = hist
+      .select(explode(array((0 until k).map(pos): _*)).as("p"))
+      .groupBy(wordOf(col("p")).as("w"))
+      .agg(bit_or(maskOf(col("p"))).as("bits"))
+    val bw = broadcast(words)
+    var cur = withHalves(batch)
+    val seen = (0 until k).map { i =>
+      cur = cur.join(
+        bw.select(col("w").as(s"__w$i"), col("bits").as(s"__bits$i")),
+        wordOf(pos(i)) === col(s"__w$i"), "left")
+      coalesce(col(s"__bits$i"), lit(0L))
+        .bitwiseAND(maskOf(pos(i))) =!= lit(0L)
+    }.reduce(_ && _)
+    cur.filter(!coalesce(seen, lit(false)))
+      .drop(Seq("__h1", "__h2") ++
+        (0 until k).flatMap(i => Seq(s"__w$i", s"__bits$i")): _*)
   }
 
   /** MinHash signature: k hash functions via the Kirsch–Mitzenmacher

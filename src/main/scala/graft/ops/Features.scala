@@ -126,11 +126,15 @@ object Features {
     * per-group sort for the median and the Expand for exact distinct
     * counts are the two costs that grow with group size; at extreme group
     * cardinalities swap them for mergeable sketches —
-    * `approx_count_distinct` (HyperLogLog++, default rsd 5%) and
-    * `percentile_approx` (KLL-style). One ordinary hash aggregation, no
-    * sort, no Expand, fixed-size partial state per group. NOT oracle-
-    * comparable by construction; FeaturesSpec pins it to the exact
-    * operator within tolerance.
+    * `approx_count_distinct` (HyperLogLog++ at rsd 2% — 4096 registers,
+    * whose linear-counting regime keeps small/mid cardinalities near-
+    * exact; the default 5%'s small-range bias correction wobbled past
+    * ±2 on single-digit groups, observed at sf0.1) and `percentile_approx`
+    * (KLL-style). One ordinary hash aggregation, no sort, no Expand,
+    * fixed-size partial state per group. Sketch values are NOT oracle-
+    * comparable by construction; FeaturesSpec pins them to the exact
+    * operator within tolerance, and the q62 face hash-checks the
+    * documented error bounds as boolean flags.
     */
   def accountFeaturesApprox(edgesW: DataFrame,
                             grpCols: Seq[String] = Seq("wid")): DataFrame = {
@@ -148,7 +152,7 @@ object Features {
       val s = sum(w).cast("double")
       val s2 = sum(w * w).cast("double")
       Seq(
-        approx_count_distinct(when(cond, col("other")))
+        approx_count_distinct(when(cond, col("other")), 0.02)
           .as(s"unique_${pfx}_degree"),
         n.as(s"multi_${pfx}_degree"),
         coalesce(sum(w), lit(0L)).as(s"total_${pfx}_weight"),
@@ -162,6 +166,35 @@ object Features {
     val aggs = side(isOut = false, "in") ++ side(isOut = true, "out")
     sides.groupBy(g :+ col("account"): _*).agg(aggs.head, aggs.tail: _*)
       .select(g ++ (col("account") +: featureCols.map(col)): _*)
+  }
+
+  /** Per-window counts of feature PAIRS that are both non-zero on the same
+    * account (SURVEY P6 — the focus stage's candidate mask). One row per
+    * (wid, f1, f2) with f1 < f2.
+    *
+    * `feats` is one row per (wid, account) (the 12-feature table), so the
+    * ordered pairs are generated MAP-SIDE per row by array HOFs — collect
+    * the non-zero feature indices into an (ascending) array, then nested
+    * transform+slice emits each (f1, f2) with f1 < f2, ≤ 66 structs per
+    * row — and the only shuffle in the whole operator is the final
+    * (wid, f1, f2) groupBy (32-key-ish, tiny). The previous shape
+    * self-joined the melted (wid, account, fidx) table on (wid, account):
+    * two shuffles of corpus-scale melted rows for the same answer
+    * (round-8 verdict cleanup #3). Pinned single-shuffle in PlanAuditSpec.
+    */
+  def pairNonzeroCounts(feats: DataFrame): DataFrame = {
+    val nz = filter(
+      array(featureCols.zipWithIndex.map { case (c, i) =>
+        when(col(c).cast("double") =!= 0.0, lit(i))
+      }: _*),
+      x => x.isNotNull)
+    val pairs = flatten(transform(nz, (a, i) =>
+      transform(slice(nz, i + lit(2), size(nz) - i - lit(1)),
+        b => struct(a.as("f1"), b.as("f2")))))
+    feats.select(col("wid"), explode(pairs).as("p"))
+      .select(col("wid"), col("p.f1").as("f1"), col("p.f2").as("f2"))
+      .groupBy(col("wid"), col("f1"), col("f2"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** DuckDB oracle SQL for the same aggregation, given an `edges` CTE

@@ -135,6 +135,16 @@ def main():
             continue
         s_names, s_types, s_rows = norm_rows(spark_tbl)
         o_names, o_types, o_rows = norm_rows(ora)
+        # the DRIVER canonicalizes rows with pandas sort_values, which dies
+        # on list-typed cells (unhashable ndarray — q86, round 8). A local
+        # pass with a list column would be a replica/driver divergence:
+        # flag it here so the schema gets scalarized before the driver runs.
+        listy = [n for n, t in zip(s_names, s_types) if t.startswith("list<")]
+        if listy:
+            print(f"FAIL {name}: list-typed column(s) {listy} would crash "
+                  f"the driver's pandas sort — emit a scalar long form")
+            n_fail += 1
+            continue
         if s_names != o_names:
             print(f"FAIL {name}: schema {s_names} vs {o_names}")
             n_fail += 1
