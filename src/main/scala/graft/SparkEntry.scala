@@ -34,6 +34,80 @@ object SparkEntry {
 
   private val E = Tables.edgesSqlCte
 
+  /** `CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)` — the 28-bit md5
+    * draw `SmurfGen.h28` computes on the driver, as oracle SQL.
+    */
+  private def h28Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 7)) AS BIGINT)"
+
+  /** The full SmurfGen fold-generation CTE chain, mirrored in SQL: the
+    * tag-keyed md5 draws of `SmurfGen.generateFolds` (star src/dst/
+    * middles, noise-star radius/endpoints/middles, intermediary-
+    * interaction coins) regenerated in DuckDB over the same sorted
+    * client/bank universes, plus the q58 background coin and the base
+    * subgraph. Ends with `folded(mn, f, src, dst)` (pre-distinct) and
+    * `star` (whose (src, dst) are the planted labels).
+    */
+  private lazy val smurfGenSqlCtes: String = {
+    def tagS(suffix: String) = s"'sg|0|' || mn || '|' || f || '|$suffix'"
+    s"""WITH $E,
+       |bin AS (SELECT DISTINCT src, dst FROM edges
+       |        WHERE src <= 300 AND dst <= 300),
+       |cl AS (SELECT list(x ORDER BY x) AS cs
+       |       FROM (SELECT DISTINCT src AS x FROM bin)),
+       |bk AS (SELECT list(x ORDER BY x) AS bs
+       |       FROM (SELECT DISTINCT dst AS x FROM bin)),
+       |grid AS (SELECT mn, CAST(f AS INTEGER) AS f
+       |         FROM (SELECT unnest([10,20,30,40,50]) AS mn)
+       |         CROSS JOIN (SELECT unnest(range(0, 10)) AS f)),
+       |star AS (SELECT mn, f, cs, bs, len(cs) AS nc, len(bs) AS nb,
+       |    'sg|0|' || mn || '|' || f AS tg,
+       |    cs[(${h28Sql(tagS("s"))} % len(cs)) + 1] AS src,
+       |    cs[(${h28Sql(tagS("d"))} % len(cs)) + 1] AS dst,
+       |    1 + ${h28Sql(tagS("nn"))} % 5 AS nnoise
+       |  FROM grid CROSS JOIN cl CROSS JOIN bk),
+       |smid AS (SELECT mn, f, src, dst,
+       |    bs[(${h28Sql("tg || '|m|' || i")} % nb) + 1] AS mid
+       |  FROM star, unnest(range(0, mn)) AS u1(i)),
+       |noise AS (SELECT mn, f, tg, bs, nb, j,
+       |    CAST(${h28Sql("tg || '|n|' || j || '|r'")} % 11 AS INTEGER)
+       |      AS r,
+       |    list_filter(cs, c -> c != src AND c != dst) AS others
+       |  FROM star, unnest(range(0, nnoise)) AS u2(j)),
+       |noise2 AS (SELECT mn, f, tg, bs, nb, j, r,
+       |    greatest(mn + 5 - r, 0) AS mnj,
+       |    others[(${h28Sql("tg || '|n|' || j || '|s'")}
+       |      % len(others)) + 1] AS nsrc,
+       |    others[(${h28Sql("tg || '|n|' || j || '|d'")}
+       |      % len(others)) + 1] AS ndst
+       |  FROM noise),
+       |nmid AS (SELECT mn, f, tg, j, r, nsrc, ndst, i,
+       |    bs[(${h28Sql("tg || '|n|' || j || '|m|' || i")} % nb) + 1] AS nm
+       |  FROM noise2, unnest(range(0, mnj)) AS u3(i)),
+       |inter AS (SELECT x.mn, x.f, x.nm AS src, y.nm AS dst
+       |  FROM nmid x JOIN nmid y
+       |    ON x.mn = y.mn AND x.f = y.f AND x.j = y.j AND x.i != y.i
+       |  WHERE x.nm != y.nm
+       |    AND (1 + ${h28Sql(
+                 "x.tg || '|n|' || x.j || '|x|' || x.i || '|' || y.i")}
+       |      % 10) > x.r / 2.5 + 6.0),
+       |planted AS (
+       |  SELECT mn, f, src, mid AS dst FROM smid
+       |  UNION ALL SELECT mn, f, mid AS src, dst FROM smid
+       |  UNION ALL SELECT mn, f, nsrc AS src, nm AS dst FROM nmid
+       |  UNION ALL SELECT mn, f, nm AS src, ndst AS dst FROM nmid
+       |  UNION ALL SELECT mn, f, src, dst FROM inter),
+       |banks AS (SELECT DISTINCT dst AS b FROM bin),
+       |bg AS (SELECT a.b AS src, c.b AS dst
+       |  FROM banks a CROSS JOIN banks c
+       |  WHERE CAST(('0x' || substr(md5(a.b || '|' || c.b || '|bg|0'),
+       |    1, 15)) AS BIGINT) % 1000000 < 500),
+       |basebg AS (SELECT src, dst FROM bin UNION ALL SELECT src, dst FROM bg),
+       |folded AS (SELECT g.mn, g.f, e.src, e.dst
+       |  FROM grid g CROSS JOIN basebg e
+       |  UNION ALL SELECT mn, f, src, dst FROM planted)""".stripMargin
+  }
+
   /** q05's full oracle SQL — also the base relation of q55's unpivot. */
   private lazy val featuresByWindowSql: String =
     s"""WITH $E,
@@ -1148,7 +1222,11 @@ object SparkEntry {
         graft.sources.Sources.transCsv(s, tmp))
     }),
 
-    // ───── the ML pipelines (M1-M8; rows-only checks by design) ─────
+    // ───── the ML pipelines (M1-M8) ─────
+    // q31/q32/q34 are rows-only by design (RNG forest / driver greedy);
+    // q33/q38/q39 are HASH-CHECKED since round 9 — the tag-keyed md5
+    // derandomization (SmurfGen.generateFolds) lets the oracle regenerate
+    // the entire fold grid in DuckDB (smurfGenSqlCtes).
     "q31_aa_ar_change_scores" -> ((s, dir) => sharedChanges(s, dir)),
     "q32_smurf_order" -> ((s, dir) =>
       AaSmurf.run(s, smallGraph(s, dir), minCount = 3,
@@ -2595,7 +2673,43 @@ object SparkEntry {
          |SELECT a.b AS src, c.b AS dst
          |FROM banks a CROSS JOIN banks c
          |WHERE CAST(('0x' || substr(md5(a.b || '|' || c.b || '|bg|0'),
-         |  1, 15)) AS BIGINT) % 1000000 < 500""".stripMargin
+         |  1, 15)) AS BIGINT) % 1000000 < 500""".stripMargin,
+
+    // The full generator under the oracle (round-9): the whole fold
+    // grid — planted stars, noise stars, interaction coins, background,
+    // base — regenerated in DuckDB from the same tag-keyed md5 draws
+    // (smurfGenSqlCtes). Set-semantics via DISTINCT, as SmurfGen.run.
+    "q33_smurfgen_edges" ->
+      s"""$smurfGenSqlCtes
+         |SELECT DISTINCT mn AS middle_num, f AS fold, src, dst
+         |FROM folded""".stripMargin,
+
+    // the planted labels are the star CTE's (src, dst) per fold
+    "q38_smurfgen_labels" ->
+      s"""$smurfGenSqlCtes
+         |SELECT mn AS middle_num, f AS fold,
+         |       src AS label_src, dst AS label_dst
+         |FROM star""".stripMargin,
+
+    // the reference's own eval, engine-checked end-to-end: 2-hop mining
+    // (pair count ≥ 3) over the injected folds, recall of the label pair
+    "q39_smurf_recall" ->
+      s"""$smurfGenSqlCtes,
+         |inj AS (SELECT DISTINCT mn AS middle_num, f AS fold, src, dst
+         |        FROM folded),
+         |cand AS (SELECT x.middle_num, x.fold, x.src AS i, y.dst AS j,
+         |                count(*) AS cnt
+         |  FROM inj x JOIN inj y
+         |    ON x.middle_num = y.middle_num AND x.fold = y.fold
+         |   AND x.dst = y.src
+         |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
+         |SELECT s.mn AS middle_num, s.f AS fold,
+         |  CAST(max(CASE WHEN c.cnt IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS recalled
+         |FROM star s LEFT JOIN cand c
+         |  ON c.middle_num = s.mn AND c.fold = s.f
+         | AND c.i = s.src AND c.j = s.dst
+         |GROUP BY 1, 2""".stripMargin
   ) ++ ivfSqlEntries
 
   /** The q49 repetition-stat CTE chain for word n-grams of size `n`

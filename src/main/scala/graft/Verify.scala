@@ -36,6 +36,10 @@ object Verify {
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
           s"$name\n${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
       }
+      // the query's result is materialized — drop the operator-internal
+      // cache pins so a 90-query dump doesn't accumulate LSH/gram tables
+      // (memoized cross-query tables live in SparkEntry's dfMemo, not here)
+      graft.util.Pins.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

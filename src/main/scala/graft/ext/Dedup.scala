@@ -138,18 +138,14 @@ object Dedup {
           i * conv(substring(m, 8, 7), 16, 10).cast("long")
       })))
 
-  /** MinHash + LSH banding: signatures of k hashes split into `bands`
-    * bands of k/bands rows; docs sharing any band bucket are candidate
-    * near-duplicates. Returns candidate pairs (doc_a < doc_b) with their
-    * exact shingle-Jaccard similarity for verification — the LSH join
-    * itself never does n² work: it's a self-join keyed on
-    * (band_id, band_hash), and buckets larger than `maxBucket` docs are
-    * dropped before it (the mega-bucket gate — see the inline note).
+  /** The hashed-shingle table and the banded signature table the LSH
+    * pipeline is built from — shared by [[minhashLshPairs]] (the
+    * operator) and [[lshMegaBucketStats]] (the gate diagnostic).
+    * Returns (docSh(doc_id, h1, h2) — PINNED, banded(doc_id, band_id,
+    * band_hash)).
     */
-  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
-                      k: Int = 32, bands: Int = 8,
-                      minJaccard: Double = 0.5,
-                      maxBucket: Int = 64): DataFrame = {
+  private def lshBanded(docs: DataFrame, textCol: String,
+                        k: Int, bands: Int): (DataFrame, DataFrame) = {
     val rows = k / bands
     // Signature via explode + min-aggregation, NOT a nested
     // transform-over-shingles HOF: the nested form invites CollapseProject
@@ -180,7 +176,7 @@ object Dedup {
       .select(col("doc_id"),
         shiftrightunsigned(packed, 28).as("h1"),
         (packed bitwiseAND lit((1L << 28) - 1)).as("h2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val minCols = (0 until k).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     val sig = docSh.groupBy(col("doc_id"))
@@ -197,6 +193,43 @@ object Dedup {
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
         col("band.band_hash").as("band_hash"))
+    (docSh, banded)
+  }
+
+  /** Diagnostic companion to the mega-bucket gate (round-8 advice): per
+    * band, how many buckets exceed `maxBucket` — and are therefore
+    * silently dropped by [[minhashLshPairs]], recall-trading by design —
+    * plus the doc slots inside them. A corpus dominated by boilerplate
+    * shingles (every page sharing a header) lights up here long before
+    * the pair table looks suspiciously thin. Off the hot path: runs the
+    * signature pass independently when invoked.
+    */
+  def lshMegaBucketStats(docs: DataFrame, textCol: String = "text",
+                         k: Int = 32, bands: Int = 8,
+                         maxBucket: Int = 64): DataFrame = {
+    val (_, banded) = lshBanded(docs, textCol, k, bands)
+    banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > maxBucket)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_mega_buckets"),
+        sum(col("bc")).as("n_doc_slots"))
+  }
+
+  /** MinHash + LSH banding: signatures of k hashes split into `bands`
+    * bands of k/bands rows; docs sharing any band bucket are candidate
+    * near-duplicates. Returns candidate pairs (doc_a < doc_b) with their
+    * exact shingle-Jaccard similarity for verification — the LSH join
+    * itself never does n² work: it's a self-join keyed on
+    * (band_id, band_hash), and buckets larger than `maxBucket` docs are
+    * dropped before it (the mega-bucket gate — see the inline note;
+    * [[lshMegaBucketStats]] reports what the gate drops).
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
+                      k: Int = 32, bands: Int = 8,
+                      minJaccard: Double = 0.5,
+                      maxBucket: Int = 64): DataFrame = {
+    val (docSh, banded) = lshBanded(docs, textCol, k, bands)
     // Bucket-size gate BEFORE the self-join. Real corpora (and realistic
     // synthetics) have boilerplate-grade popular shingles; when one of
     // them draws a small hash, every doc containing it shares that band
@@ -222,7 +255,7 @@ object Dedup {
       .withColumn("bc", count(lit(1)).over(bcWin))
       .filter(col("bc").between(2, maxBucket))
       .drop("bc")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val cand = gated.select(col("doc_id").as("doc_a"), col("band_id"),
         col("band_hash"))
       .join(gated.select(col("doc_id").as("doc_b"), col("band_id"),
@@ -230,7 +263,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     // exact Jaccard from co-occurrence counts over the hashed shingle
     // rows restricted to candidates — per-candidate work only, no arrays
     // through any shuffle (shingles() already emits distinct shingles per
@@ -248,7 +281,7 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val candSh = docSh.join(candIds, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val sizes = candSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val inter = cand
@@ -346,7 +379,7 @@ object Dedup {
       .withColumn("bc", count(lit(1)).over(bcWin))
       .filter(col("bc").between(2, maxBucket))
       .drop("bc")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     gated.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
         col("band_id"), col("block"))
       .join(gated.select(col("doc_id").as("doc_b"),
@@ -392,7 +425,7 @@ object Dedup {
         .partitionBy(col("sh"))
       allSh.withColumn("__df", count(lit(1)).over(dfw))
         .filter(col("__df") <= maxDf).drop("__df")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).transform(graft.util.Pins.pin)
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
     val co = docSh.alias("x")
@@ -448,7 +481,7 @@ object Dedup {
         explode(array_distinct(
           TextOps.wordNgrams(col(textCol), winTokens))).as("win"))
       .select(col("doc_id"), xxhash64(col("win")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     // windows are distinct per doc, so the group count IS the doc count
     val shared = wins.groupBy(col("w"))
       .agg(count(lit(1)).as("nd"))
@@ -502,7 +535,7 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("win"))
       .withColumn("w", xxhash64(col("win")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val firsts = tiles.groupBy(col("w"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     val kept = tiles.join(firsts, "w")
@@ -551,7 +584,7 @@ object Dedup {
     // follows (collect here, or the checkpoint in distributedComponents)
     // would otherwise each evaluate the full upstream similarity pipeline
     // — the LSH self-join ran twice end-to-end before this.
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.transform(graft.util.Pins.pin)
     val nPairs = p.count()
     if (nPairs <= localThreshold) {
       val spark = pairs.sparkSession
@@ -702,7 +735,7 @@ object Dedup {
       .withColumn("c2c",
         (col("n2") + c2 - col("d2c")) /
           (lit(2.0) * sqrt(col("n2")) * sqrt(c2)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val x = assigned.select(col("vec_id").as("id_x"), col("v").as("v_x"),
       col("cell"), col("c2c").as("c_x"))
     val y = assigned.select(col("vec_id").as("id_y"), col("v").as("v_y"),

@@ -116,7 +116,7 @@ object TextOps {
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("n_t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val vocab = docTerm.groupBy(col("term"))
       .agg(sum(col("n_t")).as("freq"))
     val total = vocab.agg(sum(col("freq")).as("total"))
@@ -200,7 +200,7 @@ object TextOps {
       .filter(col("prev").isNotNull)
       .groupBy(col("doc_id"), col("prev"), col("term"))
       .agg(count(lit(1)).as("n_bt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val cbi = bc.groupBy(col("prev"), col("term"))
       .agg(sum(col("n_bt")).as("cb"))
     val cctx = cbi.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
@@ -307,7 +307,7 @@ object TextOps {
     val rk = graft.ops.GraphOps.withPosition(tf, "pos",
         col("freq").desc, col("term").asc)
       .withColumn("rnk", col("pos") + 1L).drop("pos")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val fit = rk.agg(
       (covar_pop(log(col("rnk")), log(col("freq"))) /
         var_pop(log(col("rnk")))).as("alpha"),
@@ -673,7 +673,7 @@ object TextOps {
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint")
           .as("gk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.Pins.pin)
     val nDistinct = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"))
     val nNovel = grams.groupBy(col("gk"))

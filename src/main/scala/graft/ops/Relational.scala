@@ -94,10 +94,21 @@ object Relational {
                    bucketSeconds: Long = 3600L): DataFrame = {
     val pb = points.withColumn("__b",
       floor(epochSeconds(points, pointTs) / bucketSeconds).cast("long"))
+    // least/greatest: a malformed (end < start) interval must not feed
+    // sequence() a reversed range — Spark would silently auto-step -1 and
+    // replicate the row anyway. The exact residual below already rejects
+    // its matches (no ts satisfies start ≤ ts ≤ end when start > end), so
+    // the guard only keeps the replication bounded, never changes output.
     val ib = intervals.withColumn("__b",
       explode(sequence(
-        floor(epochSeconds(intervals, startCol) / bucketSeconds).cast("long"),
-        floor(epochSeconds(intervals, endCol) / bucketSeconds).cast("long"))))
+        least(
+          floor(epochSeconds(intervals, startCol) / bucketSeconds),
+          floor(epochSeconds(intervals, endCol) / bucketSeconds))
+          .cast("long"),
+        greatest(
+          floor(epochSeconds(intervals, startCol) / bucketSeconds),
+          floor(epochSeconds(intervals, endCol) / bucketSeconds))
+          .cast("long"))))
     pb.join(ib, "__b")
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("__b")
@@ -127,20 +138,33 @@ object Relational {
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
                   right: DataFrame, rStart: String, rEnd: String,
                   bucketSeconds: Long = 3600L): DataFrame = {
+    // least/greatest on the bin range + explicit well-formedness residuals:
+    // without them a malformed (end < start) interval would make
+    // sequence() silently generate a DESCENDING range — the row still
+    // replicates — and the overlap predicate alone does not imply
+    // well-formedness, so such a row could emit pairs. A reversed interval
+    // is empty: it matches nothing (round-8 advice).
     val lb = left
       .withColumn("__b0l",
         floor(epochSeconds(left, lStart) / bucketSeconds).cast("long"))
-      .withColumn("__b", explode(sequence(col("__b0l"),
-        floor(epochSeconds(left, lEnd) / bucketSeconds).cast("long"))))
+      .withColumn("__bel",
+        floor(epochSeconds(left, lEnd) / bucketSeconds).cast("long"))
+      .withColumn("__b", explode(sequence(
+        least(col("__b0l"), col("__bel")),
+        greatest(col("__b0l"), col("__bel")))))
     val rb = right
       .withColumn("__b0r",
         floor(epochSeconds(right, rStart) / bucketSeconds).cast("long"))
-      .withColumn("__b", explode(sequence(col("__b0r"),
-        floor(epochSeconds(right, rEnd) / bucketSeconds).cast("long"))))
+      .withColumn("__ber",
+        floor(epochSeconds(right, rEnd) / bucketSeconds).cast("long"))
+      .withColumn("__b", explode(sequence(
+        least(col("__b0r"), col("__ber")),
+        greatest(col("__b0r"), col("__ber")))))
     lb.join(rb, "__b")
       .filter(col("__b") === greatest(col("__b0l"), col("__b0r")))
+      .filter(col(lStart) <= col(lEnd) && col(rStart) <= col(rEnd))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .drop("__b", "__b0l", "__b0r")
+      .drop("__b", "__b0l", "__bel", "__b0r", "__ber")
   }
 
   /** Epoch seconds of a time-like column, whatever dtype the scan shipped.

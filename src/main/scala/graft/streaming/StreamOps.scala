@@ -255,6 +255,12 @@ object StreamOps {
                             bucketSeconds: Long = 3600L,
                             watermark: String = "1 hour"): DataFrame = {
     import graft.ops.Relational.epochSeconds
+    // loud contract, not a silent truncation: a non-divisible combination
+    // would clamp the replication one bin off the stated start+max horizon
+    // (round-8 advice — the repo's no-silent-caps discipline)
+    require(maxIntervalSeconds % bucketSeconds == 0,
+      s"maxIntervalSeconds ($maxIntervalSeconds) must be a multiple of " +
+        s"bucketSeconds ($bucketSeconds)")
     val pw = points.withWatermark(pointTs, watermark)
     val pb = pw.withColumn("__pb",
       floor(epochSeconds(pw, pointTs) / bucketSeconds).cast("long"))
@@ -305,6 +311,10 @@ object StreamOps {
                            bucketSeconds: Long = 3600L,
                            watermark: String = "1 hour"): DataFrame = {
     import graft.ops.Relational.epochSeconds
+    // same divisibility contract as streamingIntervalJoin (see there)
+    require(maxIntervalSeconds % bucketSeconds == 0,
+      s"maxIntervalSeconds ($maxIntervalSeconds) must be a multiple of " +
+        s"bucketSeconds ($bucketSeconds)")
     val maxBins = maxIntervalSeconds / bucketSeconds + 1L
     val lw = left.withWatermark(lStart, watermark)
     val lb = lw

@@ -105,10 +105,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("approx feature mode: one shuffle, no Expand, no sort-window pass") {
-    // the documented trade-off of q62: HLL++/KLL sketch state instead of
-    // the exact path's sort-window median and distinct Expand — the plan
-    // must show exactly the fixed-state single-aggregation shape
-    val p = staticPlan(SparkEntry.queries("q62_features_approx")(spark, dir))
+    // the documented trade-off of the approx OPERATOR (the q62 face joins
+    // it against the exact operator to compute its bounded-error flags,
+    // so the face's plan legitimately contains the exact side's window
+    // pass — the fixed-state shape is pinned on the operator itself):
+    // HLL++/KLL sketch state instead of the exact path's sort-window
+    // median and distinct Expand — the plan must show exactly the
+    // fixed-state single-aggregation shape
+    val p = staticPlan(ops.Features.accountFeaturesApprox(
+      ops.Windows.withWindowId(model.Tables.edges(spark, dir), 14, 7)))
     val expands = p.collect {
       case e: org.apache.spark.sql.execution.ExpandExec => e
     }
@@ -121,6 +126,24 @@ class PlanAuditSpec extends SparkSpec {
     // edge-derivation join's own exchanges at most)
     assert(shuffles(p).size <= 3,
       s"approx aggregation shuffle count regressed: ${shuffles(p).size}")
+  }
+
+  test("pair-nonzero counts: map-side pair explosion, exactly one shuffle") {
+    // q55's round-9 rewrite (Features.pairNonzeroCounts): ordered feature
+    // pairs are generated per row by array HOFs, so the only exchange in
+    // the operator is the final (wid, f1, f2) aggregation — the previous
+    // melted self-join paid two corpus-scale shuffles (round-8 verdict #3)
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val feats = (0L until 8L).map(i => (i % 3, i))
+      .toDF("wid", "account")
+    val wide = ops.Features.featureCols.zipWithIndex.foldLeft(feats) {
+      case (df, (c, i)) => df.withColumn(c, lit(i % 2))
+    }
+    val p = staticPlan(ops.Features.pairNonzeroCounts(wide))
+    assert(shuffles(p).size == 1,
+      s"pair-nonzero must shuffle once (the final groupBy): ${shuffles(p)}")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
   test("contamination query prunes both document scans to (doc_id, text)") {
