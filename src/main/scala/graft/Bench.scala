@@ -79,9 +79,17 @@ object Bench {
         val body = try txt.mkString finally txt.close()
         // floors only compare same-scale runs: an sf0.1 artifact is no
         // reference for an sf0.001 smoke (every query legitimately 10-100×
-        // apart) — fall back to the intra-run heuristic instead
-        if (!body.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-        else """"(q[0-9A-Za-z_]+)":\s*([0-9][0-9.Ee+-]*)""".r
+        // apart) — fall back to the intra-run heuristic instead.
+        // Both patterns tolerate an optional backslash before the quotes:
+        // the driver's BENCH_r*.json wraps this main's output line as a
+        // JSON-ESCAPED "tail" string (\"q45\":2.57), which the unescaped
+        // patterns silently never matched (found round 9) — cross-round
+        // floors were falling back to the intra-run heuristic every round.
+        val sfOk = ("\"sf\\\\?\":\\\\?\"" +
+          java.util.regex.Pattern.quote(sfDir) + "\\\\?\"").r
+          .findFirstIn(body).isDefined
+        if (!sfOk) Map.empty
+        else """\\?"(q[0-9A-Za-z_]+)\\?":\s*([0-9][0-9.Ee+-]*)""".r
           .findAllMatchIn(body).toSeq.groupBy(_.group(1))
           .map { case (k, ms) => k -> ms.map(_.group(2).toDouble).min }
       }

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Throughput record for the five streaming twins (dev tool, run
+  * manually; results recorded in README): each twin drains a synthetic
+  * parquet-backed stream under `Trigger.AvailableNow` and reports
+  * input-rows/second wall-clock — the round-over-round signal that a
+  * regression in the watermark/state-store paths (a state key explosion,
+  * a lost pruning condition) would move immediately, which spec-level
+  * correctness tests cannot see.
+  *
+  * Volumes are sized ~100× the sf0.1 bench tables so per-event state
+  * work dominates fixed startup. Inputs are deterministic id arithmetic
+  * (no RNG); out-of-order arrival inside the watermark horizon is part
+  * of each synthesis (ts jitter by id hash) so the stateful paths do
+  * real work rather than fast-path appends.
+  *
+  * Prints one JSON line: per twin, input rows, output rows, seconds,
+  * rows/sec.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sbench")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    def dir(name: String): String = root.resolve(name).toString
+
+    // deterministic ts: base + id-derived offset with hash jitter, so
+    // arrivals are out of order within the watermark horizon
+    def tsOf(idCol: org.apache.spark.sql.Column, spreadSec: Long) =
+      timestamp_seconds(lit(1600000000L) +
+        pmod(xxhash64(idCol), lit(spreadSec)))
+
+    def writeIn(name: String, df: DataFrame): (String, org.apache.spark.sql.types.StructType) = {
+      val p = dir(name)
+      df.repartition(32).write.mode("overwrite").parquet(p)
+      (p, spark.read.parquet(p).schema)
+    }
+
+    /** Drain `build(readStream)` with AvailableNow; return (outRows, sec). */
+    def drain(name: String, inPath: String,
+              schema: org.apache.spark.sql.types.StructType,
+              build: DataFrame => DataFrame): (Long, Double) = {
+      val in = spark.readStream.schema(schema).parquet(inPath)
+      var out = 0L
+      val t0 = System.nanoTime()
+      val q = build(in).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", dir(s"$name-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) => out += b.count(); () }
+        .start()
+      q.awaitTermination()
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def record(name: String, nIn: Long, outSec: (Long, Double)): Unit = {
+      val (nOut, sec) = outSec
+      results(name) = s"""{"rows_in":$nIn,"rows_out":$nOut,""" +
+        s""""sec":${math.round(sec * 1000) / 1000.0},""" +
+        s""""rows_per_sec":${math.round(nIn / sec)}}"""
+    }
+
+    // 1. streamingDedup — 500k rows, 20 % re-delivered keys
+    val nDedup = 500000L
+    val (dedupP, dedupS) = writeIn("dedup-in",
+      spark.range(nDedup).select(
+        md5(pmod(col("id"), lit((nDedup * 4) / 5)).cast("string"))
+          .as("text_hash"),
+        tsOf(col("id"), 3000L).as("ts")))
+    record("dedup", nDedup,
+      drain("dedup", dedupP, dedupS, StreamOps.streamingDedup(_)))
+
+    // 2. streamingNearDupCandidates — 100k short docs, 10 % near-dups
+    //    (k=8 HOF signature per event is the CPU knob)
+    val nNd = 100000L
+    val (ndP, ndS) = writeIn("neardup-in",
+      spark.range(nNd).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), p =>
+          concat(lit("w"), pmod(xxhash64(
+            pmod(col("id"), lit((nNd * 9) / 10)) * 100 + p), lit(5000L)))))
+          .as("text"),
+        tsOf(col("id"), 3000L).as("ts")))
+    record("neardup_cands", nNd,
+      drain("neardup", ndP, ndS,
+        in => StreamOps.streamingNearDupCandidates(in).toDF))
+
+    // 3. streamingAsof — 200k points + 50k updates over 1000 keys
+    val nPts = 200000L; val nUpd = 50000L
+    val (asofPp, asofPs) = writeIn("asof-pts",
+      spark.range(nPts).select(pmod(col("id"), lit(1000L)).as("key"),
+        tsOf(col("id"), 3000L).as("ts")))
+    val (asofUp, asofUs) = writeIn("asof-upd",
+      spark.range(nUpd).select(pmod(col("id"), lit(1000L)).as("key"),
+        tsOf(col("id") + 7L, 3000L).as("ts"),
+        (col("id") % 97L).cast("double").as("value")))
+    record("asof", nPts + nUpd, {
+      val upd = spark.readStream.schema(asofUs).parquet(asofUp)
+      drain("asof", asofPp, asofPs,
+        pts => StreamOps.streamingAsof(pts, upd).toDF)
+    })
+
+    // 4. streamingIntervalJoin — 500k points × 50k intervals over a
+    //    2.4M-second horizon: pair density ~0.2 points/sec × ~300 s mean
+    //    interval ≈ 3M output pairs (a DENSE horizon instead would make
+    //    the run measure output materialization, not the join path — the
+    //    first draft of this harness emitted 2.5e9 pairs)
+    val nIp = 500000L; val nIv = 50000L
+    val horizon = 2400000L
+    val (ivpP, ivpS) = writeIn("ivl-pts",
+      spark.range(nIp).select(col("id").as("pid"),
+        tsOf(col("id"), horizon).as("ts")))
+    val (ivvP, ivvS) = writeIn("ivl-ivs",
+      spark.range(nIv).select(col("id").as("iid"),
+        tsOf(col("id") * 3L, horizon).as("s0"),
+        timestamp_seconds(
+          unix_timestamp(tsOf(col("id") * 3L, horizon)) +
+            pmod(col("id"), lit(600L))).as("s1")))
+    record("interval_join", nIp + nIv, {
+      val ivs = spark.readStream.schema(ivvS).parquet(ivvP)
+      drain("ivl", ivpP, ivpS,
+        pts => StreamOps.streamingIntervalJoin(pts, "ts", ivs, "s0", "s1",
+          maxIntervalSeconds = 600L, bucketSeconds = 600L,
+          watermark = "30 minutes"))
+    })
+
+    // 5. streamingOverlapJoin — 200k left × 20k right intervals over the
+    //    same sparse horizon (~1M output pairs)
+    val nL = 200000L; val nR = 20000L
+    def ivTable(n: Long, salt: Long, pfx: String) =
+      spark.range(n).select(col("id").as(s"${pfx}id"),
+        tsOf(col("id") + salt, horizon).as(s"${pfx}0"),
+        timestamp_seconds(
+          unix_timestamp(tsOf(col("id") + salt, horizon)) +
+            pmod(col("id"), lit(300L))).as(s"${pfx}1"))
+    val (ovlLp, ovlLs) = writeIn("ovl-l", ivTable(nL, 0L, "l"))
+    val (ovlRp, ovlRs) = writeIn("ovl-r", ivTable(nR, 13L, "r"))
+    record("overlap_join", nL + nR, {
+      val r = spark.readStream.schema(ovlRs).parquet(ovlRp)
+      drain("ovl", ovlLp, ovlLs,
+        l => StreamOps.streamingOverlapJoin(l, "l0", "l1", r, "r0", "r1",
+          maxIntervalSeconds = 600L, bucketSeconds = 600L,
+          watermark = "30 minutes"))
+    })
+
+    println(results.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
