@@ -173,25 +173,29 @@ object Features {
     * (wid, f1, f2) with f1 < f2.
     *
     * `feats` is one row per (wid, account) (the 12-feature table), so the
-    * ordered pairs are generated MAP-SIDE per row by array HOFs — collect
-    * the non-zero feature indices into an (ascending) array, then nested
-    * transform+slice emits each (f1, f2) with f1 < f2, ≤ 66 structs per
-    * row — and the only shuffle in the whole operator is the final
-    * (wid, f1, f2) groupBy (32-key-ish, tiny). The previous shape
-    * self-joined the melted (wid, account, fidx) table on (wid, account):
-    * two shuffles of corpus-scale melted rows for the same answer
-    * (round-8 verdict cleanup #3). Pinned single-shuffle in PlanAuditSpec.
+    * ordered pairs are generated MAP-SIDE per row: the 66 static index
+    * pairs (i < j over 12 features) are a flat array of cheap
+    * `when(cᵢ≠0 AND cⱼ≠0, struct(i, j))` terms over PLAIN column
+    * references, null-filtered and exploded — and the only shuffle in
+    * the whole operator is the final (wid, f1, f2) groupBy (tiny key
+    * space). The previous shape self-joined the melted (wid, account,
+    * fidx) table on (wid, account): two shuffles of corpus-scale melted
+    * rows for the same answer (round-8 verdict cleanup #3). NOT a nested
+    * transform-over-a-derived-array HOF: that form re-evaluates the
+    * derived array expression per outer lambda element (the same
+    * CollapseProject trap as the LSH signature — measured 2.5× SLOWER
+    * than the join it replaced at sf0.1). Pinned single-shuffle in
+    * PlanAuditSpec.
     */
   def pairNonzeroCounts(feats: DataFrame): DataFrame = {
-    val nz = filter(
-      array(featureCols.zipWithIndex.map { case (c, i) =>
-        when(col(c).cast("double") =!= 0.0, lit(i))
-      }: _*),
-      x => x.isNotNull)
-    val pairs = flatten(transform(nz, (a, i) =>
-      transform(slice(nz, i + lit(2), size(nz) - i - lit(1)),
-        b => struct(a.as("f1"), b.as("f2")))))
-    feats.select(col("wid"), explode(pairs).as("p"))
+    val cs = featureCols.map(c => col(c).cast("double"))
+    val pairs = for {
+      i <- featureCols.indices
+      j <- featureCols.indices if i < j
+    } yield when(cs(i) =!= 0.0 && cs(j) =!= 0.0,
+      struct(lit(i).as("f1"), lit(j).as("f2")))
+    feats.select(col("wid"),
+        explode(filter(array(pairs: _*), x => x.isNotNull)).as("p"))
       .select(col("wid"), col("p.f1").as("f1"), col("p.f2").as("f2"))
       .groupBy(col("wid"), col("f1"), col("f2"))
       .agg(count(lit(1)).as("cnt"))

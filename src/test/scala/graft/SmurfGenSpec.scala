@@ -47,6 +47,15 @@ class SmurfGenSpec extends SparkSpec {
     }
   }
 
+  test("h28 equals the oracle's md5-hex-prefix BIGINT (DuckDB goldens)") {
+    // the exact values CAST(('0x' || substr(md5(tag), 1, 7)) AS BIGINT)
+    // yields in DuckDB — the tag-keyed draw and its SQL mirror must agree
+    // on every byte or the q33/q38/q39 hash gate goes red
+    assert(SmurfGen.h28("sg|0|10|0|s") == 66625135L)
+    assert(SmurfGen.h28("sg|0|50|9|n|4|x|54|53") == 40816510L)
+    assert(SmurfGen.h28("a") == 13375323L)
+  }
+
   test("ppmThreshold rounds, matching the q58 oracle's integer threshold") {
     // 1.0-0.9995 = 4.999…e-4 in double; truncation would give 499 and
     // silently drop pairs whose md5 ppm coin is exactly 499 — diverging
