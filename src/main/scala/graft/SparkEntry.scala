@@ -375,9 +375,15 @@ object SparkEntry {
     // rsd 0.05, plus an absolute floor because HLL++'s small-cardinality
     // bias correction can be off by a count or two where 15% of a
     // single-digit group is less than one), approx medians within 2× of
-    // the interpolating exact median (an actual sample element between
-    // min and max of a non-negative group can never deviate more, so the
-    // bound is a theorem, not a tuning).
+    // the interpolating exact median. The 2× bound is a theorem ONLY in
+    // percentile_approx's exact regime — groups no larger than its
+    // pinned accuracy (10000, Features.ApproxMedianAccuracy), where the
+    // sketch returns one of the two middle order statistics of a
+    // non-negative group and (b−a)/(a+b) ≤ 1. Past that size the KLL
+    // rank error makes the bound empirical (a heavy-tailed group could
+    // return an element >2× the interpolating median); window group
+    // sizes here are hundreds of rows, deep inside the regime, and
+    // FeaturesSpec pins the boundary behaviour on both sides.
     // The oracle recomputes the exact columns and asserts the flags TRUE:
     // any sketch excursion past its bound goes red in the driver gate.
     "q62_features_approx" -> ((s, dir) => {

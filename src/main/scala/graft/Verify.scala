@@ -25,21 +25,24 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(p => only(p._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // a failed query must go RED, not vanish: leave a marker the
-        // correctness gate can surface as an err row (r07: q81's failure
-        // was invisible — absent from CORRECTNESS_r07.json entirely)
-        new java.io.File(s"$outDir/$name").mkdirs()
-        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
-          s"$name\n${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+      // per-query pin scope: the query's result is materialized by the
+      // write, then the operator-internal cache pins it registered drop
+      // at scope exit, so a 90-query dump doesn't accumulate LSH/gram
+      // tables (memoized cross-query tables live in SparkEntry's dfMemo,
+      // not here)
+      graft.util.Pins.scoped {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a failed query must go RED, not vanish: leave a marker the
+          // correctness gate can surface as an err row (r07: q81's
+          // failure was invisible — absent from CORRECTNESS_r07.json)
+          new java.io.File(s"$outDir/$name").mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+            s"$name\n${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+        }
       }
-      // the query's result is materialized — drop the operator-internal
-      // cache pins so a 90-query dump doesn't accumulate LSH/gram tables
-      // (memoized cross-query tables live in SparkEntry's dfMemo, not here)
-      graft.util.Pins.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

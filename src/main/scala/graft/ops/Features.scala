@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** percentile_approx sketch accuracy for the approximate feature mode:
+    * groups up to this size are in the sketch's EXACT regime (the q62
+    * ok_median_* 2× flag bound is a theorem there, empirical beyond).
+    */
+  val ApproxMedianAccuracy: Int = 10000
+
   val featureCols: Seq[String] = Seq(
     "unique_in_degree", "multi_in_degree",
     "unique_out_degree", "multi_out_degree",
@@ -158,8 +164,18 @@ object Features {
         coalesce(sum(w), lit(0L)).as(s"total_${pfx}_weight"),
         when(n > 0, s / n.cast("double")).otherwise(lit(0.0))
           .as(s"mean_${pfx}_weight"),
-        coalesce(percentile_approx(w, lit(0.5), lit(10000)).cast("double"),
-          lit(0.0)).as(s"median_${pfx}_weight"),
+        // accuracy pinned at ApproxMedianAccuracy: for group sizes up to
+        // it the KLL sketch is in its EXACT regime — it returns one of
+        // the two middle order statistics, so for non-negative weights
+        // the returned element is within 2× of the interpolating median
+        // ((b−a)/(a+b) ≤ 1), the bound q62's ok_median_* flags check.
+        // Past that group size the rank-error guarantee (~1/accuracy)
+        // takes over and the 2× value bound is empirical, not a theorem
+        // — raise the accuracy with the max group size if a deployment
+        // needs the flag contract at larger groups (state is
+        // O(accuracy) doubles per group either way).
+        coalesce(percentile_approx(w, lit(0.5), lit(ApproxMedianAccuracy))
+          .cast("double"), lit(0.0)).as(s"median_${pfx}_weight"),
         when(n > 0, (s2 - s * s / n.cast("double")) / n.cast("double"))
           .otherwise(lit(0.0)).as(s"var_${pfx}_weight"))
     }

@@ -91,6 +91,38 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("approx-median 2x bound: a theorem inside the exact regime " +
+    "(group size <= pinned accuracy), empirically violable beyond it") {
+    import org.apache.spark.sql.functions.expr
+    // adversarial heavy-tailed non-negative group, odd n = 1001:
+    // sorted values are 501 ones then 500 millions, so the interpolating
+    // median is the middle order statistic v[500] = 1 and ANY rank slip
+    // past the cliff returns 1e6 — a 1e6x value error. Descending
+    // insertion order + a pinned 4-slice partitioning make the sketch
+    // merge deterministic, so both sides of the boundary are exact
+    // assertions, not flaky ones.
+    val vals = (Seq.fill(500)(1000000L) ++ Seq.fill(501)(1L)).toList
+    val df = spark.sparkContext.parallelize(vals, 4).toDF("w")
+    def approxMed(acc: Int): Double = df
+      .agg(expr(s"percentile_approx(w, 0.5, $acc)").cast("double"))
+      .head().getDouble(0)
+    val exactMed = 1.0
+    // exact regime: group size (1001) <= accuracy (10000, the operator's
+    // pinned value) — the sketch returns the middle order statistic, so
+    // the q62 ok_median_* 2x flag bound holds even on this cliff
+    val inRegime = approxMed(Features.ApproxMedianAccuracy)
+    assert(inRegime == exactMed)
+    assert(math.abs(inRegime - exactMed) / exactMed <= 1.0)
+    // beyond the regime: same data, accuracy 5 << group size — the
+    // ~n/accuracy rank error walks off the cliff and the returned
+    // element violates the 2x value bound by orders of magnitude.
+    // This is WHY the operator pins accuracy and the q62 contract is
+    // conditional on group size (Features.scala ApproxMedianAccuracy).
+    val outRegime = approxMed(5)
+    assert(math.abs(outRegime - exactMed) / exactMed > 1.0,
+      s"expected a 2x-bound violation outside the regime, got $outRegime")
+  }
+
   test("windowed variant groups by (wid, account)") {
     val e = Seq((1L, 2L, 10L, 0L), (1L, 2L, 30L, 20L))
       .toDF("src", "dst", "weight", "ts")

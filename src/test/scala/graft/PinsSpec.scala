@@ -40,4 +40,31 @@ class PinsSpec extends SparkSpec {
       "second pass should re-pin the same number of intermediates")
     graft.util.Pins.release()
   }
+
+  test("scoped passes are isolated: a release in one pass cannot " +
+    "unpersist another pass's pins (round-9 advice)") {
+    graft.util.Pins.release()
+    val outer = Seq((1L, "outer")).toDF("id", "v")
+      .transform(graft.util.Pins.pin) // root-scope pin
+    val (innerDf, innerSizeDuring) = graft.util.Pins.scoped {
+      val d = Seq((2L, "inner")).toDF("id", "v")
+        .transform(graft.util.Pins.pin)
+      d.count()
+      // a concurrent pass calling release() — here simulated from
+      // another thread sitting in the ROOT scope — must not drop this
+      // scope's pin
+      val t = new Thread(() => graft.util.Pins.release())
+      t.start(); t.join()
+      assert(d.storageLevel != StorageLevel.NONE,
+        "root release must not unpersist a scoped pin")
+      (d, graft.util.Pins.size)
+    }
+    assert(innerSizeDuring == 1)
+    // the other thread's root release dropped the root pin only
+    assert(outer.storageLevel == StorageLevel.NONE)
+    // scope exit released the inner pin
+    assert(innerDf.storageLevel == StorageLevel.NONE)
+    assert(graft.util.Pins.size == 0)
+    graft.util.Pins.release()
+  }
 }
