@@ -68,14 +68,22 @@ object Bench {
     // stay in the JSON: `queries`/`warm_queries` keep the raw passes,
     // `floors` carries the re-timed values, and `floor_value` is the
     // totals over per-query min(cold, warm, floor).
-    val prevFloor: Map[String, Double] = {
-      val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      if (fs.isEmpty) Map.empty
+    // Floor sources, per-query min over all three:
+    //   (a) BENCH_LOCAL.json — this main's own full-line persistence from
+    //       the previous round (never truncated);
+    //   (b) the newest driver BENCH_r*.json (its "tail" capture truncates:
+    //       r10's tail kept exactly ONE cold number — a co-tenant-inflated
+    //       53.4 s for q50 vs its real 0.8 s floor — which, as the only
+    //       surviving source, would have raised q50's re-probe trigger to
+    //       ~107 s for a round);
+    //   (c) BASELINE.md's curated per-query floor table (sf0.1 only —
+    //       that's the scale it records).
+    // A stale-low floor only costs an extra re-probe pass for that query;
+    // a polluted-high floor silently disarms the 2× gate — so min.
+    def harvestBenchJson(file: java.io.File): Map[String, Double] =
+      if (!file.isFile) Map.empty
       else {
-        val latest = fs.maxBy(f =>
-          "\\d+".r.findFirstIn(f.getName).getOrElse("0").toInt)
-        val txt = scala.io.Source.fromFile(latest)
+        val txt = scala.io.Source.fromFile(file)
         val body = try txt.mkString finally txt.close()
         // floors only compare same-scale runs: an sf0.1 artifact is no
         // reference for an sf0.001 smoke (every query legitimately 10-100×
@@ -102,7 +110,31 @@ object Bench {
           .groupBy(_.group(1))
           .map { case (k, ms) => k -> ms.map(_.group(2).toDouble).min }
       }
+    val newestDriver: Map[String, Double] = {
+      val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (fs.isEmpty) Map.empty
+      else harvestBenchJson(fs.maxBy(f =>
+        "\\d+".r.findFirstIn(f.getName).getOrElse("0").toInt))
     }
+    val localPrev = harvestBenchJson(new java.io.File("BENCH_LOCAL.json"))
+    val baselineFloors: Map[String, Double] = {
+      val f = new java.io.File("BASELINE.md")
+      if (!f.isFile || !sfDir.contains("sf0.1")) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f)
+        val body = try txt.mkString finally txt.close()
+        """\|\s*(q[0-9A-Za-z_]+)\s*\|\s*([0-9][0-9.]*)\s*(?=\|)""".r
+          .findAllMatchIn(body).toSeq.groupBy(_.group(1))
+          .map { case (k, ms) => k -> ms.map(_.group(2).toDouble).min }
+      }
+    }
+    val prevFloor: Map[String, Double] =
+      (newestDriver.keySet ++ localPrev.keySet ++ baselineFloors.keySet)
+        .map { k =>
+          k -> Seq(newestDriver.get(k), localPrev.get(k),
+            baselineFloors.get(k)).flatten.min
+        }.toMap
     val coldMap = cold.toMap
     val warmMap = warm.toMap
     // re-probe at >2× prior floor — the BINDING driver gate, not a looser
@@ -137,7 +169,16 @@ object Bench {
     val errs = errors.keys.map(jq).mkString("[", ",", "]")
     val errMsgs = errors
       .map { case (k, m) => s"${jq(k)}:${jq(m)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"best_value":$bestTotal,"floors":${fmt(floors)},"floor_value":$floorTotal,"errors":$errs,"error_messages":$errMsgs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$coldTotal,"unit":"sec","queries":${fmt(cold)},"warm_value":$warmTotal,"warm_queries":${fmt(warm)},"best_value":$bestTotal,"floors":${fmt(floors)},"floor_value":$floorTotal,"errors":$errs,"error_messages":$errMsgs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // persist the FULL line locally (never truncated): the driver's
+    // BENCH_r*.json wraps a 2.2 KB tail of this output, and r10's tail cut
+    // the cold queries map mid-entry — cross-round floors must not depend
+    // on what survives someone else's truncation. sf0.1 runs only: a dev
+    // smoke at another scale must not shadow the bench-scale record.
+    if (sfDir.contains("sf0.1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     // totals-only line LAST: the full line above leads with the totals and
     // r03's artifact lost them to tail truncation — any tail capture of
     // this output keeps all the totals + the error list

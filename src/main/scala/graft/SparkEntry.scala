@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.algo.{AaAr, AaSmurf, SmurfGen}
+import graft.algo.{AaAr, AaSmurf, IForestSql, SmurfGen}
 import graft.ext.{Dedup, Multimodal, Quantize, SimSearch, TextOps}
 import graft.ml.LogReg
 import graft.functions.RollingHash.rolling_hash
@@ -201,12 +201,21 @@ object SparkEntry {
     d.toString
   }
 
-  /** Focus-score table (windowSize 28), shared by q31 + q34. */
+  /** Focus-score table (windowSize 28), shared by q31 + q34 + q45.
+    * numTrees 24 (reference default 100, earlier rounds 50): since round
+    * 11 the ENTIRE forest regenerates inside the DuckDB oracle (tag-keyed
+    * md5 draws — IForestSql), and the oracle replays groups × trees ×
+    * ψ subsample rows through ⌈log2 ψ⌉ unrolled levels; 24 trees keeps
+    * that mirror inside the gate's time budget while staying a real
+    * ensemble (score sd ≈ the 50-tree fit's at the 2-dp face rounding).
+    */
   private def sharedFocus(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"focus:$dir") {
       AaAr.focusScores(Features.accountFeaturesByWindow(
-        Windows.withWindowId(edges(s, dir), 28, 14)), numTrees = 50)
+        Windows.withWindowId(edges(s, dir), 28, 14)),
+        numTrees = SharedFocusTrees)
     }
+  private[graft] val SharedFocusTrees = 24
 
   /** Change-score series over the shared focus table (q31's result),
     * also consumed by q45's attention routing.
@@ -1050,7 +1059,7 @@ object SparkEntry {
       val g = edges(s, dir)
         .groupBy(col("src").as("account"),
           (col("ts") % 7).cast("int").as("pid"))
-        .agg(sum(col("weight")).cast("double").as("s"))
+        .agg(sum(col("weight")).as("s"))
       def coin(c1: Column, seed: String) =
         org.apache.spark.sql.graft.GraftExprBridge.md5Ppm(
           concat_ws("|", c1, col("ski"), lit(seed)))
@@ -1063,7 +1072,7 @@ object SparkEntry {
         .select(col("ski"), col("pid"))
       val cells = g.join(asel, "account").join(csel, Seq("ski", "pid"))
         .select(col("ski"), col("account"), col("pid"), col("s"))
-        .as[(Int, Long, Int, Double)]
+        .as[(Int, Long, Int, Long)]
       csel.select(col("ski"), col("pid")).as[(Int, Int)].groupByKey(_._1)
         .cogroup(cells.groupByKey(_._1)) { (ski, cs, rs) =>
           val cand = cs.map(_._2).toArray.sorted
@@ -1297,6 +1306,17 @@ object SparkEntry {
       .mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
+    // ───── the flagship AA-AR pipeline, forest and all (round 11) ─────
+    // The oracle REGENERATES the derandomized isolation forests (tag-keyed
+    // md5 draws, quantized coords, ppm path lengths — IForestSql scaladoc)
+    // level-by-level in DuckDB, then replays the sketch stage (ppm-integer
+    // sums, unrolled greedy) and the 100-step power-iteration direction,
+    // so the paper's core pipeline (AA-AR.py:69-94 → :234-241 → :252-266)
+    // is hash-checked end-to-end. Static SQL — no stashed literals needed:
+    // the fit is a pure function of the tables.
+    "q34_focus_scores" -> IForestSql.q34Sql(trees = SharedFocusTrees),
+    "q31_aa_ar_change_scores" -> IForestSql.q31Sql(trees = SharedFocusTrees),
+    "q45_attention_routing" -> IForestSql.q45Sql(trees = SharedFocusTrees),
     // MinHash+LSH mirror: identical md5-prefix h1/h2 halves and
     // Kirsch–Mitzenmacher h1 + i·h2 minima as Dedup.minhashLshPairs, band
     // buckets as md5-of-concat, the same BETWEEN 2 AND 64 mega-bucket

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ml.{IForest, LocalSvd}
+import graft.ml.{IForest, PowerDirection}
 import graft.ops.{Features, Scoring, Windows}
 
 /** AA-AR: Attention Routing over a time-evolving transaction graph
@@ -42,6 +42,16 @@ object AaAr {
     * (P6 filter + transform of `AA-AR.py:78-89`).
     *
     * Output: (wid, pair_id, account, x, y, score).
+    *
+    * Oracle portability (round 11): the fit coordinates are
+    * `round(log10(f+1), 6)` — quantized BEFORE the forest, by Spark's own
+    * `round` expression so the DuckDB mirror's `round(log10(f+1), 6)`
+    * holds the bit-identical double (the q85 6-dp idiom). Tree structure
+    * is then a pure function of exact inputs and tag-keyed md5 draws
+    * (IForest scaladoc), which is what lets q34/q31/q45 regenerate the
+    * whole forest level-by-level in SQL. The non-zero filter stays on the
+    * RAW feature (a sub-ppm variance is non-zero even when its rounded
+    * log collapses to 0), carried through the shuffle as a 12-bit mask.
     */
   def focusScores(featuresByWindow: DataFrame, numTrees: Int = 100,
                   seed: Long = 0L, pairBlocks: Int = 8): DataFrame = {
@@ -57,17 +67,22 @@ object AaAr {
     // fits its ~66/pairBlocks forests locally. pairBlocks trades shuffle
     // volume against task granularity: parallelism = windows × pairBlocks
     // tasks — raise it on large clusters, but any value yields identical
-    // output (per-pair fits are seeded independently of the blocking).
+    // output (per-pair fits are tag-keyed independently of the blocking).
     val nb = math.max(1, math.min(pairBlocks, pairs.size))
+    val lf = array(fcols.map(c =>
+      round(log10(col(c).cast("double") + 1.0), 6)): _*)
+    val nz = fcols.zipWithIndex.map { case (c, i) =>
+      when(col(c).cast("double") =!= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val ds = featuresByWindow.select(
-        col("wid"), col("account"),
-        array(fcols.map(c => col(c).cast("double")): _*).as("f"),
+        col("wid"), col("account"), lf.as("f"), nz.as("nz"),
         explode(sequence(lit(0), lit(nb - 1))).as("blk"))
-      .as[(Long, Long, Array[Double], Int)]
+      .as[(Long, Long, Array[Double], Long, Int)]
 
-    ds.groupByKey { case (wid, _, _, blk) => (wid, blk) }
-      .flatMapGroups { (key: (Long, Int),
-                        rows: Iterator[(Long, Long, Array[Double], Int)]) =>
+    ds.groupByKey { case (wid, _, _, _, blk) => (wid, blk) }
+      .flatMapGroups {
+        (key: (Long, Int),
+         rows: Iterator[(Long, Long, Array[Double], Long, Int)]) =>
         val (wid, blk) = key
         // Sorted by account so each fit is DETERMINISTIC under any
         // physical plan / partitioning — group iteration order is not
@@ -78,15 +93,15 @@ object AaAr {
         pairs.iterator
           .filter { case (pid, _, _) => pid % nb == blk }
           .flatMap { case (pid, f1, f2) =>
-            // P6 non-zero filter + log10(x+1) transform (AA-AR.py:78-82)
+            // P6 non-zero filter (raw-feature mask) + quantized log coords
             val kept = buf.iterator
-              .filter { case (_, _, f, _) => f(f1) != 0.0 && f(f2) != 0.0 }
-              .map { case (_, acct, f, _) =>
-                (acct, math.log10(f(f1) + 1.0), math.log10(f(f2) + 1.0))
-              }.toArray
+              .filter { case (_, _, _, m, _) =>
+                ((m >> f1) & 1L) == 1L && ((m >> f2) & 1L) == 1L }
+              .map { case (_, acct, f, _, _) => (acct, f(f1), f(f2)) }
+              .toArray
             val pts = kept.map { case (_, x, y) => Array(x, y) }
             val forest = IForest.fit(pts, numTrees, 256,
-              seed = seed * 1000003L + wid * 131L + pid)
+              tag = s"if|$seed|$wid|$pid")
             val scores = forest.scoreAll(pts)
             kept.iterator.zipWithIndex.map {
               case ((acct, x, y), i) => (wid, pid, acct, x, y, scores(i))
@@ -96,18 +111,29 @@ object AaAr {
       .toDF("wid", "pair_id", "account", "x", "y", "score")
   }
 
-  /** All (ski, element) pairs where the deterministic coin keeps `element`
-    * in sketch `ski`, built by cross-joining the (small, distinct) element
-    * set with sketch ids — the element sets here are accounts and the 66
-    * pair ids, both tiny next to the edge table.
+  /** ppm keep threshold for a (1−rate) keep probability — `math.round` so
+    * (1−0.995)·10⁶ = 5000 exactly despite the binary representation of
+    * 0.005; the SQL mirror embeds the SAME integer.
+    */
+  private[graft] def keepPpm(rate: Double): Long =
+    math.round((1.0 - rate) * 1000000.0)
+
+  /** All (ski, element) pairs where the deterministic md5 ppm coin keeps
+    * `element` in sketch `ski`, built by cross-joining the (small,
+    * distinct) element set with sketch ids — the element sets here are
+    * accounts and the 66 pair ids, both tiny next to the edge table.
+    * The coin is the engine-portable single-digest ppm idiom
+    * (`('0x' || substr(md5(elem||'|'||ski||'|'||tag), 1, 15)) % 10⁶`), the
+    * q53 form — any SQL engine reproduces the selection bit-for-bit.
     */
   private def selBySketch(elems: DataFrame, colName: String, sketchNum: Int,
-                          keepProb: Double, seed: Long): DataFrame = {
+                          keep: Long, tag: String): DataFrame = {
     val spark = elems.sparkSession
     import spark.implicits._
+    val coin = org.apache.spark.sql.graft.GraftExprBridge.md5Ppm(
+      concat_ws("|", col(colName), col("ski"), lit(tag)))
     elems.crossJoin(broadcast((0 until sketchNum).toDF("ski")))
-      .filter(pmod(xxhash64(col(colName), col("ski"), lit(seed)),
-        lit(1000000L)) < lit((keepProb * 1000000L).toLong))
+      .filter(coin < lit(keep))
       .select(col("ski"), col(colName))
   }
 
@@ -118,14 +144,16 @@ object AaAr {
     * sampled cell set for that sketch, bounded by the (1−sRate)·(1−dRate)
     * sampling, not by the corpus.
     *
-    * Accounts are summed in sorted order so the fp accumulation (and any
-    * tie-break it feeds) is deterministic under any partitioning / Scala
-    * Map iteration order.
+    * Scores are ppm INTEGERS (see [[sketches]]), so every candidate total
+    * is exact under any summation order and the strict-`>` argmax (first
+    * max in ascending-pair iteration, i.e. smallest pair id among ties) is
+    * engine-portable — the q31/q45 oracles replay the same three unrolled
+    * steps in SQL.
     */
   private[graft] def greedyPick(candSorted: Array[Int],
-                               cells: Array[(Long, Int, Double)],
+                               cells: Array[(Long, Int, Long)],
                                numDst: Int): Seq[Int] = {
-    // account -> (pair -> s), accounts ascending
+    // account -> (pair -> s)
     val byAcct = cells.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, rs) => rs.map(r => r._2 -> r._3).toMap }
     val cand = candSorted.toBuffer
@@ -134,15 +162,12 @@ object AaAr {
     var steps = math.min(cand.size, numDst)
     while (steps > 0 && continue) {
       var bestIdx = -1
-      var bestS = 0.0
+      var bestS = 0L
       for (c <- cand) {
         val cols = picked :+ c
-        var s = 0.0
-        for (m <- byAcct) {
-          val mx = cols.iterator.map(cc => m.getOrElse(cc, 0.0))
-            .foldLeft(Double.MinValue)(math.max)
-          if (mx != Double.MinValue) s += mx
-        }
+        var s = 0L
+        for (m <- byAcct)
+          s += cols.iterator.map(cc => m.getOrElse(cc, 0L)).max
         if (s > bestS) { bestS = s; bestIdx = c }
       }
       // faithful quirk (AA-AR.py:138-146): if no candidate scores > 0 the
@@ -193,7 +218,15 @@ object AaAr {
         coalesce(col("v"), lit(0L)).as("value"))
   }
 
-  /** Full sketching stage: returns (wid, ski, value) sketch table. */
+  /** Full sketching stage: returns (wid, ski, value) sketch table.
+    *
+    * `value` is a ppm INTEGER: each focus score is quantized once
+    * (`CAST(round(score·10⁶) AS BIGINT)` — sub-ppm structure is noise at
+    * the sketch's own sampling granularity) and every downstream sum —
+    * the greedy's candidate totals and the sketch values themselves — is
+    * then exact under any aggregation order, engine-portable by
+    * construction. The sampling coins are tag-keyed md5 ppm draws.
+    */
   def sketches(focus: DataFrame, sketchNum: Int = 256, numDst: Int = 3,
                sRate: Double = 0.995, dRate: Double = 0.8,
                seed: Long = 0L): DataFrame = {
@@ -201,12 +234,15 @@ object AaAr {
     import spark.implicits._
 
     val srcSel = selBySketch(focus.select(col("account")).distinct(),
-      "account", sketchNum, 1.0 - sRate, seed)
+      "account", sketchNum, keepPpm(sRate), s"afs$seed")
     val dstCand = selBySketch(focus.select(col("pair_id")).distinct(),
-      "pair_id", sketchNum, 1.0 - dRate, seed + 7)
+      "pair_id", sketchNum, keepPpm(dRate), s"afd$seed")
 
-    val sumGraph = focus.groupBy(col("account"), col("pair_id"))
-      .agg(sum(col("score")).as("s"))
+    val q = focus.select(col("wid"), col("pair_id"), col("account"),
+      round(col("score") * lit(1000000.0), 0).cast("long").as("s"))
+
+    val sumGraph = q.groupBy(col("account"), col("pair_id"))
+      .agg(sum(col("s")).as("s"))
 
     // sampled sub-matrix cells, (ski, account, pair, s), limited to
     // sampled src × candidate dst — NEVER collected: at 10⁹ accounts ×
@@ -218,7 +254,7 @@ object AaAr {
     val cellRows = srcSel.join(sumGraph, "account")
       .join(dstCand, Seq("ski", "pair_id"))
       .select(col("ski"), col("account"), col("pair_id"), col("s"))
-      .as[(Int, Long, Int, Double)]
+      .as[(Int, Long, Int, Long)]
     val chosen = dstCand.as[(Int, Int)].groupByKey(_._1)
       .cogroup(cellRows.groupByKey(_._1)) { (ski, cs, rs) =>
         val cand = cs.map(_._2).toArray.sorted
@@ -230,17 +266,17 @@ object AaAr {
     val srcSelB = broadcast(srcSel)
 
     // sketch value (A11): Σ over selected (account × pair) cells per window
-    val sk = focus.join(srcSelB, "account")
+    val sk = q.join(srcSelB, "account")
       .join(chosenDf, Seq("ski", "pair_id"))
       .groupBy(col("wid"), col("ski"))
-      .agg(sum(col("score")).as("v"))
+      .agg(sum(col("s")).as("v"))
 
     // densify: every (wid, ski) slot, 0 when no selected cell scored
     val wids = focus.select(col("wid")).distinct()
     wids.crossJoin(broadcast((0 until sketchNum).toDF("ski")))
       .join(sk, Seq("wid", "ski"), "left")
       .select(col("wid"), col("ski"),
-        coalesce(col("v"), lit(0.0)).as("value"))
+        coalesce(col("v"), lit(0L)).as("value"))
   }
 
   /** Change-score time series (W2 + M1 + M2, `AA-AR.py:234-241`):
@@ -253,12 +289,12 @@ object AaAr {
     val spark = sketchTable.sparkSession
     import spark.implicits._
 
+    // frames: backWs-1 sketch vectors in chronological frame order =
+    // COLUMNS of the reference's S.T — principal direction by the
+    // fixed-fold power iteration (PowerDirection scaladoc), the
+    // engine-portable twin of `np.linalg.svd(S.T)[0][:,0]` + abs
     val svdUdf = udf { (frames: Seq[Seq[Double]]) =>
-      // frames: backWs-1 sketch vectors (rows of S) → S.T is sketch×frames
-      val rows = frames.map(_.toArray).toArray
-      val m = rows.headOption.map(_.length).getOrElse(0)
-      val transposed = Array.tabulate(m, rows.length)((i, j) => rows(j)(i))
-      LocalSvd.principalDirection(transposed)
+      PowerDirection.principalAbs(frames.map(_.toArray).toArray)
     }
 
     val vecs = sketchTable
@@ -266,7 +302,8 @@ object AaAr {
       .agg(array_sort(collect_list(struct(col("ski"), col("value"))))
         .as("sv"))
       .select(col("wid"),
-        transform(col("sv"), s => s.getField("value")).as("sketch"))
+        transform(col("sv"), s => s.getField("value").cast("double"))
+          .as("sketch"))
 
     // global (un-partitioned) windows are deliberate: rows here are ONE
     // per time window (the sketch table is pre-aggregated), so the single

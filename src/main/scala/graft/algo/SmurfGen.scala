@@ -24,17 +24,12 @@ object SmurfGen {
   final case class Fold(middleNum: Int, fold: Int,
                         edges: Set[(Long, Long)], label: (Long, Long))
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-
   /** 28-bit uniform draw keyed by `tag` — the exact value
     * `CAST(('0x' || substr(md5(tag), 1, 7)) AS BIGINT)` yields in any SQL
-    * engine (the q23/q58 md5 idiom, here on the driver).
+    * engine (the q23/q58 md5 idiom, here on the driver; shared with the
+    * derandomized isolation forest via [[graft.util.PortableHash]]).
     */
-  def h28(tag: String): Long =
-    java.lang.Long.parseLong(md5Hex(tag).substring(0, 7), 16)
+  def h28(tag: String): Long = graft.util.PortableHash.h28(tag)
 
   /** Port of generate_eval_df (`smurf_generator.py:12-40`), deterministic
     * under `seed`. The reference's sequential numpy RNG is replaced by

@@ -1,6 +1,6 @@
 package graft.ml
 
-import scala.util.Random
+import graft.util.PortableHash.{h28, md5Hex}
 
 /** Isolation Forest (SURVEY M3) — the reference fits sklearn's
   * `IsolationForest(n_estimators=100, contamination='auto')` per
@@ -9,12 +9,26 @@ import scala.util.Random
   * + 0.5, which for sklearn's 'new' behaviour is exactly the Liu et al.
   * anomaly score s(x) = 2^(−E[h(x)]/c(ψ)) ∈ (0, 1)).
   *
-  * sklearn's exact scores are not bit-reproducible across RNGs (SURVEY
-  * §7.4), so parity is asserted on *rankings/detection*, not raw scores.
   * This is a from-scratch implementation of the published algorithm
   * (Liu, Ting, Zhou, "Isolation Forest", ICDM 2008): trees on subsamples
   * of ψ = min(256, n), uniform random split dimension + uniform random
   * split point, depth cap ⌈log2 ψ⌉, path length corrected by c(ψ).
+  *
+  * DERANDOMIZED (round 11): every draw is a tag-keyed md5 hash
+  * ([[graft.util.PortableHash]]), not a sequential RNG —
+  *   - subsample slot j of tree t:      index = h28("tag|t|s|j") % n
+  *   - node at heap path p of tree t:   ONE digest md5("tag|t|n|p");
+  *     split dimension from hex chars 1..7, split fraction (ppm) from
+  *     chars 9..23
+  * so the whole fit is a pure function of (sorted points, tag) that a SQL
+  * engine replays level-by-level — the same idiom that put the SmurfGen
+  * fold grid under the hash gate in round 9. Path lengths are
+  * ppm-QUANTIZED integers (depth·10⁶ + cPpm(leafSize)) so the per-point
+  * sum over trees is exact under any summation order; the only
+  * transcendental steps left are the shared [[cPpm]] LITERAL table (emitted
+  * verbatim into the oracle SQL, so ln never re-evaluates cross-engine)
+  * and the final 2^x, which every consumer either rounds (q34's 2-dp face)
+  * or re-quantizes (the sketch stage's score ppm).
   *
   * Distribution strategy: a forest is a few KB; groups (window × pair) are
   * independent. Fit+score runs inside `flatMapGroups` — each executor
@@ -33,20 +47,38 @@ object IForest {
     else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) -
       2.0 * (n - 1.0) / n
 
+  /** ppm-quantized c(n) for n = 0..256 — the ONE shared literal table both
+    * the Scala fit and the DuckDB mirror index, so ln is never recomputed
+    * cross-engine (1-ulp libm differences would otherwise sit exactly on
+    * round boundaries). 257 entries cover every possible leaf size and ψ.
+    */
+  val cPpm: Array[Long] =
+    Array.tabulate(257)(s => math.round(avgPathLength(s.toLong) * 1e6))
+
+  /** ⌈log2 ψ⌉ with a floor of 1, via integer doubling — NOT
+    * ceil(log(ψ)/log(2)), whose 1-ulp slack flips at exact powers of two
+    * differently per engine. Mirrored in SQL as a ≤8-rung CASE ladder.
+    */
+  def depthCap(psi: Int): Int = {
+    var d = 1
+    while ((1 << d) < psi) d += 1
+    d
+  }
+
   /** One tree, array-encoded for iterative traversal. Nodes are PACKED 4
     * doubles wide at offset 4i: [dim, split, leftId, rightId]; the leaf's
-    * path-length contribution depth + c(leaf_size) lives in `values(id)`
-    * (depth is fixed per node, so the whole contribution folds into the
-    * leaf). Leaves SELF-LOOP (dim = 0, split = +∞, left = right = self),
-    * so a walk of exactly `depth` steps always ends on the right leaf with
-    * no per-step termination test — a fixed trip count lets the batch
-    * scorer run several independent point walks in flight at once, hiding
-    * the serial load→compare→load latency that dominates this hot path
-    * (rows × trees × depth dependent loads).
+    * ppm path-length contribution depth·10⁶ + cPpm(leaf_size) lives in
+    * `values(id)` (depth is fixed per node, so the whole contribution
+    * folds into the leaf). Leaves SELF-LOOP (dim = 0, split = +∞,
+    * left = right = self), so a walk of exactly `depth` steps always ends
+    * on the right leaf with no per-step termination test — a fixed trip
+    * count lets the batch scorer run several independent point walks in
+    * flight at once, hiding the serial load→compare→load latency that
+    * dominates this hot path (rows × trees × depth dependent loads).
     */
-  final class FlatTree(val nodes: Array[Double], val values: Array[Double],
+  final class FlatTree(val nodes: Array[Double], val values: Array[Long],
                        val depth: Int) extends Serializable {
-    def pathLength(x: Array[Double]): Double = {
+    def pathPpm(x: Array[Double]): Long = {
       var b = 0
       var s = 0
       while (s < depth) {
@@ -61,33 +93,39 @@ object IForest {
   final case class Forest(trees: Array[FlatTree], sampleSize: Int)
       extends Serializable {
 
-    private val cPsi = avgPathLength(sampleSize.toLong)
+    private val cPsiPpm: Long =
+      if (sampleSize <= 256) cPpm(math.max(sampleSize, 0)) else 0L
+
+    private def toScore(ePpm: Long): Double =
+      math.pow(2.0, -ePpm.toDouble /
+        (trees.length.toDouble * cPsiPpm.toDouble))
 
     /** Anomaly score s(x) = 2^(−E[h(x)]/c(ψ)) ∈ (0, 1); higher = more
       * anomalous. Equals the reference's `−decision_function + 0.5`.
       */
     def score(x: Array[Double]): Double = {
-      if (trees.isEmpty || cPsi == 0.0) return 0.5
-      var s = 0.0
+      if (trees.isEmpty || cPsiPpm == 0L) return 0.5
+      var s = 0L
       var i = 0
-      while (i < trees.length) { s += trees(i).pathLength(x); i += 1 }
-      math.pow(2.0, -(s / trees.length) / cPsi)
+      while (i < trees.length) { s += trees(i).pathPpm(x); i += 1 }
+      toScore(s)
     }
 
     /** Batch scoring, tree-outer / point-inner: each ~16 KB tree stays hot
       * in L1 across the whole point batch instead of the full forest
-      * (~1 MB) being re-walked per point, and four point walks run
-      * interleaved per iteration — the fixed-depth self-looping encoding
-      * makes the four load chains independent, so the CPU overlaps their
-      * latencies. Identical results to `score` applied row-wise.
+      * being re-walked per point, and four point walks run interleaved per
+      * iteration — the fixed-depth self-looping encoding makes the four
+      * load chains independent, so the CPU overlaps their latencies.
+      * Identical results to `score` applied row-wise.
       */
     def scoreAll(xs: Array[Array[Double]]): Array[Double] = {
       val n = xs.length
       val out = new Array[Double](n)
-      if (trees.isEmpty || cPsi == 0.0) {
+      if (trees.isEmpty || cPsiPpm == 0L) {
         java.util.Arrays.fill(out, 0.5)
         return out
       }
+      val acc = new Array[Long](n)
       var t = 0
       while (t < trees.length) {
         val tree = trees(t)
@@ -112,18 +150,15 @@ object IForest {
                       else nd(b3 + 3)).toInt
             s += 1
           }
-          out(i) += vals(b0 >> 2); out(i + 1) += vals(b1 >> 2)
-          out(i + 2) += vals(b2 >> 2); out(i + 3) += vals(b3 >> 2)
+          acc(i) += vals(b0 >> 2); acc(i + 1) += vals(b1 >> 2)
+          acc(i + 2) += vals(b2 >> 2); acc(i + 3) += vals(b3 >> 2)
           i += 4
         }
-        while (i < n) { out(i) += tree.pathLength(xs(i)); i += 1 }
+        while (i < n) { acc(i) += tree.pathPpm(xs(i)); i += 1 }
         t += 1
       }
       var i = 0
-      while (i < n) {
-        out(i) = math.pow(2.0, -(out(i) / trees.length) / cPsi)
-        i += 1
-      }
+      while (i < n) { out(i) = toScore(acc(i)); i += 1 }
       out
     }
   }
@@ -131,7 +166,7 @@ object IForest {
   /** Growable builder emitting the packed flat encoding directly. */
   private final class TreeBuilder {
     private var nodes = new Array[Double](4 * 64)
-    private var values = new Array[Double](64)
+    private var values = new Array[Long](64)
     private var n = 0
 
     private def ensure(): Unit =
@@ -148,7 +183,7 @@ object IForest {
       nodes(4 * id + 1) = Double.PositiveInfinity
       nodes(4 * id + 2) = id.toDouble
       nodes(4 * id + 3) = id.toDouble
-      values(id) = depth + avgPathLength(size.toLong)
+      values(id) = depth.toLong * 1000000L + cPpm(size)
       n += 1
       id
     }
@@ -172,17 +207,24 @@ object IForest {
         java.util.Arrays.copyOf(values, n), maxDepth)
   }
 
+  /** Recursive build keyed by the heap path `p` (root 1, children 2p and
+    * 2p+1) — tag-keyed draws make sibling subtrees independent, which is
+    * exactly what lets the SQL mirror grow all nodes of a level at once.
+    */
   private def buildNode(b: TreeBuilder, points: Array[Array[Double]],
                         idx: Array[Int], depth: Int, maxDepth: Int,
-                        rng: Random): Int = {
+                        treeTag: String, p: Long): Int = {
     if (idx.length <= 1 || depth >= maxDepth)
       return b.leaf(depth, idx.length)
     val nDims = points(idx(0)).length
-    // pick a uniformly random dimension; if it has no spread, probe the
-    // remaining dims in cyclic order. One rng draw and zero allocations
-    // per node — an rng.shuffle(List) here costs more than the whole
-    // min/max scan (this runs ~trees × ψ times per fit, × groups).
-    val start = rng.nextInt(nDims)
+    // ONE digest per node: split dimension from hex chars 1..7, split
+    // fraction from chars 9..23. If the drawn dimension has no spread,
+    // probe the remaining dims in cyclic order (the no-spread dim can't
+    // split); all-identical points become a leaf.
+    val hex = md5Hex(s"$treeTag|n|$p")
+    val start = (java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      % nDims).toInt
+    val uPpm = java.lang.Long.parseLong(hex.substring(8, 23), 16) % 1000000L
     var chosen = -1
     var lo = 0.0
     var hi = 0.0
@@ -202,31 +244,35 @@ object IForest {
       k += 1
     }
     if (chosen < 0) return b.leaf(depth, idx.length) // all identical
-    val split = lo + rng.nextDouble() * (hi - lo)
+    val split = lo + (uPpm / 1000000.0) * (hi - lo)
     val (l, r) = idx.partition(i => points(i)(chosen) < split)
     if (l.isEmpty || r.isEmpty) return b.leaf(depth, idx.length)
     val id = b.split(chosen, split)
-    val loId = buildNode(b, points, l, depth + 1, maxDepth, rng)
-    val hiId = buildNode(b, points, r, depth + 1, maxDepth, rng)
+    val loId = buildNode(b, points, l, depth + 1, maxDepth, treeTag, 2L * p)
+    val hiId = buildNode(b, points, r, depth + 1, maxDepth, treeTag,
+      2L * p + 1L)
     b.wire(id, loId, hiId)
     id
   }
 
   /** Fit a forest. ψ = min(sampleSize, n); depth cap ⌈log2 ψ⌉ as in the
-    * paper and sklearn. Deterministic under `seed`.
+    * paper and sklearn. Subsampling is with replacement, slot j of tree t
+    * drawing index h28("tag|t|s|j") % n over the points AS GIVEN — callers
+    * must present a deterministic order (focusScores sorts by account).
+    * Deterministic under `tag`; bit-reproducible by any engine with md5.
     */
   def fit(points: Array[Array[Double]], numTrees: Int = 100,
-          sampleSize: Int = 256, seed: Long = 0L): Forest = {
+          sampleSize: Int = 256, tag: String = "if|0"): Forest = {
     val n = points.length
-    val psi = math.min(sampleSize, n)
     if (n == 0) return Forest(Array.empty, 0)
-    val maxDepth = math.max(1, math.ceil(
-      math.log(psi.toDouble) / math.log(2.0)).toInt)
-    val rng = new Random(seed)
-    val trees = Array.tabulate(numTrees) { _ =>
-      val sample = Array.fill(psi)(rng.nextInt(n)) // subsample w/ replacement
+    val psi = math.min(sampleSize, n)
+    val maxDepth = depthCap(psi)
+    val trees = Array.tabulate(numTrees) { t =>
+      val treeTag = s"$tag|$t"
+      val sample = Array.tabulate(psi)(j =>
+        (h28(s"$treeTag|s|$j") % n).toInt) // subsample w/ replacement
       val b = new TreeBuilder
-      buildNode(b, points, sample, 0, maxDepth, rng)
+      buildNode(b, points, sample, 0, maxDepth, treeTag, 1L)
       b.result(maxDepth)
     }
     Forest(trees, psi)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ml.LocalSvd
+import graft.ml.PowerDirection
 import graft.ops.Scoring
 
 /** Structured Streaming rebind of the batch pipeline (SURVEY §2.10/§7.6).
@@ -180,9 +180,10 @@ object StreamOps {
     import spark.implicits._
 
     def scoreOne(frame: Seq[Array[Double]], cur: Array[Double]): Double = {
-      val m = cur.length
-      val transposed = Array.tabulate(m, frame.length)((i, j) => frame(j)(i))
-      val ev = LocalSvd.principalDirection(transposed)
+      // same fixed-fold power iteration as the batch twin (AaAr
+      // .changeScores → PowerDirection) so a stream replay and the batch
+      // job agree bit-for-bit on each window's direction
+      val ev = graft.ml.PowerDirection.principalAbs(frame.toArray)
       val evSum = ev.sum
       val skSum = cur.sum
       if (evSum == 0.0 || skSum == 0.0) 0.0

@@ -23,7 +23,7 @@ class IForestSpec extends AnyFunSuite {
       Array(rng.nextGaussian() * 0.1, rng.nextGaussian() * 0.1))
     val outlier = Array(8.0, 8.0)
     val pts = cluster :+ outlier
-    val f = IForest.fit(pts, numTrees = 100, sampleSize = 256, seed = 42L)
+    val f = IForest.fit(pts, numTrees = 100, sampleSize = 256, tag = "t42")
     val oScore = f.score(outlier)
     val cScores = cluster.map(f.score)
     assert(oScore > 0.6, s"outlier score $oScore")
@@ -34,8 +34,8 @@ class IForestSpec extends AnyFunSuite {
   test("scores are in (0, 1) and deterministic under seed") {
     val rng = new scala.util.Random(3)
     val pts = Array.fill(100)(Array(rng.nextDouble(), rng.nextDouble()))
-    val f1 = IForest.fit(pts, 50, 64, seed = 9L)
-    val f2 = IForest.fit(pts, 50, 64, seed = 9L)
+    val f1 = IForest.fit(pts, 50, 64, tag = "t9")
+    val f2 = IForest.fit(pts, 50, 64, tag = "t9")
     pts.foreach { p =>
       val s = f1.score(p)
       assert(s > 0.0 && s < 1.0)
@@ -46,7 +46,7 @@ class IForestSpec extends AnyFunSuite {
   test("uniform data centers near 0.5") {
     val rng = new scala.util.Random(11)
     val pts = Array.fill(500)(Array(rng.nextDouble(), rng.nextDouble()))
-    val f = IForest.fit(pts, 100, 256, seed = 1L)
+    val f = IForest.fit(pts, 100, 256, tag = "t1")
     val mean = pts.map(f.score).sum / pts.length
     assert(mean > 0.35 && mean < 0.6, s"mean=$mean")
   }

@@ -116,8 +116,8 @@ object LocalPropsSpec extends Properties("local-invariants") {
 
   property("iForest scores lie in (0,1) and are seed-deterministic") =
     forAll(pointsGen) { pts =>
-      val f1 = IForest.fit(pts, numTrees = 20, seed = 7L)
-      val f2 = IForest.fit(pts, numTrees = 20, seed = 7L)
+      val f1 = IForest.fit(pts, numTrees = 20, tag = "t7")
+      val f2 = IForest.fit(pts, numTrees = 20, tag = "t7")
       pts.forall { p =>
         val s = f1.score(p)
         s > 0.0 && s < 1.0 && s == f2.score(p)
