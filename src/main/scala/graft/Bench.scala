@@ -80,11 +80,19 @@ object Bench {
     //       that's the scale it records).
     // A stale-low floor only costs an extra re-probe pass for that query;
     // a polluted-high floor silently disarms the 2× gate — so min.
+    //
+    // All floor sources are decoded byte-level as UTF-8 with replacement:
+    // `Source.fromFile` under the forked JVM's platform charset THROWS
+    // MalformedInputException on BASELINE.md's multibyte punctuation (and
+    // would on a driver tail truncated mid-sequence) — a floor source must
+    // never be able to kill the bench itself.
+    def readUtf8(file: java.io.File): String =
+      new String(java.nio.file.Files.readAllBytes(file.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
     def harvestBenchJson(file: java.io.File): Map[String, Double] =
       if (!file.isFile) Map.empty
       else {
-        val txt = scala.io.Source.fromFile(file)
-        val body = try txt.mkString finally txt.close()
+        val body = readUtf8(file)
         // floors only compare same-scale runs: an sf0.1 artifact is no
         // reference for an sf0.001 smoke (every query legitimately 10-100×
         // apart). Each of this main's output lines ENDS with its own
@@ -122,8 +130,7 @@ object Bench {
       val f = new java.io.File("BASELINE.md")
       if (!f.isFile || !sfDir.contains("sf0.1")) Map.empty
       else {
-        val txt = scala.io.Source.fromFile(f)
-        val body = try txt.mkString finally txt.close()
+        val body = readUtf8(f)
         """\|\s*(q[0-9A-Za-z_]+)\s*\|\s*([0-9][0-9.]*)\s*(?=\|)""".r
           .findAllMatchIn(body).toSeq.groupBy(_.group(1))
           .map { case (k, ms) => k -> ms.map(_.group(2).toDouble).min }

@@ -36,6 +36,7 @@ object Main {
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |                      [--r <spanTokens>] [--p true] [--c true] [--x true]
+      |                      [--d <nearDupMaxDf, 0=ungated>]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -131,7 +132,8 @@ object Main {
             spanWin = spanWin,
             dropPplTail = dropTail,
             clfGate = useClf,
-            mixEpoch = useMix)
+            mixEpoch = useMix,
+            nearDupMaxDf = opt("--d", "50").toInt)
           val stages = Seq(
             Some(s"${counts("input")} docs in"),
             Some(s"${counts("pii_docs")} PII-bearing after exact dedup"),
@@ -521,7 +523,8 @@ object Main {
                 spanWin: Int = 0,
                 dropPplTail: Boolean = false,
                 clfGate: Boolean = false,
-                mixEpoch: Boolean = false): Map[String, Long] = {
+                mixEpoch: Boolean = false,
+                nearDupMaxDf: Int = 50): Map[String, Long] = {
     import graft.ext.{Dedup, SimSearch, TextOps}
     val docs = spark.read.parquet(in)
       .select(col("doc_id"), col("text"))
@@ -594,8 +597,17 @@ object Main {
     // … then near-dup clusters over the survivors; keep the best-quality
     // representative of each cluster (Dedup.clusterRepresentatives —
     // the exact operator q60 hash-checks)
+    // df-gated by default (TextScale's proven corpus-scale shape): the
+    // ungated inverted-index self-join is Σ df² — one boilerplate shingle
+    // shared by 10k docs alone costs 10⁸ candidate pairs — while the gate
+    // bounds it at Σ min(df, maxDf)². A shingle above the gate is by
+    // definition corpus-boilerplate: the pairs it would add are either
+    // already found via the pair's OTHER (rarer) shared shingles or are
+    // boilerplate-only overlaps near-dup should not merge on anyway.
+    // `nearDupMaxDf = 0` restores the exact ungated join for small corpora.
     val clusters = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(decon, n = 3, minJaccard = 0.05)
+      Dedup.ngramJaccardPairs(decon, n = 3, minJaccard = 0.05,
+          maxDf = nearDupMaxDf)
         .select(col("doc_a"), col("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qual = TextOps.qualityScore(decon)

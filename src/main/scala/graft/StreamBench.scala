@@ -73,12 +73,12 @@ object StreamBench {
       (out, (System.nanoTime() - t0) / 1e9)
     }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Double, Long)]
     def record(name: String, nIn: Long, outSec: (Long, Double)): Unit = {
       val (nOut, sec) = outSec
-      results(name) = s"""{"rows_in":$nIn,"rows_out":$nOut,""" +
-        s""""sec":${math.round(sec * 1000) / 1000.0},""" +
-        s""""rows_per_sec":${math.round(nIn / sec)}}"""
+      results(name) = (nIn, nOut,
+        math.round(sec * 1000) / 1000.0, math.round(nIn / sec))
     }
 
     // 1. streamingDedup — 500k rows, 20 % re-delivered keys
@@ -164,8 +164,34 @@ object StreamBench {
           watermark = "30 minutes"))
     })
 
-    println(results.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}"))
+    // Persist the record as STREAMBENCH_LOCAL.json (full line, never
+    // truncated) so streaming throughput diffs round-over-round
+    // mechanically, like Bench's BENCH_LOCAL.json: each twin carries the
+    // previous record's rows/s as its floor and the ratio against it — a
+    // watermark/state-store regression moves `ratio` above 1 immediately.
+    // The seed file transcribes the round-9 README record.
+    val prevFile = new java.io.File("STREAMBENCH_LOCAL.json")
+    val prev: Map[String, Long] =
+      if (!prevFile.isFile) Map.empty
+      else {
+        val body = new String(
+          java.nio.file.Files.readAllBytes(prevFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"(\w+)":\{[^}]*"rows_per_sec":(\d+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }
+    val line = results.map { case (k, (nIn, nOut, sec, rps)) =>
+      val floor = prev.get(k)
+        .map(p => s""","floor_rows_per_sec":$p,"ratio":${
+          math.round(p.toDouble / rps * 1000) / 1000.0}""")
+        .getOrElse("")
+      s""""$k":{"rows_in":$nIn,"rows_out":$nOut,"sec":$sec,""" +
+        s""""rows_per_sec":$rps$floor}"""
+    }.mkString("{", ",", "}")
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("STREAMBENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
