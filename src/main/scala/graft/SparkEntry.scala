@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.algo.{AaAr, AaSmurf, IForestSql, SmurfGen}
+import graft.algo.{AaAr, AaSmurf, IForestSql, SmurfGen, SmurfSql}
 import graft.ext.{Dedup, Multimodal, Quantize, SimSearch, TextOps}
 import graft.ml.LogReg
 import graft.functions.RollingHash.rolling_hash
@@ -1238,14 +1238,19 @@ object SparkEntry {
     }),
 
     // ───── the ML pipelines (M1-M8) ─────
-    // q31/q32/q34 are rows-only by design (RNG forest / driver greedy);
-    // q33/q38/q39 are HASH-CHECKED since round 9 — the tag-keyed md5
-    // derandomization (SmurfGen.generateFolds) lets the oracle regenerate
-    // the entire fold grid in DuckDB (smurfGenSqlCtes).
+    // ALL hash-checked: q33/q38/q39 since round 9 (tag-keyed md5
+    // derandomization — smurfGenSqlCtes regenerates the fold grid in
+    // DuckDB); q31/q34/q45 since round 11 (IForestSql regrows the
+    // derandomized forest in SQL); q32 since round 11 (SmurfSql unrolls
+    // the greedy MDL loop — integer-valued description lengths make the
+    // replay exact). q32 runs the documented top-256 candidate prefix
+    // (AaSmurf.runModelWithIds's scale cap, the same cnt-desc/i/j order
+    // the uncapped greedy explores first) so the 9-iteration SQL replay
+    // scores 256 × |E| rows per unrolled step instead of 30k × |E|.
     "q31_aa_ar_change_scores" -> ((s, dir) => sharedChanges(s, dir)),
     "q32_smurf_order" -> ((s, dir) =>
       AaSmurf.run(s, smallGraph(s, dir), minCount = 3,
-        maxIter = Some(8))),
+        maxIter = Some(8), maxCandidates = Some(256))),
     "q33_smurfgen_edges" -> ((s, dir) => sharedSmurfGen(s, dir)._1),
     "q38_smurfgen_labels" -> ((s, dir) => sharedSmurfGen(s, dir)._2),
     // the reference's own evaluation design (SURVEY §5 planted-pattern
@@ -1317,6 +1322,12 @@ object SparkEntry {
     "q34_focus_scores" -> IForestSql.q34Sql(trees = SharedFocusTrees),
     "q31_aa_ar_change_scores" -> IForestSql.q31Sql(trees = SharedFocusTrees),
     "q45_attention_routing" -> IForestSql.q45Sql(trees = SharedFocusTrees),
+    // The greedy MDL reorder replayed as 9 unrolled state CTEs (SmurfSql
+    // scaladoc: integer-valued MDL + cross-engine-verified bit-costs make
+    // the replay exact). Parameters mirror the Spark call above.
+    "q32_smurf_order" ->
+      SmurfSql.q32Sql(maxNodeId = 300, minCount = 3, cap = 256,
+        maxIter = 8),
     // MinHash+LSH mirror: identical md5-prefix h1/h2 halves and
     // Kirsch–Mitzenmacher h1 + i·h2 minima as Dedup.minhashLshPairs, band
     // buckets as md5-of-concat, the same BETWEEN 2 AND 64 mega-bucket

@@ -136,4 +136,35 @@ class AaSmurfSpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L, 3L, 4L, 5L).map(posOf).forall(_ < 6))
     assert(posOf(0L) == 0L && posOf(5L) == 5L)
   }
+
+  test("an unreached candidate cap leaves the model bit-identical") {
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L),
+      (6L, 1L), (6L, 2L), (6L, 3L),
+      (1L, 7L), (2L, 7L), (3L, 7L),
+      (8L, 9L), (10L, 11L), (7L, 10L)
+    ).map { case (s, d) => (s, d, 1L, 0L) }
+      .toDF("src", "dst", "weight", "ts")
+    val un = AaSmurf.run(spark, edges, minCount = 3)
+      .orderBy($"pos").collect().toSeq
+    val cap = AaSmurf.run(spark, edges, minCount = 3,
+        maxCandidates = Some(1000))
+      .orderBy($"pos").collect().toSeq
+    assert(un == cap)
+  }
+
+  test("SmurfSql unrolls maxIter+1 state CTEs with the call's parameters") {
+    val sql = graft.algo.SmurfSql.q32Sql(maxNodeId = 300, minCount = 3,
+      cap = 256, maxIter = 8)
+    // 9 unrolled iterations: the loop can commit at most maxIter+1 times
+    assert((1 to 9).forall(k => sql.contains(s"s$k AS MATERIALIZED")))
+    assert(!sql.contains("s10 AS"))
+    assert(sql.contains("QUALIFY rk <= 256"))
+    assert(sql.contains("HAVING count(*) >= 3"))
+    assert(sql.contains("src <= 300 AND dst <= 300"))
+    // the ln-ratio bit-cost spelling, never a native log2 (scaladoc: the
+    // JVM/DuckDB agreement was verified for THIS formula)
+    assert(!sql.toLowerCase.contains("log2("))
+  }
 }
