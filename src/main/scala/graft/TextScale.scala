@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Dedup
+import graft.ext.{Bpe, Dedup}
 
 /** Corpus-scale text-dedup run record — the documents-table companion to
   * [[AnnScale]]/[[ArScale]]/[[SmurfScale]] (dev tool, run manually;
@@ -31,7 +31,11 @@ import graft.ext.Dedup
   *    shingle→signature→band→join→exact-Jaccard pipeline, plus measured
   *    recall of the planted near pairs (theory for k=32, b=8, r=4 at
   *    J≈0.75: 1−(1−J⁴)⁸ ≈ 0.94) and of the planted exact pairs
-  *    (J = 1 → must be 1.0).
+  *    (J = 1 → must be 1.0);
+  *  - BPE tokenizer training (q91's operator) at corpus scale: one
+  *    word-frequency pass, 16 merge rounds over the ≈50k-row vocab
+  *    table, then the map-only encode (q92's operator) timed as
+  *    tokens/sec.
   *
   * Prints one JSON line with all timings, counts, and recalls.
   */
@@ -135,6 +139,38 @@ object TextScale {
     val njRecallNear = njRecallOf(nearLo)
     val njRecallExact = njRecallOf(exactLo)
 
+    // BPE at corpus scale — the vocab-table factoring proven where it
+    // matters: training scans the corpus ONCE (word-frequency pass over
+    // ~200M tokens), then 16 merge rounds touch only the ≈50k-row vocab
+    // table; encoding is a map-only projection timed as corpus
+    // tokens/sec. The planted duplicates don't perturb the trainer (they
+    // only re-weight already-frequent words).
+    // the synthetic vocabulary is "w<rank>" — letters + digits
+    val bpePattern = "^[a-z0-9]+$"
+    val tBpeTrain = t0()
+    val wf = Bpe.wordFrequencies(docs, wordPattern = bpePattern).persist()
+    val vocabSize = wf.count()
+    val merges = Bpe.learnMerges(wf, numMerges = 16)
+    val bpeTrainSec = secs(tBpeTrain)
+    wf.unpersist()
+    val tBpeEnc = t0()
+    val encTotals = Bpe
+      .encodeTokenCounts(docs, merges, wordPattern = bpePattern)
+      .agg(sum(col("n_words")).as("w"), sum(col("n_bpe_tokens")).as("t"))
+      .head()
+    val (nWords, nBpeTokens) = (encTotals.getLong(0), encTotals.getLong(1))
+    val bpeEncSec = secs(tBpeEnc)
+    // a word is ≥1 token and ≤|word| symbols: 16 merges on a Zipf head
+    // must all fire and must compress strictly below the raw char count
+    val wordsArr = filter(split(col("text"), "\\s+"),
+      w => w.rlike(bpePattern))
+    val nWordChars = docs.select(aggregate(wordsArr, lit(0L),
+        (a, x) => a + length(x).cast("long")).as("c"))
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(merges.size == 16, s"expected 16 merges, got ${merges.size}")
+    assert(nBpeTokens >= nWords && nBpeTokens < nWordChars,
+      s"BPE token count $nBpeTokens outside ($nWords, $nWordChars)")
+
     assert(dupGroups == planted,
       s"exact dedup found $dupGroups dup groups, expected $planted")
     assert(keptExact == 0,
@@ -150,7 +186,11 @@ object TextScale {
       s""""recall_near":$recallNear,"recall_exact":$recallExact,""" +
       s""""ngram_gated_sec":$njSec,"ngram_gated_pairs":$nNjPairs,""" +
       s""""ngram_recall_near":$njRecallNear,""" +
-      s""""ngram_recall_exact":$njRecallExact}""")
+      s""""ngram_recall_exact":$njRecallExact,""" +
+      s""""bpe_vocab":$vocabSize,"bpe_train_sec":$bpeTrainSec,""" +
+      s""""bpe_encode_sec":$bpeEncSec,"bpe_words":$nWords,""" +
+      s""""bpe_tokens":$nBpeTokens,""" +
+      s""""bpe_tokens_per_sec":${(nBpeTokens / bpeEncSec).toLong}}""")
     spark.stop()
   }
 }
