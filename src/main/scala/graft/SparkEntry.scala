@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algo.{AaAr, AaSmurf, IForestSql, SmurfGen, SmurfSql}
-import graft.ext.{Bpe, Dedup, Multimodal, Quantize, SimSearch, TextOps}
+import graft.ext.{Bpe, Dedup, Multimodal, Quantize, SimSearch, Sketches, TextOps}
 import graft.ml.LogReg
 import graft.functions.RollingHash.rolling_hash
 import graft.model.Tables
@@ -575,6 +575,20 @@ object SparkEntry {
     "q92_bpe_encode" -> ((s, dir) =>
       Bpe.encodeTokenCounts(Tables.table(s, dir, "documents"),
         sharedBpeMerges(s, dir))),
+
+    // ───── sketch family (Sketches scaladoc): bounded-state summaries
+    // whose registers/buckets AND estimates are engine-portable md5 +
+    // exact-dyadic arithmetic, so the approximations themselves sit
+    // under the hash gate ─────
+    "q93_hll_distinct" -> ((s, dir) =>
+      Sketches.hllDistinct(Tables.table(s, dir, "lineitem"),
+        col("l_orderkey"), Seq(col("l_returnflag")))
+        .withColumnRenamed("g0", "l_returnflag")),
+    "q94_cms_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmHeavyHitters(
+        Tables.table(s, dir, "documents")
+          .select(explode(split(col("text"), "\\s+")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$")), "word")),
 
     // ───── dedup family (extension surface) ─────
     "q22_dedup_exact" -> ((s, dir) =>
@@ -1802,6 +1816,14 @@ object SparkEntry {
     // replace/regexp_replace/sort semantics agree across engines.
     "q91_bpe_merges" -> Bpe.q91Sql(BpeNumMerges),
     "q92_bpe_encode" -> Bpe.q92Sql(BpeNumMerges),
+
+    // Sketch mirrors: the HLL registers and CM grid are rebuilt in SQL
+    // from the same md5 halves, and the estimates are exact-dyadic
+    // integers plus ONE division by a shared double literal (Sketches
+    // scaladoc pins the determinism argument).
+    "q93_hll_distinct" ->
+      Sketches.hllSql("lineitem", "l_orderkey", "l_returnflag"),
+    "q94_cms_heavy_hitters" -> Sketches.cmSql("^[a-z]+$"),
 
     "q44_lang_id_ngram" -> {
       val profValues = TextOps.langTrigrams

@@ -1,0 +1,269 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality and frequency sketches — the bounded-state summaries a
+  * 100 TB engine aggregates instead of raw values.
+  *
+  * Both sketches here are built from the repo's engine-portable md5
+  * arithmetic (the `Md5HalvesExpr` / `CAST('0x'||substr(md5(x),1,7) AS
+  * BIGINT)` convention proven by the MinHash/Bloom/sampling operators), so
+  * the ENTIRE sketch — registers, buckets, estimates — replays bit-for-bit
+  * in DuckDB and sits under the hash gate, not behind an "approximate, so
+  * rows-only" excuse.
+  *
+  * Scale design:
+  *  - HyperLogLog: `count(distinct x)` shuffles every distinct value;
+  *    the HLL register table shuffles at most `m` rows per group
+  *    regardless of cardinality, and registers merge by `max` — the
+  *    associative/commutative shape that makes partial aggregation and
+  *    multi-day sketch roll-ups free. m = 256 (p = 8) gives a 1.04/√m
+  *    ≈ 6.5 % standard error from a 256-row summary.
+  *  - Count-Min: exact per-key counts of a heavy-tailed key need a
+  *    key-cardinality shuffle; the CM sketch is a fixed d×w grid of
+  *    counters merged by `+`, with the classic one-sided guarantee
+  *    (estimate ≥ true, overshoot ≤ εN with probability 1−δ). Heavy
+  *    hitters are then probed against the grid with d broadcast lookups.
+  *
+  * Determinism discipline (what makes the estimates hash-checkable):
+  *  - the harmonic denominator is kept SCALED AS AN INTEGER —
+  *    Σⱼ 2^(R−Mⱼ) with R = 29 the max rank — so the sum is exact dyadic
+  *    arithmetic (max 256·2²⁹ = 2³⁷ ≪ 2⁵³), independent of aggregation
+  *    order in both engines;
+  *  - the estimate is then ONE IEEE division of two bit-identical
+  *    doubles: a Scala-printed literal constant (α·m²·2^R — the stashed-
+  *    literal convention of the trained quantizers) over the exact
+  *    denominator. No `ln`, no transcendentals, no order-dependent fp
+  *    sums anywhere in the checked columns.
+  *
+  * Reference context: the reference repo (563-line pandas pipelines) has
+  * no sketch surface; these belong to the training-data extension
+  * (SURVEY §2.12) — distinct-count profiling and heavy-hitter detection
+  * are standing stages of corpus curation at scale.
+  */
+object Sketches {
+
+  /** Register count m = 2^P. P = 8 keeps the per-group summary at 256
+    * rows and the scaled denominator far inside exact-long range.
+    */
+  val P = 8
+  val M: Int = 1 << P // 256
+
+  /** Max rank: h2 has 28 bits, so rank = (leading zeros in the 28-bit
+    * word) + 1 ∈ [1, 29]; an empty register holds 0.
+    */
+  val MaxRank = 29
+
+  /** α_m · m² · 2^R as one double literal (m = 256, R = 29) — the only
+    * non-integer constant in the estimate, shared verbatim with the SQL
+    * mirror via its shortest-round-trip decimal form.
+    */
+  val HllScale: Double =
+    0.7213 / (1.0 + 1.079 / M) * M.toDouble * M.toDouble *
+      (1L << MaxRank).toDouble
+
+  /** ±3σ relative-error acceptance bound, σ = 1.04/√m. */
+  val HllBound: Double = 3.0 * 1.04 / math.sqrt(M.toDouble)
+
+  private def md5Half(x: Column, lo: Int): Column =
+    conv(substring(md5(x), lo, 7), 16, 10).cast("long")
+
+  /** Per-group HyperLogLog distinct estimate of `key`, hash-checked
+    * against the exact count.
+    *
+    * Output: one row per group —
+    * (groupCols…, m, nonzero_registers, denom_scaled, hll_estimate,
+    * exact_distinct, rel_err, within_bound). Every column is either
+    * exact integer arithmetic or a single-division double (see class
+    * doc), so the whole row hash-matches the DuckDB replay.
+    *
+    * The register table (groupCols × register → max rank) is the
+    * shuffle payload — ≤ m rows per group. `exact_distinct` is the
+    * verification column; a production profile at 100 TB would drop it
+    * (that is the point of the sketch).
+    */
+  def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[Column],
+      tag: String = "hll"): DataFrame = {
+    // one digest per row; h1 → register, h2 → rank source. The "tag|"
+    // prefix domain-separates this sketch's draws from every other md5
+    // consumer (the SmurfGen tag-keyed idiom).
+    val s = concat_ws("|", lit(tag), key.cast("string"))
+    val h1 = md5Half(s, 1)
+    val h2 = md5Half(s, 8)
+    val rank = when(h2 === 0, lit(MaxRank))
+      .otherwise(lit(MaxRank) - length(bin(h2)))
+    val named = groupCols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+    val gs = named.indices.map(i => col(s"g$i"))
+    val regs = df
+      .select(named :+ (h1 % M).as("j") :+ rank.as("rank"): _*)
+      .groupBy(gs :+ col("j"): _*)
+      .agg(max(col("rank")).as("mj"))
+    // 2^(R−mj) is exact in double for mj ∈ [1,29] and the cast truncates
+    // an exact integer — identical in Spark (truncating cast) and DuckDB
+    // (rounding cast) because there is nothing to round.
+    val term = pow(lit(2.0), lit(MaxRank) - col("mj")).cast("long")
+    val perGroup = regs.groupBy(gs: _*).agg(
+      count(lit(1)).as("nonzero_registers"),
+      sum(term).as("present_sum"))
+    val exact = df
+      .select(named :+ key.as("k"): _*)
+      .groupBy(gs: _*)
+      .agg(countDistinct(col("k")).as("exact_distinct"))
+    val denom = (col("present_sum") +
+      (lit(M.toLong) - col("nonzero_registers")) * lit(1L << MaxRank))
+      .as("denom_scaled")
+    perGroup.join(exact, named.indices.map(i => s"g$i"))
+      .select(gs :+ lit(M).as("m") :+ col("nonzero_registers") :+
+        denom :+ col("exact_distinct"): _*)
+      .withColumn("hll_estimate",
+        lit(HllScale) / col("denom_scaled").cast("double"))
+      .withColumn("rel_err",
+        (col("hll_estimate") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"))
+      .withColumn("within_bound", abs(col("rel_err")) <= lit(HllBound))
+  }
+
+  /** DuckDB mirror of [[hllDistinct]] over a single group column. The
+    * arithmetic is the same to the bit: hex-cast md5 halves, bin-length
+    * rank, integer-scaled denominator, and the one shared double literal.
+    */
+  def hllSql(table: String, keyExpr: String, groupCol: String,
+      tag: String = "hll"): String = {
+    val s = s"'$tag' || '|' || CAST($keyExpr AS VARCHAR)"
+    s"""WITH h AS (
+       |  SELECT $groupCol AS g0,
+       |    CAST(('0x' || substr(md5($s), 1, 7)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substr(md5($s), 8, 7)) AS BIGINT) AS h2,
+       |    $keyExpr AS k
+       |  FROM $table
+       |),
+       |regs AS (
+       |  SELECT g0, h1 % $M AS j,
+       |    max(CASE WHEN h2 = 0 THEN $MaxRank
+       |             ELSE $MaxRank - length(bin(h2)) END) AS mj
+       |  FROM h GROUP BY 1, 2
+       |),
+       |per_group AS (
+       |  SELECT g0, CAST(count(*) AS BIGINT) AS nonzero_registers,
+       |    CAST(sum(CAST(power(2, $MaxRank - mj) AS BIGINT)) AS BIGINT)
+       |      AS present_sum
+       |  FROM regs GROUP BY 1
+       |),
+       |exact AS (
+       |  SELECT g0, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+       |  FROM h GROUP BY 1
+       |)
+       |SELECT p.g0 AS $groupCol, $M AS m, p.nonzero_registers,
+       |  p.present_sum + ($M - p.nonzero_registers) *
+       |    CAST(${1L << MaxRank} AS BIGINT) AS denom_scaled,
+       |  e.exact_distinct,
+       |  $HllScale / CAST(p.present_sum + ($M - p.nonzero_registers) *
+       |    CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE) AS hll_estimate,
+       |  ($HllScale / CAST(p.present_sum + ($M - p.nonzero_registers) *
+       |    CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE)
+       |    - CAST(e.exact_distinct AS DOUBLE))
+       |    / CAST(e.exact_distinct AS DOUBLE) AS rel_err,
+       |  abs(($HllScale / CAST(p.present_sum + ($M - p.nonzero_registers) *
+       |    CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE)
+       |    - CAST(e.exact_distinct AS DOUBLE))
+       |    / CAST(e.exact_distinct AS DOUBLE)) <= $HllBound AS within_bound
+       |FROM per_group p JOIN exact e USING (g0)""".stripMargin
+  }
+
+  // ──────────────────────── Count-Min sketch ────────────────────────
+
+  /** Depth (independent hash rows) and width (buckets per row). d = 4,
+    * w = 32: at the test corpus's 31-word vocabulary the rows collide by
+    * construction, so the one-sided overshoot is actually exercised; at
+    * production scale w is sized as ⌈e/ε⌉ for the target εN overshoot.
+    */
+  val CmDepth = 4
+  val CmWidth = 32
+
+  /** Bucket of `key` under hash row i: the 28-bit md5 half of
+    * "cm|i|key", mod w. Row-indexed tags make the d rows independent
+    * draws of one digest family.
+    */
+  def cmBucket(key: Column, i: Int): Column =
+    md5Half(concat_ws("|", lit("cm"), lit(i), key.cast("string")), 1) %
+      CmWidth
+
+  /** Count-Min heavy hitters over `key`: build the d×w grid in one
+    * exploded pass, then probe every candidate key (here: the exact
+    * vocabulary — at 100 TB the probe set is whatever candidate stream
+    * you care about) with d broadcast lookups and take the min.
+    *
+    * Output: (key, true_cnt, est_cnt, overcount, is_heavy) — all
+    * integers/booleans, hash-exact. `est_cnt ≥ true_cnt` always (the
+    * sketch's one-sided guarantee; CmSketchSpec pins it), `is_heavy` is
+    * the ≥ 1 % share rule evaluated on the ESTIMATE, i.e. what a
+    * production probe would use.
+    */
+  def cmHeavyHitters(keys: DataFrame, keyCol: String): DataFrame = {
+    // the d×w grid: each key row contributes to d (row, bucket) cells —
+    // a fixed 4-way explode, then a ≤ d·w-cell aggregate. This is the
+    // 100 TB shape: the shuffle payload is the grid, not the keys.
+    val cells = keys
+      .select(posexplode(array((0 until CmDepth).map(i =>
+        cmBucket(col(keyCol), i)): _*)).as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // candidate probe: exact counts double as the candidate stream and
+    // the verification column
+    val truth = keys.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val total = keys.count()
+    // d broadcast lookups against the ≤ d·w-cell grid, min across rows
+    val probed = (0 until CmDepth).foldLeft(
+      truth.withColumn("est_cnt", lit(Long.MaxValue))) { (acc, i) =>
+      acc.join(broadcast(cells.filter(col("row_i") === i)
+          .select(col("bucket"), col("cnt").as(s"c$i"))),
+          cmBucket(col("k"), i) === col("bucket"), "left")
+        .withColumn("est_cnt", least(col("est_cnt"), col(s"c$i")))
+        .drop("bucket", s"c$i")
+    }
+    probed.select(col("k").as(keyCol), col("true_cnt"), col("est_cnt"),
+      (col("est_cnt") >= col("true_cnt")).as("overcount_ok"),
+      (col("est_cnt") * lit(100L) >= lit(total)).as("is_heavy"))
+  }
+
+  /** DuckDB mirror of [[cmHeavyHitters]] over `documents` words. */
+  def cmSql(wordPattern: String): String = {
+    val buckets = (0 until CmDepth).map(i =>
+      s"CAST(('0x' || substr(md5('cm' || '|' || $i || '|' || word), 1, 7)) AS BIGINT) % $CmWidth")
+    s"""WITH w AS (
+       |  SELECT word FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE regexp_matches(word, '$wordPattern')
+       |),
+       |cells AS (
+       |  SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (
+       |    ${(0 until CmDepth).map(i =>
+        s"SELECT $i AS row_i, ${buckets(i)} AS bucket FROM w")
+        .mkString("\n    UNION ALL ")}
+       |  ) GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT word AS k, CAST(count(*) AS BIGINT) AS true_cnt FROM w
+       |  GROUP BY 1
+       |),
+       |total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w)
+       |SELECT t.k AS word, t.true_cnt,
+       |  least(${(0 until CmDepth).map(i =>
+        s"(SELECT cnt FROM cells WHERE row_i = $i AND bucket = " +
+          s"${buckets(i).replace("word", "t.k")})").mkString(", ")})
+       |    AS est_cnt,
+       |  least(${(0 until CmDepth).map(i =>
+        s"(SELECT cnt FROM cells WHERE row_i = $i AND bucket = " +
+          s"${buckets(i).replace("word", "t.k")})").mkString(", ")})
+       |    >= t.true_cnt AS overcount_ok,
+       |  least(${(0 until CmDepth).map(i =>
+        s"(SELECT cnt FROM cells WHERE row_i = $i AND bucket = " +
+          s"${buckets(i).replace("word", "t.k")})").mkString(", ")})
+       |    * 100 >= (SELECT n FROM total) AS is_heavy
+       |FROM truth t""".stripMargin
+  }
+}
