@@ -259,4 +259,30 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus side shuffles before the weights join: $streamed")
     assert(scans(streamed).nonEmpty, "corpus side lost its parquet scan")
   }
+
+  test("hll sketch (q93): register-table shuffles only, lineitem pruned") {
+    val p = staticPlan(SparkEntry.queries("q93_hll_distinct")(spark, dir))
+    // the sketch must never shuffle raw keys: every exchange partitions
+    // the ≤m-row-per-group register/aggregate tables, and the only wide
+    // row set (the scan) reaches its first partial agg map-side. Pin the
+    // count: register agg + per-group rollup + exact-verify distinct +
+    // the final join's two sides = a small constant, not O(plan growth).
+    assert(shuffles(p).size <= 5, s"q93 shuffle count grew: $p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet ==
+        Set("l_orderkey", "l_returnflag"),
+        s"lineitem scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("cms sketch (q94): grid probes are broadcast joins, no cartesian") {
+    val p = staticPlan(
+      SparkEntry.queries("q94_cms_heavy_hitters")(spark, dir))
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == ext.Sketches.CmDepth,
+      s"expected ${ext.Sketches.CmDepth} broadcast grid probes: $p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q94 planned a cartesian: $p")
+  }
 }
