@@ -69,6 +69,40 @@ object Sketches {
   private def md5Half(x: Column, lo: Int): Column =
     conv(substring(md5(x), lo, 7), 16, 10).cast("long")
 
+  /** (register index, rank) of one key draw — THE hash arithmetic of the
+    * sketch, shared verbatim by the batch operator, the streaming twin
+    * ([[graft.streaming.StreamOps.streamingHllRegisters]]) and (in SQL
+    * form) the DuckDB mirror, so all three produce identical registers.
+    */
+  def hllRegisterCols(key: Column, tag: String = "hll"): (Column, Column) = {
+    val s = concat_ws("|", lit(tag), key.cast("string"))
+    val h1 = md5Half(s, 1)
+    val h2 = md5Half(s, 8)
+    val rank = when(h2 === 0, lit(MaxRank))
+      .otherwise(lit(MaxRank) - length(bin(h2)))
+    (h1 % M, rank)
+  }
+
+  /** Fold a (g…, j, mj) register table into per-group (nonzero_registers,
+    * denom_scaled, hll_estimate) — the read side of the sketch, shared by
+    * [[hllDistinct]] and consumers of streamed register state. `gs` are
+    * the group column names.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, gs: Seq[String]): DataFrame = {
+    // 2^(R−mj) is exact in double for mj ∈ [1,29] and the cast truncates
+    // an exact integer — identical in Spark (truncating cast) and DuckDB
+    // (rounding cast) because there is nothing to round.
+    val term = pow(lit(2.0), lit(MaxRank) - col("mj")).cast("long")
+    regs.groupBy(gs.map(col): _*)
+      .agg(count(lit(1)).as("nonzero_registers"),
+        sum(term).as("present_sum"))
+      .withColumn("denom_scaled", col("present_sum") +
+        (lit(M.toLong) - col("nonzero_registers")) * lit(1L << MaxRank))
+      .drop("present_sum")
+      .withColumn("hll_estimate",
+        lit(HllScale) / col("denom_scaled").cast("double"))
+  }
+
   /** Per-group HyperLogLog distinct estimate of `key`, hash-checked
     * against the exact count.
     *
@@ -88,36 +122,23 @@ object Sketches {
     // one digest per row; h1 → register, h2 → rank source. The "tag|"
     // prefix domain-separates this sketch's draws from every other md5
     // consumer (the SmurfGen tag-keyed idiom).
-    val s = concat_ws("|", lit(tag), key.cast("string"))
-    val h1 = md5Half(s, 1)
-    val h2 = md5Half(s, 8)
-    val rank = when(h2 === 0, lit(MaxRank))
-      .otherwise(lit(MaxRank) - length(bin(h2)))
+    val (j, rank) = hllRegisterCols(key, tag)
     val named = groupCols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
     val gs = named.indices.map(i => col(s"g$i"))
+    val gNames = named.indices.map(i => s"g$i")
     val regs = df
-      .select(named :+ (h1 % M).as("j") :+ rank.as("rank"): _*)
+      .select(named :+ j.as("j") :+ rank.as("rank"): _*)
       .groupBy(gs :+ col("j"): _*)
       .agg(max(col("rank")).as("mj"))
-    // 2^(R−mj) is exact in double for mj ∈ [1,29] and the cast truncates
-    // an exact integer — identical in Spark (truncating cast) and DuckDB
-    // (rounding cast) because there is nothing to round.
-    val term = pow(lit(2.0), lit(MaxRank) - col("mj")).cast("long")
-    val perGroup = regs.groupBy(gs: _*).agg(
-      count(lit(1)).as("nonzero_registers"),
-      sum(term).as("present_sum"))
+    val perGroup = hllEstimateFromRegisters(regs, gNames)
     val exact = df
       .select(named :+ key.as("k"): _*)
       .groupBy(gs: _*)
       .agg(countDistinct(col("k")).as("exact_distinct"))
-    val denom = (col("present_sum") +
-      (lit(M.toLong) - col("nonzero_registers")) * lit(1L << MaxRank))
-      .as("denom_scaled")
-    perGroup.join(exact, named.indices.map(i => s"g$i"))
+    perGroup.join(exact, gNames)
       .select(gs :+ lit(M).as("m") :+ col("nonzero_registers") :+
-        denom :+ col("exact_distinct"): _*)
-      .withColumn("hll_estimate",
-        lit(HllScale) / col("denom_scaled").cast("double"))
+        col("denom_scaled") :+ col("exact_distinct") :+
+        col("hll_estimate"): _*)
       .withColumn("rel_err",
         (col("hll_estimate") - col("exact_distinct").cast("double")) /
           col("exact_distinct").cast("double"))

@@ -406,4 +406,26 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Streaming HyperLogLog registers: the streaming twin of
+    * Sketches.hllDistinct (q93). The register table — (group, register)
+    * → max rank — IS the streaming state, and it is bounded BY THE
+    * SKETCH'S CONSTRUCTION at m=256 rows per group forever, no watermark
+    * needed: this is the rare stateful aggregation whose state cannot
+    * grow with the stream (a streaming `count(distinct)` would hold every
+    * key). Registers use the IDENTICAL hash arithmetic as the batch
+    * operator ([[graft.ext.Sketches.hllRegisterCols]]), so a streamed
+    * register table equals the batch one on the same data row-for-row
+    * (StreamOpsSpec pins it) and
+    * [[graft.ext.Sketches.hllEstimateFromRegisters]] reads either.
+    * Update output mode: each micro-batch emits only registers that
+    * grew.
+    */
+  def streamingHllRegisters(rows: DataFrame, keyCol: String,
+      groupCol: String, tag: String = "hll"): DataFrame = {
+    val (j, rank) = graft.ext.Sketches.hllRegisterCols(col(keyCol), tag)
+    rows.select(col(groupCol).as("g0"), j.as("j"), rank.as("rank"))
+      .groupBy(col("g0"), col("j"))
+      .agg(max(col("rank")).as("mj"))
+  }
 }

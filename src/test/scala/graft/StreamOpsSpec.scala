@@ -242,4 +242,35 @@ class StreamOpsSpec extends SparkSpec {
       assert(got(ts(40)) == Some(2.0))
     } finally q.stop()
   }
+
+  test("streaming hll registers equal batch; state bounded at m per group") {
+    import graft.ext.Sketches
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF.select(lit("all").as("g"), col("value").as("k"))
+    val q = StreamOps.streamingHllRegisters(rows, "k", "g")
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      mem.addData(1L to 3000L: _*)
+      q.processAllAvailable()
+      // second batch overlaps the first: re-delivered keys must not move
+      // any register (max-merge idempotence — the mergeability that makes
+      // the sketch a valid streaming/partial-agg state)
+      mem.addData(2000L to 5000L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_regs")
+      assert(streamed.count() <= Sketches.M.toLong,
+        "register state exceeded m rows")
+      val est = Sketches.hllEstimateFromRegisters(streamed, Seq("g0"))
+        .collect().head
+      val batch = Sketches.hllDistinct(
+        (1L to 5000L).toDF("k").withColumn("g", lit("all")),
+        col("k"), Seq(col("g"))).collect().head
+      assert(est.getAs[Long]("denom_scaled") ===
+        batch.getAs[Long]("denom_scaled"))
+      assert(est.getAs[Double]("hll_estimate") ===
+        batch.getAs[Double]("hll_estimate"))
+    } finally q.stop()
+  }
 }
