@@ -37,6 +37,7 @@ object Main {
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |                      [--r <spanTokens>] [--p true] [--c true] [--x true]
       |                      [--d <nearDupMaxDf, 0=ungated>]
+      |  graft.Main profile  --f <docs.parquet> [--o <outdir>]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -159,6 +160,13 @@ object Main {
             else None).flatten
           println(s"curate: ${stages.mkString(", ")} -> " +
             s"${opt("--o", "results")}")
+        case "profile" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val counts = runProfile(spark, in, opt("--o", "results"))
+          println(s"profile: ${counts("sources")} sources, " +
+            s"${counts("heavy_hitters")} heavy hitters of " +
+            s"${counts("vocab")} candidate words -> ${opt("--o", "results")}")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -737,5 +745,33 @@ object Main {
         i => posOf(nodes(i)), new java.io.File(s"$out/reorder.png"))
     }
     n
+  }
+
+  /** `profile`: sketch-based corpus profile (the q93/q94 operators as a
+    * CLI stage) — per-source HyperLogLog distinct-word estimates next to
+    * their exact verification counts (`profile_distinct`), and Count-Min
+    * heavy hitters over the whole corpus (`profile_heavy`). At 100 TB the
+    * exact columns would be dropped and the register/grid tables carried
+    * between days (both merge: max for registers, + for grid cells).
+    */
+  def runProfile(spark: SparkSession, in: String,
+                 out: String): Map[String, Long] = {
+    import graft.ext.Sketches
+    val words = spark.read.parquet(in)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hll = Sketches.hllDistinct(words, col("word"), Seq(col("source")))
+      .withColumnRenamed("g0", "source")
+    hll.coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/profile_distinct")
+    val hh = Sketches.cmHeavyHitters(words.select(col("word")), "word")
+    hh.coalesce(1).write.mode("overwrite").parquet(s"$out/profile_heavy")
+    val nSources = spark.read.parquet(s"$out/profile_distinct").count()
+    val heavy = spark.read.parquet(s"$out/profile_heavy")
+    val nVocab = heavy.count()
+    val nHeavy = heavy.filter(col("is_heavy")).count()
+    words.unpersist()
+    Map("sources" -> nSources, "vocab" -> nVocab, "heavy_hitters" -> nHeavy)
   }
 }

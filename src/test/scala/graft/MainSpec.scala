@@ -438,4 +438,22 @@ class MainSpec extends SparkSpec {
       new java.io.File(s"$tmp/out/reorder.png"))
     assert(spy != null && spy.getWidth > 200)
   }
+
+  test("profile CLI mode: sketch tables land with their guarantees intact") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val counts = Main.runProfile(spark,
+      s"$sfDir/documents.parquet", s"$tmp/out")
+    assert(counts("sources") > 0 && counts("vocab") > 0)
+    assert(counts("heavy_hitters") <= counts("vocab"))
+    val hll = spark.read.parquet(s"$tmp/out/profile_distinct")
+    // tiny per-source vocab at sf0.001 sits in HLL's linear-counting
+    // regime where the raw estimate biases low — the point here is the
+    // tables land complete with exact verification columns, not the
+    // bound flag (SketchesSpec covers the estimator's regime)
+    assert(hll.columns.toSet.contains("hll_estimate"))
+    assert(hll.filter(col("exact_distinct") <= 0).count() == 0)
+    val hh = spark.read.parquet(s"$tmp/out/profile_heavy")
+    assert(hh.filter(!col("overcount_ok")).count() == 0,
+      "CM one-sided guarantee violated")
+  }
 }
