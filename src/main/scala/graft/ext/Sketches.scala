@@ -66,18 +66,19 @@ object Sketches {
   /** ±3σ relative-error acceptance bound, σ = 1.04/√m. */
   val HllBound: Double = 3.0 * 1.04 / math.sqrt(M.toDouble)
 
-  private def md5Half(x: Column, lo: Int): Column =
-    conv(substring(md5(x), lo, 7), 16, 10).cast("long")
-
   /** (register index, rank) of one key draw — THE hash arithmetic of the
     * sketch, shared verbatim by the batch operator, the streaming twin
     * ([[graft.streaming.StreamOps.streamingHllRegisters]]) and (in SQL
     * form) the DuckDB mirror, so all three produce identical registers.
+    * One NATIVE digest per row (`Md5HalvesExpr` packs both 28-bit halves
+    * — bit-identical to the `conv(substr(md5))` form the mirror replays,
+    * which would pay two digests plus a hex round-trip per row).
     */
   def hllRegisterCols(key: Column, tag: String = "hll"): (Column, Column) = {
     val s = concat_ws("|", lit(tag), key.cast("string"))
-    val h1 = md5Half(s, 1)
-    val h2 = md5Half(s, 8)
+    val packed = org.apache.spark.sql.graft.GraftExprBridge.md5Halves(s)
+    val h1 = shiftrightunsigned(packed, 28)
+    val h2 = packed bitwiseAND lit((1L << 28) - 1)
     val rank = when(h2 === 0, lit(MaxRank))
       .otherwise(lit(MaxRank) - length(bin(h2)))
     (h1 % M, rank)
@@ -204,11 +205,13 @@ object Sketches {
 
   /** Bucket of `key` under hash row i: the 28-bit md5 half of
     * "cm|i|key", mod w. Row-indexed tags make the d rows independent
-    * draws of one digest family.
+    * draws of one digest family. Native single digest (see
+    * [[hllRegisterCols]]); bit-identical to the mirror's hex-cast form.
     */
-  def cmBucket(key: Column, i: Int): Column =
-    md5Half(concat_ws("|", lit("cm"), lit(i), key.cast("string")), 1) %
-      CmWidth
+  def cmBucket(key: Column, i: Int, width: Int = CmWidth): Column =
+    shiftrightunsigned(org.apache.spark.sql.graft.GraftExprBridge
+      .md5Halves(concat_ws("|", lit("cm"), lit(i), key.cast("string"))),
+      28) % width
 
   /** Count-Min heavy hitters over `key`: build the d×w grid in one
     * exploded pass, then probe every candidate key (here: the exact
@@ -221,13 +224,14 @@ object Sketches {
     * the ≥ 1 % share rule evaluated on the ESTIMATE, i.e. what a
     * production probe would use.
     */
-  def cmHeavyHitters(keys: DataFrame, keyCol: String): DataFrame = {
+  def cmHeavyHitters(keys: DataFrame, keyCol: String,
+      width: Int = CmWidth): DataFrame = {
     // the d×w grid: each key row contributes to d (row, bucket) cells —
     // a fixed 4-way explode, then a ≤ d·w-cell aggregate. This is the
     // 100 TB shape: the shuffle payload is the grid, not the keys.
     val cells = keys
       .select(posexplode(array((0 until CmDepth).map(i =>
-        cmBucket(col(keyCol), i)): _*)).as(Seq("row_i", "bucket")))
+        cmBucket(col(keyCol), i, width)): _*)).as(Seq("row_i", "bucket")))
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     // candidate probe: exact counts double as the candidate stream and
@@ -240,7 +244,7 @@ object Sketches {
       truth.withColumn("est_cnt", lit(Long.MaxValue))) { (acc, i) =>
       acc.join(broadcast(cells.filter(col("row_i") === i)
           .select(col("bucket"), col("cnt").as(s"c$i"))),
-          cmBucket(col("k"), i) === col("bucket"), "left")
+          cmBucket(col("k"), i, width) === col("bucket"), "left")
         .withColumn("est_cnt", least(col("est_cnt"), col(s"c$i")))
         .drop("bucket", s"c$i")
     }
