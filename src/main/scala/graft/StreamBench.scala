@@ -59,12 +59,13 @@ object StreamBench {
     /** Drain `build(readStream)` with AvailableNow; return (outRows, sec). */
     def drain(name: String, inPath: String,
               schema: org.apache.spark.sql.types.StructType,
-              build: DataFrame => DataFrame): (Long, Double) = {
+              build: DataFrame => DataFrame,
+              mode: String = "append"): (Long, Double) = {
       val in = spark.readStream.schema(schema).parquet(inPath)
       var out = 0L
       val t0 = System.nanoTime()
       val q = build(in).writeStream
-        .outputMode("append")
+        .outputMode(mode)
         .option("checkpointLocation", dir(s"$name-ckpt"))
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) => out += b.count(); () }
@@ -163,6 +164,20 @@ object StreamBench {
           maxIntervalSeconds = 600L, bucketSeconds = 600L,
           watermark = "30 minutes"))
     })
+
+    // 6. streamingHllRegisters — 2M keys (20 % re-deliveries) across 8
+    //    groups in update mode: the register-maintenance path, whose
+    //    state is construction-bounded at 8×256 rows (out rows counts
+    //    per-batch register UPDATES, itself bounded by the same 2048)
+    val nHll = 2000000L
+    val (hllP, hllSch) = writeIn("hll-in",
+      spark.range(nHll).select(
+        pmod(col("id"), lit((nHll * 4) / 5)).as("k"),
+        pmod(col("id"), lit(8L)).cast("string").as("g")))
+    record("hll_registers", nHll,
+      drain("hll", hllP, hllSch,
+        in => StreamOps.streamingHllRegisters(in, "k", "g"),
+        mode = "update"))
 
     // Persist the record as STREAMBENCH_LOCAL.json (full line, never
     // truncated) so streaming throughput diffs round-over-round
