@@ -589,6 +589,9 @@ object SparkEntry {
         Tables.table(s, dir, "documents")
           .select(explode(split(col("text"), "\\s+")).as("word"))
           .filter(col("word").rlike("^[a-z]+$")), "word")),
+    "q95_kmv_intersect" -> ((s, dir) =>
+      Sketches.kmvPairIntersect(Tables.table(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_returnflag"))),
 
     // ───── dedup family (extension surface) ─────
     "q22_dedup_exact" -> ((s, dir) =>
@@ -1824,6 +1827,8 @@ object SparkEntry {
     "q93_hll_distinct" ->
       Sketches.hllSql("lineitem", "l_orderkey", "l_returnflag"),
     "q94_cms_heavy_hitters" -> Sketches.cmSql("^[a-z]+$"),
+    "q95_kmv_intersect" ->
+      Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
 
     "q44_lang_id_ngram" -> {
       val profValues = TextOps.langTrigrams

@@ -193,6 +193,168 @@ object Sketches {
        |FROM per_group p JOIN exact e USING (g0)""".stripMargin
   }
 
+  // ─────────────────── KMV (theta) sketch set ops ───────────────────
+
+  /** KMV sample size. k = 256 gives ~1/√k ≈ 6 % relative error on the
+    * union scale; intersection error grows as the overlap shrinks (the
+    * usual theta-sketch caveat — emitted values let the caller judge).
+    */
+  val KmvK = 256
+
+  /** Hash domain: the packed 56-bit md5 halves, so the kth-smallest
+    * threshold converts to a sampling fraction as hk / 2^56.
+    */
+  val KmvDomain: Double = math.pow(2.0, 56)
+
+  /** Per-group KMV sketch: the k smallest 56-bit key hashes, plus each
+    * group's threshold `hk` (the kth smallest, or 2^56 when the group
+    * has fewer than k distinct keys — the degenerate exact regime).
+    * Returns (g, h, hk) — one row per retained hash.
+    *
+    * Scale shape: the `distinct` dominates. At profile scale compose
+    * with [[hllDistinct]] the way SketchScale does — a map-only
+    * prefilter `h < 2^56·(8k/n̂)` ahead of the distinct cuts the shuffle
+    * to ~8k rows per group, and cannot change the result while the kth
+    * smallest survivor stays under the gate (every retained hash is
+    * below it by construction; assert survivors ≥ k as SketchScale
+    * does). The k-selection window then runs on k-scale rows per group,
+    * not the key universe.
+    */
+  def kmvSketch(df: DataFrame, key: Column, group: Column,
+      k: Int = KmvK, tag: String = "kmv"): DataFrame = {
+    val h = org.apache.spark.sql.graft.GraftExprBridge
+      .md5Halves(concat_ws("|", lit(tag), key.cast("string")))
+    val distinctHashes = df.select(group.as("g"), h.as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    distinctHashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("nkept", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .withColumn("hk",
+        when(col("nkept") < k, lit(1L << 56))
+          .otherwise(max(col("h")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g")))))
+      .select(col("g"), col("h"), col("hk"))
+  }
+
+  /** Theta-sketch distinct-set INTERSECTION between every group pair —
+    * the set operation HLL registers cannot express. For pair (a, b):
+    * θ = min(hk_a, hk_b); the estimate is |{h < θ kept by BOTH}| · 2^56
+    * / θ. Exact intersections ride along as the verification column.
+    *
+    * Determinism: θ and the sample count are integers; the estimate is
+    * count·2^56 (exact — count ≤ k needs 8 bits of mantissa) divided by
+    * θ's IEEE-rounded double image, both casts round-to-nearest in
+    * Spark and DuckDB alike, so the double hash-checks.
+    *
+    * Output: (g_a, g_b, k, theta, inter_sample, kmv_inter_estimate,
+    * exact_inter, rel_err) with g_a < g_b.
+    */
+  def kmvPairIntersect(df: DataFrame, key: Column, group: Column,
+      k: Int = KmvK, tag: String = "kmv"): DataFrame = {
+    val sk = kmvSketch(df, key, group, k, tag)
+      .transform(graft.util.Pins.pin)
+    val a = sk.select(col("g").as("g_a"), col("h"),
+      col("hk").as("hk_a"))
+    val b = sk.select(col("g").as("g_b"), col("h"),
+      col("hk").as("hk_b"))
+    // retained sets are ≤ k·|groups| rows — broadcast-scale by design
+    val theta = least(col("hk_a"), col("hk_b"))
+    val samples = a.join(broadcast(b), "h")
+      .filter(col("g_a") < col("g_b") && col("h") < theta)
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("inter_sample"))
+    // every pair needs a row even at zero overlap, and every pair needs
+    // its θ: cross the per-group thresholds (|groups|² tiny rows)
+    val hks = sk.select(col("g"), col("hk")).distinct()
+    val pairs = hks.select(col("g").as("g_a"), col("hk").as("hk_a"))
+      .join(broadcast(hks.select(col("g").as("g_b"),
+        col("hk").as("hk_b"))), col("g_a") < col("g_b"))
+    val exact = {
+      val d = df.select(group.as("g"), key.as("k0")).distinct()
+        .transform(graft.util.Pins.pin)
+      d.select(col("g").as("g_a"), col("k0"))
+        .join(d.select(col("g").as("g_b"), col("k0")), "k0")
+        .filter(col("g_a") < col("g_b"))
+        .groupBy(col("g_a"), col("g_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+    }
+    pairs
+      .join(samples, Seq("g_a", "g_b"), "left")
+      .join(exact, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), lit(k).as("k"),
+        least(col("hk_a"), col("hk_b")).as("theta"),
+        coalesce(col("inter_sample"), lit(0L)).as("inter_sample"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .withColumn("kmv_inter_estimate",
+        col("inter_sample").cast("double") * lit(KmvDomain) /
+          col("theta").cast("double"))
+      .withColumn("rel_err",
+        // null at zero true overlap (ANSI division guard; the mirror's
+        // CASE matches)
+        when(col("exact_inter") === 0, lit(null).cast("double"))
+          .otherwise(
+            (col("kmv_inter_estimate") - col("exact_inter").cast("double"))
+              / col("exact_inter").cast("double")))
+  }
+
+  /** DuckDB mirror of [[kmvPairIntersect]]. */
+  def kmvSql(table: String, keyExpr: String, groupCol: String,
+      k: Int = KmvK, tag: String = "kmv"): String = {
+    val s = s"'$tag' || '|' || CAST($keyExpr AS VARCHAR)"
+    val h = s"CAST(('0x' || substr(md5($s), 1, 7)) AS BIGINT) * 268435456" +
+      s" + CAST(('0x' || substr(md5($s), 8, 7)) AS BIGINT)"
+    s"""WITH dh AS (
+       |  SELECT DISTINCT $groupCol AS g, $h AS h FROM $table
+       |),
+       |ranked AS (
+       |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |  FROM dh
+       |),
+       |kept AS (SELECT g, h FROM ranked WHERE rn <= $k),
+       |hks AS (
+       |  SELECT g,
+       |    CASE WHEN count(*) < $k THEN CAST(${1L << 56} AS BIGINT)
+       |         ELSE max(h) END AS hk
+       |  FROM kept GROUP BY g
+       |),
+       |pairs AS (
+       |  SELECT a.g AS g_a, b.g AS g_b, a.hk AS hk_a, b.hk AS hk_b
+       |  FROM hks a JOIN hks b ON a.g < b.g
+       |),
+       |samples AS (
+       |  SELECT p.g_a, p.g_b, CAST(count(*) AS BIGINT) AS inter_sample
+       |  FROM pairs p
+       |  JOIN kept ka ON ka.g = p.g_a
+       |  JOIN kept kb ON kb.g = p.g_b AND kb.h = ka.h
+       |  WHERE ka.h < least(p.hk_a, p.hk_b)
+       |  GROUP BY 1, 2
+       |),
+       |dk AS (SELECT DISTINCT $groupCol AS g, $keyExpr AS k0 FROM $table),
+       |exact AS (
+       |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT)
+       |    AS exact_inter
+       |  FROM dk a JOIN dk b ON a.k0 = b.k0 AND a.g < b.g
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.g_a, p.g_b, $k AS k,
+       |  least(p.hk_a, p.hk_b) AS theta,
+       |  coalesce(s.inter_sample, 0) AS inter_sample,
+       |  coalesce(e.exact_inter, 0) AS exact_inter,
+       |  CAST(coalesce(s.inter_sample, 0) AS DOUBLE) * $KmvDomain /
+       |    CAST(least(p.hk_a, p.hk_b) AS DOUBLE) AS kmv_inter_estimate,
+       |  CASE WHEN coalesce(e.exact_inter, 0) = 0 THEN NULL
+       |    ELSE (CAST(coalesce(s.inter_sample, 0) AS DOUBLE) * $KmvDomain /
+       |      CAST(least(p.hk_a, p.hk_b) AS DOUBLE)
+       |      - CAST(e.exact_inter AS DOUBLE))
+       |      / CAST(e.exact_inter AS DOUBLE) END AS rel_err
+       |FROM pairs p
+       |LEFT JOIN samples s ON s.g_a = p.g_a AND s.g_b = p.g_b
+       |LEFT JOIN exact e ON e.g_a = p.g_a AND e.g_b = p.g_b""".stripMargin
+  }
+
   // ──────────────────────── Count-Min sketch ────────────────────────
 
   /** Depth (independent hash rows) and width (buckets per row). d = 4,

@@ -95,6 +95,54 @@ class SketchesSpec extends SparkSpec {
       heavy.map(_.getAs[String]("word").drop(1).toInt).toSet))
   }
 
+  test("kmv degenerates to EXACT intersection below k distinct keys") {
+    // two groups, 40 and 50 keys, 20 shared — all under k=256, so
+    // θ = 2^56 (sampling fraction 1) and the estimate must be exact
+    val rows = ((1L to 40L).map(("a", _)) ++ (21L to 70L).map(("b", _)))
+      .toDF("g", "k")
+    val out = Sketches.kmvPairIntersect(rows, col("k"), col("g"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("theta") === (1L << 56))
+    assert(r.getAs[Long]("exact_inter") === 20L)
+    assert(r.getAs[Long]("inter_sample") === 20L)
+    assert(r.getAs[Double]("kmv_inter_estimate") === 20.0)
+  }
+
+  test("kmv threshold matches the by-hand kth-smallest replay") {
+    val n = 2000L
+    val rows = (1L to n).map(("a", _)).toDF("g", "k")
+    val sk = Sketches.kmvSketch(rows, col("k"), col("g")).collect()
+    assert(sk.length === Sketches.KmvK)
+    // by hand: pack((md5 "kmv|i")) for all i, take kth smallest
+    def packed(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var l = 0L
+      (0 until 8).foreach(i => l = (l << 8) | (d(i) & 0xffL))
+      ((l >>> 36) << 28) | ((l >>> 8) & 0xfffffffL)
+    }
+    val hand = (1L to n).map(i => packed(s"kmv|$i")).sorted
+      .take(Sketches.KmvK)
+    assert(sk.map(_.getAs[Long]("h")).sorted.toSeq === hand)
+    assert(sk.head.getAs[Long]("hk") === hand.last)
+  }
+
+  test("kmv estimate lands near a planted 20k-key overlap") {
+    // |A| = 60k, |B| = 60k, |A∩B| = 20k planted exactly
+    val rows = ((0L until 60000L).map(("a", _)) ++
+      (40000L until 100000L).map(("b", _))).toDF("g", "k")
+    val r = Sketches.kmvPairIntersect(rows, col("k"), col("g"))
+      .collect().head
+    assert(r.getAs[Long]("exact_inter") === 20000L)
+    val rel = math.abs(r.getAs[Double]("rel_err"))
+    // union-scale σ ≈ 1/√k ≈ 6.3 %, inflated by the 1/5 overlap share;
+    // 3σ on the intersection ≈ 0.3 — pin generously, the value itself
+    // is hash-checked in q95
+    assert(rel < 0.3, s"kmv intersection off by $rel")
+  }
+
   test("cms bucket arithmetic matches the by-hand md5 replay") {
     val df = Seq("alpha", "beta").toDF("word")
     val out = Sketches.cmHeavyHitters(df, "word")
