@@ -104,6 +104,57 @@ object SketchScale {
     assert(falseHeavy.length <= 50,
       s"${falseHeavy.length} false heavies — grid too loaded")
 
+    // ───── KMV intersection with the q93-guided prefilter ─────
+    // A = keys [0, 12M), B = keys [8M, 20M) ⇒ |A∩B| = 4M closed-form.
+    // The scale composition the operator scaladoc documents: estimate
+    // each group's cardinality from HLL registers (cheap, map-side),
+    // turn it into a map-only hash gate h < 2^56·8k/n̂ BEFORE the
+    // distinct, and assert the gate was safe (≥ k survivors — every
+    // retained hash sits below the gate, so the kth smallest is
+    // unchanged and the sketch is exactly the ungated one).
+    val kmvK = 4096 // intersection σ ≈ (union/inter)/√k ≈ 3.1 % here
+    val sizeA = 12000000L
+    val overlap = 4000000L
+    val kmvRows = spark.range(sizeA).select(lit("a").as("g"),
+        col("id").as("k"))
+      .union(spark.range(sizeA).select(lit("b").as("g"),
+        (col("id") + (sizeA - overlap)).as("k")))
+    val tK = t0()
+    val (jK, rankK) = Sketches.hllRegisterCols(col("k"), tag = "kmv-pre")
+    val nHat = Sketches.hllEstimateFromRegisters(
+      kmvRows.select(col("g"), jK.as("j"), rankK.as("rank"))
+        .groupBy(col("g"), col("j")).agg(max(col("rank")).as("mj")),
+      Seq("g")).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("hll_estimate"))
+      .toMap
+    val theta0 = (math.pow(2.0, 56) * 8.0 * kmvK /
+      math.min(nHat("a"), nHat("b"))).toLong
+    val hCol = org.apache.spark.sql.graft.GraftExprBridge
+      .md5Halves(concat_ws("|", lit("kmv"), col("k").cast("string")))
+    val gated = kmvRows.filter(hCol < theta0)
+    val sk = Sketches.kmvSketch(gated, col("k"), col("g"), k = kmvK)
+      .persist()
+    val perGroup = sk.groupBy(col("g")).agg(
+      count(lit(1)).as("kept"), max(col("hk")).as("hk")).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("kept"), r.getAs[Long]("hk"))).toMap
+    perGroup.foreach { case (grp, (kept, hk)) =>
+      assert(kept == kmvK, s"gate bit: group $grp kept $kept < $kmvK")
+      assert(hk < theta0, s"gate unsafe: group $grp hk $hk >= $theta0")
+    }
+    val thetaPair = math.min(perGroup("a")._2, perGroup("b")._2)
+    val interSample = sk.filter(col("g") === "a")
+      .select(col("h")).intersect(
+        sk.filter(col("g") === "b").select(col("h")))
+      .filter(col("h") < thetaPair).count()
+    sk.unpersist()
+    val kmvEst = interSample.toDouble * math.pow(2.0, 56) /
+      thetaPair.toDouble
+    val kmvSec = secs(tK)
+    val kmvRelErr = math.abs(kmvEst - overlap) / overlap.toDouble
+    assert(kmvRelErr <= 0.12,
+      f"KMV intersection off: $kmvEst%.0f vs $overlap (rel $kmvRelErr%.3f)")
+
     println(s"""{"n":$n,"hll_groups":$g,"hll_planted_distinct":$truth,""" +
       s""""hll_sec":$hllSec,"hll_register_rows":$nRegs,""" +
       s""""hll_worst_rel_err":$worstRelErr,""" +
@@ -111,7 +162,11 @@ object SketchScale {
       s""""exact_distinct_sec":$exactSec,""" +
       s""""cm_sec":$cmSec,"cm_candidates":$nCand,""" +
       s""""cm_true_heavy":${trueHeavy.length},""" +
-      s""""cm_false_heavy":${falseHeavy.length}}""")
+      s""""cm_false_heavy":${falseHeavy.length},""" +
+      s""""kmv_k":$kmvK,"kmv_planted_inter":$overlap,""" +
+      s""""kmv_gated_rows":${gated.count()},""" +
+      s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvRelErr,""" +
+      s""""kmv_sec":$kmvSec}""")
     spark.stop()
   }
 }

@@ -95,6 +95,42 @@ class SketchesSpec extends SparkSpec {
       heavy.map(_.getAs[String]("word").drop(1).toInt).toSet))
   }
 
+  test("hll registers max-merge: sketch(A ∪ B) = merge(sketch A, sketch B)") {
+    // the mergeability that makes the sketch a partial aggregate and a
+    // cross-day roll-up: registers of the union equal the per-part
+    // registers merged by max
+    import graft.ext.Sketches.hllRegisterCols
+    def regs(lo: Long, hi: Long) = {
+      val (j, rank) = hllRegisterCols(col("k"))
+      (lo until hi).toDF("k").select(j.as("j"), rank.as("rank"))
+        .groupBy("j").agg(max(col("rank")).as("mj"))
+    }
+    val whole = regs(0L, 20000L).collect()
+      .map(r => r.getAs[Long]("j") -> r.getAs[Int]("mj")).toMap
+    val merged = (regs(0L, 9000L).collect() ++ regs(9000L, 20000L).collect())
+      .groupBy(_.getAs[Long]("j"))
+      .map { case (j, rs) => j -> rs.map(_.getAs[Int]("mj")).max }
+    assert(merged === whole)
+  }
+
+  test("cms grids add: grid(A ∪ B) = grid(A) + grid(B) cell-wise") {
+    def grid(lo: Int, hi: Int) = {
+      val keys = (lo until hi).map(i => s"w${i % 7}").toDF("word")
+      keys.select((0 until Sketches.CmDepth).map(i =>
+          Sketches.cmBucket(col("word"), i).as(s"b$i")): _*)
+        .collect()
+        .flatMap(r => (0 until Sketches.CmDepth).map(i =>
+          (i, r.getAs[Long](s"b$i"))))
+        .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    }
+    val whole = grid(0, 500)
+    val a = grid(0, 200)
+    val b = grid(200, 500)
+    val merged = (a.keySet ++ b.keySet).map(c =>
+      c -> (a.getOrElse(c, 0L) + b.getOrElse(c, 0L))).toMap
+    assert(merged === whole)
+  }
+
   test("kmv degenerates to EXACT intersection below k distinct keys") {
     // two groups, 40 and 50 keys, 20 shared — all under k=256, so
     // θ = 2^56 (sampling fraction 1) and the estimate must be exact
