@@ -391,16 +391,25 @@ object Sketches {
     // the d×w grid: each key row contributes to d (row, bucket) cells —
     // a fixed 4-way explode, then a ≤ d·w-cell aggregate. This is the
     // 100 TB shape: the shuffle payload is the grid, not the keys.
+    // PINNED: the d per-row broadcast probes below would each re-run
+    // this corpus aggregation otherwise (broadcast exchanges of
+    // different filters never unify under ReuseExchange)
     val cells = keys
       .select(posexplode(array((0 until CmDepth).map(i =>
         cmBucket(col(keyCol), i, width)): _*)).as(Seq("row_i", "bucket")))
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .transform(graft.util.Pins.pin)
     // candidate probe: exact counts double as the candidate stream and
     // the verification column
     val truth = keys.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("true_cnt"))
-    val total = keys.count()
+    // the 1 %-share denominator: grid row 0 sums to exactly the corpus
+    // count — a 1-row aggregate of the pinned w-cell table, NOT an
+    // eager count() pass over the corpus (keeps the operator one-scan
+    // per table and fully lazy for composition)
+    val total = cells.filter(col("row_i") === 0).agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("__cm_total"))
     // d broadcast lookups against the ≤ d·w-cell grid, min across rows
     val probed = (0 until CmDepth).foldLeft(
       truth.withColumn("est_cnt", lit(Long.MaxValue))) { (acc, i) =>
@@ -410,9 +419,10 @@ object Sketches {
         .withColumn("est_cnt", least(col("est_cnt"), col(s"c$i")))
         .drop("bucket", s"c$i")
     }
-    probed.select(col("k").as(keyCol), col("true_cnt"), col("est_cnt"),
-      (col("est_cnt") >= col("true_cnt")).as("overcount_ok"),
-      (col("est_cnt") * lit(100L) >= lit(total)).as("is_heavy"))
+    probed.crossJoin(broadcast(total))
+      .select(col("k").as(keyCol), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("true_cnt")).as("overcount_ok"),
+        (col("est_cnt") * lit(100L) >= col("__cm_total")).as("is_heavy"))
   }
 
   /** DuckDB mirror of [[cmHeavyHitters]] over `documents` words. */
