@@ -179,6 +179,18 @@ object StreamBench {
         in => StreamOps.streamingHllRegisters(in, "k", "g"),
         mode = "update"))
 
+    // 7. streamingCmGrid — 2M Zipf-ish words in update mode: the d×w
+    //    counter maintenance path, state construction-bounded at 4×32
+    val nCm = 2000000L
+    val (cmP, cmSch) = writeIn("cm-in",
+      spark.range(nCm).select(
+        concat(lit("w"), pmod(xxhash64(col("id")), lit(1000L)) *
+          pmod(xxhash64(col("id") + 1L), lit(7L))).as("word")))
+    record("cm_grid", nCm,
+      drain("cm", cmP, cmSch,
+        in => StreamOps.streamingCmGrid(in, "word"),
+        mode = "update"))
+
     // Persist the record as STREAMBENCH_LOCAL.json (full line, never
     // truncated) so streaming throughput diffs round-over-round
     // mechanically, like Bench's BENCH_LOCAL.json: each twin carries the

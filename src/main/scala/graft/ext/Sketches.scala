@@ -375,6 +375,20 @@ object Sketches {
       .md5Halves(concat_ws("|", lit("cm"), lit(i), key.cast("string"))),
       28) % width
 
+  /** The d×w counter grid — one exploded corpus pass into a ≤ d·w-cell
+    * aggregate. Shared by [[cmHeavyHitters]] and the streaming twin
+    * ([[graft.streaming.StreamOps.streamingCmGrid]]), so a streamed grid
+    * equals the batch one cell-for-cell and grids merge by `+`
+    * (SketchesSpec pins both).
+    */
+  def cmGrid(keys: DataFrame, keyCol: String,
+      width: Int = CmWidth): DataFrame =
+    keys
+      .select(posexplode(array((0 until CmDepth).map(i =>
+        cmBucket(col(keyCol), i, width)): _*)).as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Count-Min heavy hitters over `key`: build the d×w grid in one
     * exploded pass, then probe every candidate key (here: the exact
     * vocabulary — at 100 TB the probe set is whatever candidate stream
@@ -394,11 +408,7 @@ object Sketches {
     // PINNED: the d per-row broadcast probes below would each re-run
     // this corpus aggregation otherwise (broadcast exchanges of
     // different filters never unify under ReuseExchange)
-    val cells = keys
-      .select(posexplode(array((0 until CmDepth).map(i =>
-        cmBucket(col(keyCol), i, width)): _*)).as(Seq("row_i", "bucket")))
-      .groupBy(col("row_i"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    val cells = cmGrid(keys, keyCol, width)
       .transform(graft.util.Pins.pin)
     // candidate probe: exact counts double as the candidate stream and
     // the verification column

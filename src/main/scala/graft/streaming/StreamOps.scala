@@ -428,4 +428,17 @@ object StreamOps {
       .groupBy(col("g0"), col("j"))
       .agg(max(col("rank")).as("mj"))
   }
+
+  /** Streaming Count-Min grid: the q94 sketch's streaming rebind, same
+    * contract as [[streamingHllRegisters]] — the d×w counter grid IS the
+    * state, construction-bounded (≤ d·w cells forever) where a streaming
+    * per-key count would hold every key. Cells use the batch operator's
+    * exact bucket expressions ([[graft.ext.Sketches.cmGrid]]), so a
+    * drained stream's latest cells equal the batch grid cell-for-cell
+    * and any batch probe reads either (StreamOpsSpec pins it). Update
+    * output mode.
+    */
+  def streamingCmGrid(rows: DataFrame, keyCol: String,
+      width: Int = graft.ext.Sketches.CmWidth): DataFrame =
+    graft.ext.Sketches.cmGrid(rows, keyCol, width)
 }

@@ -273,4 +273,30 @@ class StreamOpsSpec extends SparkSpec {
         batch.getAs[Double]("hll_estimate"))
     } finally q.stop()
   }
+
+  test("streaming cm grid equals the batch grid cell-for-cell") {
+    import graft.ext.Sketches
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val rows = mem.toDF.select(col("value").as("word"))
+    val q = StreamOps.streamingCmGrid(rows, "word")
+      .writeStream.format("memory").queryName("cm_grid")
+      .outputMode("complete").start()
+    try {
+      val words = (1 to 400).map(i => s"w${i % 13}")
+      mem.addData(words.take(150): _*)
+      q.processAllAvailable()
+      mem.addData(words.drop(150): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cm_grid").collect()
+        .map(r => (r.getAs[Int]("row_i"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("cnt")).toMap
+      assert(streamed.size <= Sketches.CmDepth * Sketches.CmWidth,
+        "grid state exceeded d*w cells")
+      val batch = Sketches.cmGrid(words.toDF("word"), "word").collect()
+        .map(r => (r.getAs[Int]("row_i"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("cnt")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
