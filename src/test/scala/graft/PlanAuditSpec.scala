@@ -276,6 +276,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("kmv sketch (q95): pruned scans, the only nested-loop is the " +
+      "|groups|² threshold cross") {
+    val p = staticPlan(SparkEntry.queries("q95_kmv_intersect")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q95 planned a cartesian: $p")
+    // the pairs table crosses per-group thresholds under g_a < g_b — a
+    // deliberate tiny (|groups|²) broadcast nested loop; nothing else
+    // may plan one (the sample and exact joins are equi)
+    val bnl = p.collect {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.size <= 1, s"q95 grew nested-loop joins: $p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet ==
+        Set("l_orderkey", "l_returnflag"),
+        s"lineitem scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+  }
+
   test("cms sketch (q94): grid probes are broadcast joins, no cartesian") {
     val p = staticPlan(
       SparkEntry.queries("q94_cms_heavy_hitters")(spark, dir))
