@@ -1213,6 +1213,21 @@ object SparkEntry {
           col("lang"), col("source"))
     }),
 
+    // columnar-sink sibling of q75: the documents table through Spark's
+    // ORC writer/reader (the other standing warehouse interchange format
+    // beside parquet/JSONL) — value fidelity checked via md5(text) and
+    // the typed columns against the parquet-backed oracle
+    "q96_orc_roundtrip" -> ((s, dir) => {
+      val tmp = scratch("q96", dir)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .coalesce(4).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+    }),
+
     "q35_csv_edges_roundtrip" -> ((s, dir) => {
       val tmp = scratch("q35", dir)
       edges(s, dir)
@@ -2509,6 +2524,9 @@ object SparkEntry {
 
     "q75_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source
+        |FROM documents""".stripMargin,
+    "q96_orc_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
 
     "q35_csv_edges_roundtrip" ->
