@@ -575,6 +575,24 @@ object SparkEntry {
     "q92_bpe_encode" -> ((s, dir) =>
       Bpe.encodeTokenCounts(Tables.table(s, dir, "documents"),
         sharedBpeMerges(s, dir))),
+    // …and the actual token STREAM — (doc_id, tok_idx, token), the
+    // tokenizer's real output shape — still a map-only projection: the
+    // per-word merge chain runs inside one flatten/transform and
+    // posexplode numbers the positions (no join, no shuffle before the
+    // sink). Scalar rows, the driver-proven face shape for sequences.
+    "q97_bpe_tokens" -> ((s, dir) => {
+      val merges = sharedBpeMerges(s, dir)
+      val words = filter(split(col("text"), "\\s+"),
+        w => w.rlike(Bpe.WordPattern))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(flatten(transform(words, w =>
+            split(trim(Bpe.applyMerges(Bpe.symbolState(w), merges)),
+              " ")))))
+        .toDF("doc_id", "pos", "token")
+        .select(col("doc_id"), col("pos").cast("long").as("tok_idx"),
+          col("token"))
+    }),
 
     // ───── sketch family (Sketches scaladoc): bounded-state summaries
     // whose registers/buckets AND estimates are engine-portable md5 +
@@ -1834,6 +1852,7 @@ object SparkEntry {
     // replace/regexp_replace/sort semantics agree across engines.
     "q91_bpe_merges" -> Bpe.q91Sql(BpeNumMerges),
     "q92_bpe_encode" -> Bpe.q92Sql(BpeNumMerges),
+    "q97_bpe_tokens" -> Bpe.q97Sql(BpeNumMerges),
 
     // Sketch mirrors: the HLL registers and CM grid are rebuilt in SQL
     // from the same md5 halves, and the estimates are exact-dyadic

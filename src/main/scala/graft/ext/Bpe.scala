@@ -214,6 +214,38 @@ object Bpe {
        |FROM ($union)""".stripMargin
   }
 
+  /** q97 oracle: the actual token STREAM (doc_id, tok_idx, token) via
+    * the final vocab state — per-document positional order rebuilt from
+    * word index × symbol index (no WITH ORDINALITY in DuckDB; the
+    * `unnest(range(...))` + `arr[i]` indexing is the mergeCtes idiom).
+    * Documents with no participating words emit no rows in BOTH engines
+    * (inner join here, empty flatten → no posexplode rows in Spark).
+    */
+  def q97Sql(numMerges: Int): String =
+    s"""WITH ${mergeCtes(numMerges)},
+       |dw AS (
+       |  SELECT doc_id, arr[u.i] AS word, u.i AS idx
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS arr
+       |        FROM documents) t,
+       |       unnest(range(1, len(t.arr) + 1)) AS u(i)
+       |  WHERE regexp_matches(arr[u.i], '^[a-z]+$$')
+       |),
+       |wt AS (
+       |  SELECT word, string_split(trim(s, ' '), ' ') AS toks
+       |  FROM w$numMerges
+       |),
+       |tok AS (
+       |  SELECT dw.doc_id, dw.idx AS widx, wt.toks[v.j] AS tok,
+       |    v.j AS sidx
+       |  FROM dw JOIN wt USING (word),
+       |       unnest(range(1, len(wt.toks) + 1)) AS v(j)
+       |)
+       |SELECT doc_id,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+       |    AS tok_idx,
+       |  tok AS token
+       |FROM tok""".stripMargin
+
   /** q92 oracle: per-doc token counts via the final vocab state. The SQL
     * path joins exploded words to the vocab table (every corpus word is
     * in w0 by construction); the LEFT JOIN keeps all-out-of-vocabulary

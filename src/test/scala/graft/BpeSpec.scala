@@ -94,4 +94,34 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     words.foreach(w => assert(got(w) == driverState(w), s"word $w"))
   }
+
+  test("token stream (q97 shape) is consistent with encodeTokenCounts") {
+    val docs = Seq(
+      (1L, "aa ab aa X99 b"),
+      (2L, "abab abab"),
+      (3L, "ZZ 42")).toDF("doc_id", "text")
+    val wf = Bpe.wordFrequencies(docs)
+    val ms = Bpe.learnMerges(wf, numMerges = 2)
+    val words = filter(split(col("text"), "\\s+"),
+      w => w.rlike(Bpe.WordPattern))
+    val stream = docs.select(col("doc_id"),
+        posexplode(flatten(transform(words, w =>
+          split(trim(Bpe.applyMerges(Bpe.symbolState(w), ms)), " ")))))
+      .toDF("doc_id", "pos", "token")
+    // per-doc token totals equal the count face; positions are dense
+    val counts = Bpe.encodeTokenCounts(docs, ms).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val byDoc = stream.collect().groupBy(_.getLong(0))
+    counts.foreach { case (id, n) =>
+      val rows = byDoc.getOrElse(id, Array.empty)
+      assert(rows.length.toLong == n, s"doc $id stream/count mismatch")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (0 until rows.length),
+        s"doc $id positions not dense")
+      // no token carries the separator and every token is non-empty
+      rows.foreach(r => assert(r.getString(2).nonEmpty &&
+        !r.getString(2).contains(" ")))
+    }
+    // the all-out-of-vocabulary doc emits no stream rows but a zero count
+    assert(counts(3L) == 0L && !byDoc.contains(3L))
+  }
 }
