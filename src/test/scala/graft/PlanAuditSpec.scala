@@ -296,6 +296,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode faces (q92/q97) are MAP-ONLY: zero shuffles") {
+    // the learned merges are plan literals, so corpus encoding — counts
+    // or the positional token stream — must reach the sink without any
+    // exchange (the 100 TB tokenize-scan-to-sink shape)
+    for (q <- Seq("q92_bpe_encode", "q97_bpe_tokens")) {
+      val p = staticPlan(SparkEntry.queries(q)(spark, dir))
+      assert(shuffles(p).isEmpty, s"$q shuffles: $p")
+      scans(p).foreach { s =>
+        assert(s.requiredSchema.names.toSet == Set("doc_id", "text"),
+          s"$q documents scan not pruned: ${s.requiredSchema.names.toSeq}")
+      }
+    }
+  }
+
   test("cms sketch (q94): grid probes are broadcast joins, no cartesian") {
     val p = staticPlan(
       SparkEntry.queries("q94_cms_heavy_hitters")(spark, dir))
