@@ -610,6 +610,14 @@ object SparkEntry {
     "q95_kmv_intersect" -> ((s, dir) =>
       Sketches.kmvPairIntersect(Tables.table(s, dir, "lineitem"),
         col("l_orderkey"), col("l_returnflag"))),
+    // quantiles of the per-doc token-count distribution from a ≤4352-cell
+    // dyadic CM grid (Sketches.dyadicCmQuantiles scaladoc) — the q61
+    // token convention, so both engines count the same tokens
+    "q98_dcm_quantiles" -> ((s, dir) =>
+      Sketches.dyadicCmQuantiles(
+        Tables.table(s, dir, "documents")
+          .select(size(TextOps.tokens(col("text"))).as("n_tokens")),
+        "n_tokens")),
 
     // ───── dedup family (extension surface) ─────
     "q22_dedup_exact" -> ((s, dir) =>
@@ -1246,6 +1254,47 @@ object SparkEntry {
           col("lang"), col("source"), col("n_chars"))
     }),
 
+    // bucketed co-located join: both sides written ONCE bucketed (and
+    // sorted) on the join key — 8 buckets, one file per bucket via the
+    // pre-repartition on the same hash — then the readback join and the
+    // per-order rollup run with ZERO shuffle exchanges (PlanAuditSpec
+    // pins it). This is the standing-warehouse shape for a 100 TB fact
+    // table joined every day: pay the partitioning once at write time,
+    // never again at read time. The merge hint keeps the plan on the
+    // bucket-aligned sort-merge path (a broadcast would also skip the
+    // shuffle but ignores — and so fails to demonstrate — the bucket
+    // co-location the write paid for). Money stays exact: prices become
+    // integer cents via floor(x·100 + 0.5) — floor, not cast, because
+    // Spark's double→long cast truncates where DuckDB's rounds.
+    "q99_bucketed_join" -> ((s, dir) => {
+      val wh = scratch("q99", dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nb = 8
+      val oT = s"graft_q99_orders_$tag"
+      val lT = s"graft_q99_lineitem_$tag"
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .repartition(nb, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$wh/orders")
+        .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(oT)
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartition(nb, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$wh/lineitem")
+        .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lT)
+      s.table(oT)
+        .join(s.table(lT).hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+            .as("revenue_cents"))
+    }),
+
     "q35_csv_edges_roundtrip" -> ((s, dir) => {
       val tmp = scratch("q35", dir)
       edges(s, dir)
@@ -1863,6 +1912,8 @@ object SparkEntry {
     "q94_cms_heavy_hitters" -> Sketches.cmSql("^[a-z]+$"),
     "q95_kmv_intersect" ->
       Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
+    "q98_dcm_quantiles" -> Sketches.dyadicCmSql("documents",
+      "len(string_split_regex(lower(text), '\\s+'))"),
 
     "q44_lang_id_ngram" -> {
       val profValues = TextOps.langTrigrams
@@ -2547,6 +2598,17 @@ object SparkEntry {
     "q96_orc_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
+
+    // the bucketed write/read is Spark-side physical layout; the VALUES
+    // the roundtrip must preserve are the plain join + rollup
+    "q99_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q35_csv_edges_roundtrip" ->
       s"WITH $E SELECT src, dst, weight, ts FROM edges",

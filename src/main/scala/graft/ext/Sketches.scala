@@ -435,6 +435,242 @@ object Sketches {
         (col("est_cnt") * lit(100L) >= col("__cm_total")).as("is_heavy"))
   }
 
+  // ─────────────── dyadic Count-Min rank / quantiles ───────────────
+
+  /** Dyadic levels: values clamp to [0, 2^(L−1) − 1] = [0, 65535] and
+    * level b holds the counts of nodes `value >> b`; the extra top level
+    * (b = 16, one node) closes the decomposition of the full domain.
+    */
+  val DcmLevels = 17
+
+  /** Clamp ceiling — the sketch's value domain is [0, DcmMax]. */
+  val DcmMax: Long = (1L << (DcmLevels - 1)) - 1
+
+  /** Per-level CM grid shape. w = 64 keeps the whole summary at
+    * ≤ 17·4·64 = 4352 cells; at test scale low levels collide by
+    * construction so the one-sided overcount path is exercised.
+    */
+  val DcmWidth = 64
+
+  /** Bucket of dyadic node (level, node) under hash row i — the "dcm"
+    * tag domain-separates these draws from the flat CM sketch's.
+    */
+  def dcmBucket(i: Int, level: Column, node: Column,
+      width: Int = DcmWidth): Column =
+    shiftrightunsigned(org.apache.spark.sql.graft.GraftExprBridge
+      .md5Halves(concat_ws("|", lit("dcm"), lit(i), level.cast("string"),
+        node.cast("string"))), 28) % width
+
+  /** Values clamped into the sketch's [0, DcmMax] domain as column `x`. */
+  def dcmClamp(values: DataFrame, valueCol: String): DataFrame =
+    values.select(least(greatest(col(valueCol).cast("long"), lit(0L)),
+      lit(DcmMax)).as("x"))
+
+  /** The L-level dyadic CM grid of a clamped value column `x`: (lvl,
+    * row_i, bucket, cnt), ≤ L·d·w cells. Each input row contributes L·d
+    * constant map-side entries; cells merge by `+` across batches/days
+    * (SketchesSpec pins mergeability), the same roll-up contract as
+    * [[cmGrid]].
+    */
+  def dcmGrid(clamped: DataFrame): DataFrame =
+    clamped
+      .select(posexplode(array((0 until DcmLevels).map(b =>
+        shiftright(col("x"), b)): _*)).as(Seq("lvl", "node")))
+      .select(col("lvl"),
+        posexplode(array((0 until CmDepth).map(i =>
+          dcmBucket(i, col("lvl"), col("node"))): _*))
+          .as(Seq("row_i", "bucket")))
+      .groupBy(col("lvl"), col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimation from a dyadic Count-Min summary — the
+    * bounded-state path to percentiles at corpus scale (Cormode &
+    * Muthukrishnan 2005 §4.2: a CM sketch per dyadic level; any prefix
+    * range [0, x] is ≤ L dyadic nodes, so rank(x) is a sum of ≤ L
+    * one-sided node estimates and the φ-quantile is the smallest x whose
+    * estimated rank crosses ⌈φN⌉).
+    *
+    * Scale shape:
+    *  - the shuffle payload is the L·d·w ≤ 4352-cell grid (counters
+    *    merged by `+` — partial aggregation and multi-day roll-ups are
+    *    free), NEVER the value distribution; each input row contributes
+    *    L·d constant map-side entries;
+    *  - the probe side is domain-bounded: candidates are the ≤ 2^(L−1)
+    *    distinct clamped values, so the rank table — and the single-
+    *    partition cumulative window it needs — is O(domain), not
+    *    O(corpus), by construction;
+    *  - probes are d broadcast lookups of the pinned grid, exactly the
+    *    [[cmHeavyHitters]] shape.
+    *
+    * Determinism: counters, ranks and targets are integers throughout —
+    * the ⌈φN⌉ target is ppm integer arithmetic ((N·φppm + 999999) div
+    * 10⁶, the md5-coin convention), and `rel_err` is one division of
+    * exactly-representable casts — so every column hash-checks against
+    * the DuckDB replay ([[dyadicCmSql]]).
+    *
+    * One-sided guarantee: each node estimate ≥ its true count, so
+    * est_rank(x) ≥ true_rank(x) pointwise and the estimated quantile can
+    * only come EARLY (`q_est ≤ q_exact` — emitted as the checked
+    * `est_le_exact` column; SketchesSpec pins the pointwise form).
+    *
+    * Output: one row per φ — (phi_ppm, n_total, target_rank, q_est,
+    * q_exact, est_le_exact, rel_err). `q_exact` is the verification
+    * column a production profile would drop.
+    */
+  def dyadicCmQuantiles(values: DataFrame, valueCol: String,
+      phisPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L,
+        990000L)): DataFrame = {
+    import graft.util.Pins
+    // scanned three ways (grid, candidates, exact ranks) — pin once
+    val vs = dcmClamp(values, valueCol).transform(Pins.pin(_))
+    val cells = dcmGrid(vs)
+      // PINNED: consumed by d broadcast probes + the total (broadcast
+      // exchanges of different filters never unify under ReuseExchange)
+      .transform(Pins.pin(_))
+    // N: level-0 row-0 cells sum to the corpus count — a 1-row aggregate
+    // of the pinned grid, not an extra corpus pass
+    val total = cells.filter(col("lvl") === 0 && col("row_i") === 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    // prefix decomposition: [0, x] = ⋃ over set bits b of (x+1) of the
+    // level-b node ((x+1) >> b) − 1 — at most one node per level
+    val cand = vs.distinct()
+    val probes = cand.select(col("x"),
+        explode(array((0 until DcmLevels).map { b =>
+          struct(lit(b).as("lvl"),
+            (shiftright(col("x") + lit(1L), b) - lit(1L)).as("node"),
+            ((shiftright(col("x") + lit(1L), b) % 2) === 1).as("on"))
+        }: _*)).as("p"))
+      .filter(col("p.on"))
+      .select(col("x"), col("p.lvl").as("lvl"), col("p.node").as("node"))
+    // d broadcast lookups per node, min across rows; an absent cell is a
+    // true zero (no key hashed there), hence coalesce BEFORE least
+    val probed = (0 until CmDepth).foldLeft(
+      probes.withColumn("est_b", lit(Long.MaxValue))) { (acc, i) =>
+      acc.join(broadcast(cells.filter(col("row_i") === i)
+          .select(col("lvl").as("c_lvl"), col("bucket"),
+            col("cnt").as(s"c$i"))),
+          col("lvl") === col("c_lvl") &&
+            dcmBucket(i, col("lvl"), col("node")) === col("bucket"), "left")
+        .withColumn("est_b", least(col("est_b"),
+          coalesce(col(s"c$i"), lit(0L))))
+        .drop("c_lvl", "bucket", s"c$i")
+    }
+    val estRank = probed.groupBy(col("x"))
+      .agg(sum(col("est_b")).as("est_rank"))
+    // exact rank: cumulative counts over the ≤ 2^(L−1)-row distinct-value
+    // table — single-partition by design because the DOMAIN bounds it,
+    // not the corpus (contrast q77, where the ranked set is corpus-sized
+    // and gets the distributed range-partition rank)
+    val exactCnt = vs.groupBy(col("x")).agg(count(lit(1)).as("vcnt"))
+    val trueRank = exactCnt.withColumn("true_rank",
+      sum(col("vcnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("x")))).drop("vcnt")
+    val ranks = estRank.join(trueRank, "x")
+    val phis = values.sparkSession.range(1)
+      .select(explode(array(phisPpm.map(lit): _*)).as("phi_ppm"))
+    val targets = phis.crossJoin(broadcast(total))
+      .withColumn("target_rank",
+        expr("(n_total * phi_ppm + 999999) div 1000000"))
+    ranks.crossJoin(broadcast(targets))
+      .groupBy(col("phi_ppm"), col("n_total"), col("target_rank"))
+      .agg(min(when(col("est_rank") >= col("target_rank"), col("x")))
+          .as("q_est"),
+        min(when(col("true_rank") >= col("target_rank"), col("x")))
+          .as("q_exact"))
+      .select(col("phi_ppm"), col("n_total"), col("target_rank"),
+        col("q_est"), col("q_exact"),
+        (col("q_est") <= col("q_exact")).as("est_le_exact"),
+        when(col("q_exact") === 0, lit(null).cast("double"))
+          .otherwise((col("q_est") - col("q_exact")).cast("double") /
+            col("q_exact").cast("double")).as("rel_err"))
+  }
+
+  /** DuckDB mirror of [[dyadicCmQuantiles]]: rebuilds the identical
+    * grid (same md5 buckets), prefix decomposition, integer targets and
+    * single-division `rel_err`.
+    */
+  def dyadicCmSql(table: String, valueExpr: String,
+      phisPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L,
+        990000L)): String = {
+    val lvlValues = (0 until DcmLevels).map(b => s"($b)").mkString(", ")
+    val rowValues = (0 until CmDepth).map(i => s"($i)").mkString(", ")
+    val phiValues = phisPpm.map(p => s"(CAST($p AS BIGINT))")
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT least(greatest(CAST($valueExpr AS BIGINT), 0), $DcmMax)
+       |    AS x
+       |  FROM $table
+       |),
+       |lvls(b) AS (VALUES $lvlValues),
+       |rws(i) AS (VALUES $rowValues),
+       |cells AS (
+       |  SELECT l.b AS lvl, r.i AS row_i,
+       |    CAST(('0x' || substr(md5('dcm' || '|' || r.i || '|' ||
+       |      CAST(l.b AS VARCHAR) || '|' || CAST((v.x >> l.b) AS VARCHAR)),
+       |      1, 7)) AS BIGINT) % $DcmWidth AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM v, lvls l, rws r
+       |  GROUP BY 1, 2, 3
+       |),
+       |total AS (
+       |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_total
+       |  FROM cells WHERE lvl = 0 AND row_i = 0
+       |),
+       |cand AS (SELECT DISTINCT x FROM v),
+       |probes AS (
+       |  SELECT c.x, l.b AS lvl, ((c.x + 1) >> l.b) - 1 AS node
+       |  FROM cand c, lvls l
+       |  WHERE ((c.x + 1) >> l.b) % 2 = 1
+       |),
+       |probe_rows AS (
+       |  SELECT p.x, p.lvl, r.i AS row_i,
+       |    coalesce(ce.cnt, 0) AS cnt
+       |  FROM probes p
+       |  CROSS JOIN rws r
+       |  LEFT JOIN cells ce ON ce.lvl = p.lvl AND ce.row_i = r.i
+       |    AND ce.bucket = CAST(('0x' || substr(md5('dcm' || '|' || r.i ||
+       |      '|' || CAST(p.lvl AS VARCHAR) || '|' ||
+       |      CAST(p.node AS VARCHAR)), 1, 7)) AS BIGINT) % $DcmWidth
+       |),
+       |node_est AS (
+       |  SELECT x, lvl, min(cnt) AS est_b FROM probe_rows GROUP BY 1, 2
+       |),
+       |est_rank AS (
+       |  SELECT x, CAST(sum(est_b) AS BIGINT) AS est_rank FROM node_est
+       |  GROUP BY 1
+       |),
+       |true_rank AS (
+       |  SELECT x, CAST(sum(cnt0) OVER (ORDER BY x) AS BIGINT)
+       |    AS true_rank
+       |  FROM (SELECT x, count(*) AS cnt0 FROM v GROUP BY 1)
+       |),
+       |ranks AS (
+       |  SELECT e.x, e.est_rank, t.true_rank
+       |  FROM est_rank e JOIN true_rank t USING (x)
+       |),
+       |phis(phi_ppm) AS (VALUES $phiValues),
+       |targets AS (
+       |  SELECT p.phi_ppm, t.n_total,
+       |    (t.n_total * p.phi_ppm + 999999) // 1000000 AS target_rank
+       |  FROM phis p CROSS JOIN total t
+       |),
+       |agg AS (
+       |  SELECT t.phi_ppm, t.n_total, t.target_rank,
+       |    min(CASE WHEN r.est_rank >= t.target_rank THEN r.x END)
+       |      AS q_est,
+       |    min(CASE WHEN r.true_rank >= t.target_rank THEN r.x END)
+       |      AS q_exact
+       |  FROM ranks r CROSS JOIN targets t
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT phi_ppm, n_total, target_rank, q_est, q_exact,
+       |  q_est <= q_exact AS est_le_exact,
+       |  CASE WHEN q_exact = 0 THEN NULL
+       |    ELSE CAST(q_est - q_exact AS DOUBLE) / CAST(q_exact AS DOUBLE)
+       |  END AS rel_err
+       |FROM agg""".stripMargin
+  }
+
   /** DuckDB mirror of [[cmHeavyHitters]] over `documents` words. */
   def cmSql(wordPattern: String): String = {
     val buckets = (0 until CmDepth).map(i =>

@@ -319,4 +319,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
       s"q94 planned a cartesian: $p")
   }
+
+  test("bucketed join (q99): ZERO exchanges — bucket-aligned sort-merge " +
+      "join and co-partitioned rollup") {
+    val p = staticPlan(SparkEntry.queries("q99_bucketed_join")(spark, dir))
+    // the write paid the partitioning once; the read side must never
+    // shuffle — not for the join, not for the per-order aggregate
+    assert(shuffles(p).isEmpty, s"q99 shuffles: $p")
+    val smj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.size == 1, s"q99 lost the sort-merge join: $p")
+    // both scans actually run bucketed (co-location is real, not a
+    // coincidence of tiny data)
+    val bucketed = scans(p).flatMap(_.relation.bucketSpec)
+    assert(bucketed.size == 2 && bucketed.forall(_.numBuckets == 8),
+      s"q99 scans not bucketed: $p")
+  }
+
+  test("dcm quantiles (q98): d broadcast grid probes, pruned scan, the " +
+      "only unpartitioned window is the domain-bounded rank table") {
+    val p = staticPlan(SparkEntry.queries("q98_dcm_quantiles")(spark, dir))
+    // grid lookups: d broadcast equi-joins against the pinned ≤4352-cell
+    // grid, plus the rank join — never a cartesian over candidates
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= ext.Sketches.CmDepth,
+      s"expected ≥${ext.Sketches.CmDepth} broadcast probes: $p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q98 planned a cartesian: $p")
+    // documents scan reads text only (the token-count projection)
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet == Set("text"),
+        s"q98 documents scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+    // the single-partition cumulative window runs over the ≤2^16-row
+    // distinct-value table (domain-bounded by the clamp), never the
+    // corpus: its child must aggregate before sorting
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size <= 1, s"q98 grew windows: $p")
+  }
 }

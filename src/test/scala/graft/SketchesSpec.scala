@@ -131,6 +131,75 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("dcm quantiles are exact on a clean uniform ladder") {
+    // 1..100 once each: ⌈φ·100⌉ is the φ-quantile by definition, and at
+    // 100 distinct values the decomposition path is collision-light so
+    // the estimate should land exactly
+    val df = (1L to 100L).toDF("v")
+    val out = Sketches.dyadicCmQuantiles(df, "v")
+      .collect().map(r => r.getAs[Long]("phi_ppm") ->
+        (r.getAs[Long]("target_rank"), r.getAs[Long]("q_est"),
+          r.getAs[Long]("q_exact"), r.getAs[Boolean]("est_le_exact")))
+      .toMap
+    assert(out(500000L) === ((50L, 50L, 50L, true)))
+    assert(out(990000L) === ((99L, 99L, 99L, true)))
+    assert(out.values.forall(_._4))
+  }
+
+  test("dcm rank estimates are one-sided: est_rank ≥ true_rank pointwise") {
+    // 6000 distinct values force genuine collisions in the 64-bucket
+    // low levels; the node estimate min-over-d can only overcount, so
+    // every prefix rank estimate must sit at or above the truth and the
+    // estimated quantile can only come early
+    val df = (0L until 6000L).toDF("v")
+    val vs = Sketches.dcmClamp(df, "v")
+    val cells = Sketches.dcmGrid(vs).collect()
+      .map(r => (r.getAs[Int]("lvl"), r.getAs[Int]("row_i"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+    def estRank(x: Long): Long = {
+      val y = x + 1
+      (0 until Sketches.DcmLevels).collect {
+        case b if ((y >> b) & 1L) == 1L =>
+          val node = (y >> b) - 1
+          (0 until Sketches.CmDepth).map { i =>
+            val s = s"dcm|$i|$b|$node"
+            val bucket = half(s, 1) % Sketches.DcmWidth
+            cells.getOrElse((b, i, bucket), 0L)
+          }.min
+      }.sum
+    }
+    val probes = Seq(0L, 1L, 137L, 1500L, 2999L, 4242L, 5999L)
+    probes.foreach { x =>
+      assert(estRank(x) >= x + 1, s"est_rank($x) undercounts")
+    }
+    // collisions actually fired somewhere (the overcount path is
+    // exercised, not vacuously true)
+    assert(probes.map(x => estRank(x) - (x + 1)).max > 0)
+    val out = Sketches.dyadicCmQuantiles(df, "v").collect()
+    assert(out.forall(_.getAs[Boolean]("est_le_exact")))
+  }
+
+  test("dcm grids add: grid(A ∪ B) = grid(A) + grid(B) cell-wise") {
+    def grid(lo: Long, hi: Long): Map[(Int, Int, Long), Long] =
+      Sketches.dcmGrid(Sketches.dcmClamp(
+          (lo until hi).map(v => v * 17 % 4096).toDF("v"), "v"))
+        .collect()
+        .map(r => (r.getAs[Int]("lvl"), r.getAs[Int]("row_i"),
+          r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+    val whole = grid(0, 900)
+    val a = grid(0, 400)
+    val b = grid(400, 900)
+    val merged = (a.keySet ++ b.keySet).map(c =>
+      c -> (a.getOrElse(c, 0L) + b.getOrElse(c, 0L))).toMap
+    assert(merged === whole)
+  }
+
+  test("dcm clamp pins the sketch domain") {
+    val df = Seq(-5L, 0L, 70000L, Sketches.DcmMax).toDF("v")
+    val xs = Sketches.dcmClamp(df, "v").collect().map(_.getAs[Long]("x"))
+    assert(xs.toSeq === Seq(0L, 0L, Sketches.DcmMax, Sketches.DcmMax))
+  }
+
   test("kmv degenerates to EXACT intersection below k distinct keys") {
     // two groups, 40 and 50 keys, 20 shared — all under k=256, so
     // θ = 2^56 (sampling fraction 1) and the estimate must be exact
