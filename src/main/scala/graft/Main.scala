@@ -166,7 +166,9 @@ object Main {
           val counts = runProfile(spark, in, opt("--o", "results"))
           println(s"profile: ${counts("sources")} sources, " +
             s"${counts("heavy_hitters")} heavy hitters of " +
-            s"${counts("vocab")} candidate words -> ${opt("--o", "results")}")
+            s"${counts("vocab")} candidate words, " +
+            s"${counts("quantiles")} length quantiles -> " +
+            opt("--o", "results"))
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -747,17 +749,22 @@ object Main {
     n
   }
 
-  /** `profile`: sketch-based corpus profile (the q93/q94 operators as a
-    * CLI stage) — per-source HyperLogLog distinct-word estimates next to
-    * their exact verification counts (`profile_distinct`), and Count-Min
-    * heavy hitters over the whole corpus (`profile_heavy`). At 100 TB the
-    * exact columns would be dropped and the register/grid tables carried
-    * between days (both merge: max for registers, + for grid cells).
+  /** `profile`: sketch-based corpus profile (the q93/q94/q98 operators
+    * as a CLI stage) — per-source HyperLogLog distinct-word estimates
+    * next to their exact verification counts (`profile_distinct`),
+    * Count-Min heavy hitters over the whole corpus (`profile_heavy`),
+    * and dyadic-CM token-count quantiles (`profile_quantiles` — the
+    * length-distribution shape: p25/p50/p75/p90/p99 of tokens per doc
+    * from the ≤4352-cell grid). At 100 TB the exact columns would be
+    * dropped and the register/grid tables carried between days (all
+    * three merge: max for registers, + for grid cells).
     */
   def runProfile(spark: SparkSession, in: String,
                  out: String): Map[String, Long] = {
     import graft.ext.Sketches
-    val words = spark.read.parquet(in)
+    val docs = spark.read.parquet(in)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val words = docs
       .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -767,11 +774,18 @@ object Main {
       .parquet(s"$out/profile_distinct")
     val hh = Sketches.cmHeavyHitters(words.select(col("word")), "word")
     hh.coalesce(1).write.mode("overwrite").parquet(s"$out/profile_heavy")
+    val qs = Sketches.dyadicCmQuantiles(
+      docs.select(size(split(lower(col("text")), "\\s+"))
+        .as("n_tokens")), "n_tokens")
+    qs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/profile_quantiles")
     val nSources = spark.read.parquet(s"$out/profile_distinct").count()
     val heavy = spark.read.parquet(s"$out/profile_heavy")
     val nVocab = heavy.count()
     val nHeavy = heavy.filter(col("is_heavy")).count()
-    words.unpersist()
-    Map("sources" -> nSources, "vocab" -> nVocab, "heavy_hitters" -> nHeavy)
+    val nQuant = spark.read.parquet(s"$out/profile_quantiles").count()
+    words.unpersist(); docs.unpersist()
+    Map("sources" -> nSources, "vocab" -> nVocab,
+      "heavy_hitters" -> nHeavy, "quantiles" -> nQuant)
   }
 }

@@ -619,6 +619,37 @@ object SparkEntry {
           .select(size(TextOps.tokens(col("text"))).as("n_tokens")),
         "n_tokens")),
 
+    // Morton z-value of (l_partkey, l_suppkey) — the multi-dimensional
+    // clustering key behind file/row-group skipping (Layout scaladoc;
+    // LayoutSpec measures the skipping win). Map-only integer bit
+    // arithmetic, hash-exact in both engines.
+    "q100_zorder_key" -> ((s, dir) =>
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").bitwiseAND(lit(65535L)).as("p16"),
+          col("l_suppkey").bitwiseAND(lit(65535L)).as("s16"))
+        .withColumn("zval",
+          graft.ops.Layout.zValue(col("p16"), col("s16")))),
+
+    // stratified FIXED-SIZE sampling: exactly 50 docs per source, drawn
+    // by md5 order (deterministic in every engine — the fixed-rate q11
+    // coin's fixed-size sibling). The rank-≤-n filter is declared over a
+    // window so Spark 4's InferWindowGroupLimit pushes a PARTIAL group
+    // limit below the shuffle: each map task forwards at most 50 rows
+    // per stratum, so a hot stratum never funnels its full membership
+    // through one reducer (PlanAuditSpec pins the partial limit).
+    "q101_stratified_sample" -> ((s, dir) => {
+      val h = org.apache.spark.sql.graft.GraftExprBridge.md5Halves(
+        concat_ws("|", lit("strat"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      Tables.table(s, dir, "documents")
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("source"), col("doc_id"), col("rk"))
+    }),
+
     // ───── dedup family (extension surface) ─────
     "q22_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.table(s, dir, "documents"))),
@@ -1914,6 +1945,33 @@ object SparkEntry {
       Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
     "q98_dcm_quantiles" -> Sketches.dyadicCmSql("documents",
       "len(string_split_regex(lower(text), '\\s+'))"),
+
+    "q100_zorder_key" -> {
+      val pz = graft.ops.Layout.spread16Sql("p16")
+      val sz = graft.ops.Layout.spread16Sql("s16")
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey & 65535 AS p16, l_suppkey & 65535 AS s16
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, p16, s16,
+         |  ($pz) | (($sz) << 1) AS zval
+         |FROM base""".stripMargin
+    },
+
+    "q101_stratified_sample" -> {
+      val m = "md5('strat' || '|' || CAST(doc_id AS VARCHAR))"
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    CAST(('0x' || substr($m, 1, 7)) AS BIGINT) * 268435456
+         |      + CAST(('0x' || substr($m, 8, 7)) AS BIGINT) AS hh
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+         |      AS rk
+         |  FROM h)
+         |SELECT source, doc_id, rk FROM ranked WHERE rk <= 50""".stripMargin
+    },
 
     "q44_lang_id_ngram" -> {
       val profValues = TextOps.langTrigrams

@@ -441,4 +441,18 @@ object StreamOps {
   def streamingCmGrid(rows: DataFrame, keyCol: String,
       width: Int = graft.ext.Sketches.CmWidth): DataFrame =
     graft.ext.Sketches.cmGrid(rows, keyCol, width)
+
+  /** Streaming dyadic-CM grid: the q98 quantile sketch's streaming
+    * rebind, same construction-bounded-state contract as
+    * [[streamingCmGrid]] — ≤ L·d·w (4352) cells forever, where a
+    * streaming percentile would otherwise hold the full value
+    * distribution. Cells use the batch operator's exact level/bucket
+    * expressions ([[graft.ext.Sketches.dcmGrid]]), so a drained
+    * stream's cells equal the batch grid and the q98 probe side
+    * (prefix decomposition + targets) reads either (StreamOpsSpec pins
+    * equality). Update/complete output.
+    */
+  def streamingDcmGrid(values: DataFrame, valueCol: String): DataFrame =
+    graft.ext.Sketches.dcmGrid(
+      graft.ext.Sketches.dcmClamp(values, valueCol))
 }

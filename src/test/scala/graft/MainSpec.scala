@@ -455,5 +455,12 @@ class MainSpec extends SparkSpec {
     val hh = spark.read.parquet(s"$tmp/out/profile_heavy")
     assert(hh.filter(!col("overcount_ok")).count() == 0,
       "CM one-sided guarantee violated")
+    // the q98 quantile stage: one row per φ, one-sided estimates
+    val qs = spark.read.parquet(s"$tmp/out/profile_quantiles")
+    assert(counts("quantiles") == 5)
+    assert(qs.filter(!col("est_le_exact")).count() == 0,
+      "dyadic-CM one-sided guarantee violated")
+    assert(qs.filter(col("q_est") > 0).count() > 0,
+      "token-count quantiles degenerate to zero")
   }
 }

@@ -336,6 +336,38 @@ class PlanAuditSpec extends SparkSpec {
       s"q99 scans not bucketed: $p")
   }
 
+  test("zorder key (q100) is MAP-ONLY whole-stage codegen") {
+    val p = staticPlan(SparkEntry.queries("q100_zorder_key")(spark, dir))
+    assert(shuffles(p).isEmpty, s"q100 shuffles: $p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet ==
+        Set("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        s"q100 scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+    // the bit ladder must stay inside codegen (no UDF, no expr walls)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"q100 fell out of whole-stage codegen: $p")
+  }
+
+  test("stratified sample (q101): partial window-group-limit runs " +
+      "BELOW the shuffle") {
+    // the rank-≤-n filter must prune map-side (each task forwards ≤50
+    // rows per stratum) — a hot stratum never ships its whole
+    // membership to one reducer
+    val p = staticPlan(
+      SparkEntry.queries("q101_stratified_sample")(spark, dir))
+    val limits = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        => w }
+    assert(limits.size == 2, s"q101 lost the window group limit: $p")
+    val partialBelowShuffle = shuffles(p).exists(ex => ex.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        => w }.nonEmpty)
+    assert(partialBelowShuffle,
+      s"q101 partial group limit not below the exchange: $p")
+  }
+
   test("dcm quantiles (q98): d broadcast grid probes, pruned scan, the " +
       "only unpartitioned window is the domain-bounded rank table") {
     val p = staticPlan(SparkEntry.queries("q98_dcm_quantiles")(spark, dir))

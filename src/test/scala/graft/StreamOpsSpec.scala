@@ -299,4 +299,31 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming dyadic-cm grid equals the batch grid cell-for-cell") {
+    import graft.ext.Sketches
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF.select(col("value").as("v"))
+    val q = StreamOps.streamingDcmGrid(rows, "v")
+      .writeStream.format("memory").queryName("dcm_grid")
+      .outputMode("complete").start()
+    try {
+      val values = (0L until 500L).map(i => i * 37 % 3000)
+      mem.addData(values.take(200): _*)
+      q.processAllAvailable()
+      mem.addData(values.drop(200): _*)
+      q.processAllAvailable()
+      def toMap(rs: Array[org.apache.spark.sql.Row]) = rs
+        .map(r => (r.getAs[Int]("lvl"), r.getAs[Int]("row_i"),
+          r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+      val streamed = toMap(spark.table("dcm_grid").collect())
+      assert(streamed.size <=
+        Sketches.DcmLevels * Sketches.CmDepth * Sketches.DcmWidth,
+        "grid state exceeded L*d*w cells")
+      val batch = toMap(Sketches.dcmGrid(
+        Sketches.dcmClamp(values.toDF("v"), "v")).collect())
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
