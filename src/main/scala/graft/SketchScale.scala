@@ -155,6 +155,31 @@ object SketchScale {
     assert(kmvRelErr <= 0.12,
       f"KMV intersection off: $kmvEst%.0f vs $overlap (rel $kmvRelErr%.3f)")
 
+    // ───── dyadic-CM quantiles, closed-form uniform truth ─────
+    // values = id mod 10k, each exactly n/10k times ⇒ true_rank(x) =
+    // (x+1)·n/10⁴ and the exact φ-quantile is ⌈φ·10⁴⌉ − 1 in closed
+    // form. Production-sized width (2048): per-probed-node expected
+    // overcount ≈ n/w, a ~0.1 % rank shift — assert the estimated
+    // quantile lands within 2 % of truth while staying one-sided.
+    val dWidth = 2048
+    val vals = spark.range(n).select((col("id") % 10000).as("v"))
+    val tQ = t0()
+    val dcmRows = Sketches.dyadicCmQuantiles(vals, "v", width = dWidth)
+      .collect()
+    val dcmSec = secs(tQ)
+    val dcmWorst = dcmRows.map { r =>
+      val phi = r.getAs[Long]("phi_ppm")
+      val qe = r.getAs[Long]("q_exact")
+      val qb = r.getAs[Long]("q_est")
+      assert(qe == phi / 100 - 1,
+        s"planting broken: phi=$phi q_exact=$qe != ${phi / 100 - 1}")
+      assert(r.getAs[Boolean]("est_le_exact"),
+        s"one-sidedness broken at phi=$phi")
+      (qe - qb).toDouble / qe.toDouble
+    }.max
+    assert(dcmWorst <= 0.02,
+      f"dyadic-CM quantile off: worst early-shift $dcmWorst%.4f > 2%%")
+
     println(s"""{"n":$n,"hll_groups":$g,"hll_planted_distinct":$truth,""" +
       s""""hll_sec":$hllSec,"hll_register_rows":$nRegs,""" +
       s""""hll_worst_rel_err":$worstRelErr,""" +
@@ -166,7 +191,9 @@ object SketchScale {
       s""""kmv_k":$kmvK,"kmv_planted_inter":$overlap,""" +
       s""""kmv_gated_rows":${gated.count()},""" +
       s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvRelErr,""" +
-      s""""kmv_sec":$kmvSec}""")
+      s""""kmv_sec":$kmvSec,""" +
+      s""""dcm_width":$dWidth,"dcm_sec":$dcmSec,""" +
+      s""""dcm_worst_early_shift":$dcmWorst}""")
     spark.stop()
   }
 }

@@ -631,6 +631,44 @@ object SparkEntry {
         .withColumn("zval",
           graft.ops.Layout.zValue(col("p16"), col("s16")))),
 
+    // context-window chunking with stride (the RAG / long-doc training
+    // splitter): chunk i of a doc covers tokens [i·48, i·48+64) — 16
+    // tokens of overlap carry context across boundaries. MAP-ONLY: one
+    // split per row, chunk indices from `sequence`, posexplode, slices
+    // of the shared token array — no join, no shuffle before the sink
+    // (the 100 TB chunk-scan-to-sink shape, like q92/q97).
+    "q102_doc_chunks" -> ((s, dir) => {
+      val chunk = 64
+      val stride = 48
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(col("text")), "\\s+").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L),
+            expr(s"CAST((n - 1) div $stride AS BIGINT)"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(chunk), col("n") - col("chunk_idx") * stride)
+            .cast("long").as("n_chunk_tokens"),
+          array_join(slice(col("toks"),
+            (col("chunk_idx") * stride + 1).cast("int"), lit(chunk)), " ")
+            .as("chunk_text"))
+    }),
+
+    // one-pass multi-dimensional corpus profile: counts and token sums
+    // by (lang), (source), (lang, source) and grand total from a SINGLE
+    // scan — Spark's Expand operator replicates each row once per
+    // grouping set ahead of one aggregation, vs four separate scans.
+    // grouping_id disambiguates the null-as-total rows from real nulls.
+    "q103_corpus_cube" -> ((s, dir) =>
+      Tables.table(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(lower(col("text")), "\\s+")).cast("long"))
+            .as("n_tokens"),
+          grouping_id().as("gid"))),
+
     // stratified FIXED-SIZE sampling: exactly 50 docs per source, drawn
     // by md5 order (deterministic in every engine — the fixed-rate q11
     // coin's fixed-size sibling). The rank-≤-n filter is declared over a
@@ -1957,6 +1995,30 @@ object SparkEntry {
          |  ($pz) | (($sz) << 1) AS zval
          |FROM base""".stripMargin
     },
+
+    "q102_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t
+        |      WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)],
+        |    ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "q103_corpus_cube" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+        |FROM documents
+        |GROUP BY CUBE (lang, source)""".stripMargin,
 
     "q101_stratified_sample" -> {
       val m = "md5('strat' || '|' || CAST(doc_id AS VARCHAR))"

@@ -467,21 +467,47 @@ object Sketches {
       lit(DcmMax)).as("x"))
 
   /** The L-level dyadic CM grid of a clamped value column `x`: (lvl,
-    * row_i, bucket, cnt), ≤ L·d·w cells. Each input row contributes L·d
-    * constant map-side entries; cells merge by `+` across batches/days
-    * (SketchesSpec pins mergeability), the same roll-up contract as
-    * [[cmGrid]].
+    * row_i, bucket, cnt), ≤ L·d·w cells; cells merge by `+` across
+    * batches/days (SketchesSpec pins mergeability), the same roll-up
+    * contract as [[cmGrid]].
+    *
+    * DIRECT form: each input row contributes L·d map-side entries into
+    * one aggregation — the single-stateful-agg shape the streaming twin
+    * needs. Batch callers should prefer [[dcmGridFromCounts]] over a
+    * value histogram: the domain bound makes the histogram ≤ 2^(L−1)
+    * rows at ANY corpus size, so the L·d explode runs on histogram
+    * rows, not corpus rows (measured 5× cheaper at SketchScale's 10M —
+    * and the gap grows with n).
     */
-  def dcmGrid(clamped: DataFrame): DataFrame =
+  def dcmGrid(clamped: DataFrame,
+      width: Int = DcmWidth): DataFrame =
     clamped
       .select(posexplode(array((0 until DcmLevels).map(b =>
         shiftright(col("x"), b)): _*)).as(Seq("lvl", "node")))
       .select(col("lvl"),
         posexplode(array((0 until CmDepth).map(i =>
-          dcmBucket(i, col("lvl"), col("node"))): _*))
+          dcmBucket(i, col("lvl"), col("node"), width)): _*))
           .as(Seq("row_i", "bucket")))
       .groupBy(col("lvl"), col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** [[dcmGrid]] from a value HISTOGRAM (x, vcnt) — cell-for-cell equal
+    * to the direct form (SketchesSpec pins it) at a fraction of the
+    * cost: the corpus pays one map-side-combined count over ≤ 2^(L−1)
+    * distinct clamped values, and the L·d explode weights histogram
+    * rows by `vcnt`.
+    */
+  def dcmGridFromCounts(hist: DataFrame,
+      width: Int = DcmWidth): DataFrame =
+    hist
+      .select(col("vcnt"), posexplode(array((0 until DcmLevels).map(b =>
+        shiftright(col("x"), b)): _*)).as(Seq("lvl", "node")))
+      .select(col("vcnt"), col("lvl"),
+        posexplode(array((0 until CmDepth).map(i =>
+          dcmBucket(i, col("lvl"), col("node"), width)): _*))
+          .as(Seq("row_i", "bucket")))
+      .groupBy(col("lvl"), col("row_i"), col("bucket"))
+      .agg(sum(col("vcnt")).as("cnt"))
 
   /** Quantile estimation from a dyadic Count-Min summary — the
     * bounded-state path to percentiles at corpus scale (Cormode &
@@ -519,11 +545,15 @@ object Sketches {
     */
   def dyadicCmQuantiles(values: DataFrame, valueCol: String,
       phisPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L,
-        990000L)): DataFrame = {
+        990000L), width: Int = DcmWidth): DataFrame = {
     import graft.util.Pins
-    // scanned three ways (grid, candidates, exact ranks) — pin once
-    val vs = dcmClamp(values, valueCol).transform(Pins.pin(_))
-    val cells = dcmGrid(vs)
+    // ONE corpus pass: the value histogram (≤ 2^(L−1) rows by the
+    // domain clamp) feeds the grid, the candidate set AND the exact
+    // ranks — pin it once
+    val hist = dcmClamp(values, valueCol)
+      .groupBy(col("x")).agg(count(lit(1)).as("vcnt"))
+      .transform(Pins.pin(_))
+    val cells = dcmGridFromCounts(hist, width)
       // PINNED: consumed by d broadcast probes + the total (broadcast
       // exchanges of different filters never unify under ReuseExchange)
       .transform(Pins.pin(_))
@@ -533,7 +563,7 @@ object Sketches {
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
     // prefix decomposition: [0, x] = ⋃ over set bits b of (x+1) of the
     // level-b node ((x+1) >> b) − 1 — at most one node per level
-    val cand = vs.distinct()
+    val cand = hist.select(col("x"))
     val probes = cand.select(col("x"),
         explode(array((0 until DcmLevels).map { b =>
           struct(lit(b).as("lvl"),
@@ -550,7 +580,8 @@ object Sketches {
           .select(col("lvl").as("c_lvl"), col("bucket"),
             col("cnt").as(s"c$i"))),
           col("lvl") === col("c_lvl") &&
-            dcmBucket(i, col("lvl"), col("node")) === col("bucket"), "left")
+            dcmBucket(i, col("lvl"), col("node"), width) === col("bucket"),
+          "left")
         .withColumn("est_b", least(col("est_b"),
           coalesce(col(s"c$i"), lit(0L))))
         .drop("c_lvl", "bucket", s"c$i")
@@ -561,8 +592,7 @@ object Sketches {
     // table — single-partition by design because the DOMAIN bounds it,
     // not the corpus (contrast q77, where the ranked set is corpus-sized
     // and gets the distributed range-partition rank)
-    val exactCnt = vs.groupBy(col("x")).agg(count(lit(1)).as("vcnt"))
-    val trueRank = exactCnt.withColumn("true_rank",
+    val trueRank = hist.withColumn("true_rank",
       sum(col("vcnt")).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("x")))).drop("vcnt")
     val ranks = estRank.join(trueRank, "x")
@@ -591,7 +621,7 @@ object Sketches {
     */
   def dyadicCmSql(table: String, valueExpr: String,
       phisPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L,
-        990000L)): String = {
+        990000L), width: Int = DcmWidth): String = {
     val lvlValues = (0 until DcmLevels).map(b => s"($b)").mkString(", ")
     val rowValues = (0 until CmDepth).map(i => s"($i)").mkString(", ")
     val phiValues = phisPpm.map(p => s"(CAST($p AS BIGINT))")
@@ -607,7 +637,7 @@ object Sketches {
        |  SELECT l.b AS lvl, r.i AS row_i,
        |    CAST(('0x' || substr(md5('dcm' || '|' || r.i || '|' ||
        |      CAST(l.b AS VARCHAR) || '|' || CAST((v.x >> l.b) AS VARCHAR)),
-       |      1, 7)) AS BIGINT) % $DcmWidth AS bucket,
+       |      1, 7)) AS BIGINT) % $width AS bucket,
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM v, lvls l, rws r
        |  GROUP BY 1, 2, 3
@@ -630,7 +660,7 @@ object Sketches {
        |  LEFT JOIN cells ce ON ce.lvl = p.lvl AND ce.row_i = r.i
        |    AND ce.bucket = CAST(('0x' || substr(md5('dcm' || '|' || r.i ||
        |      '|' || CAST(p.lvl AS VARCHAR) || '|' ||
-       |      CAST(p.node AS VARCHAR)), 1, 7)) AS BIGINT) % $DcmWidth
+       |      CAST(p.node AS VARCHAR)), 1, 7)) AS BIGINT) % $width
        |),
        |node_est AS (
        |  SELECT x, lvl, min(cnt) AS est_b FROM probe_rows GROUP BY 1, 2

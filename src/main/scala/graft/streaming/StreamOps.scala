@@ -452,7 +452,8 @@ object StreamOps {
     * (prefix decomposition + targets) reads either (StreamOpsSpec pins
     * equality). Update/complete output.
     */
-  def streamingDcmGrid(values: DataFrame, valueCol: String): DataFrame =
+  def streamingDcmGrid(values: DataFrame, valueCol: String,
+      width: Int = graft.ext.Sketches.DcmWidth): DataFrame =
     graft.ext.Sketches.dcmGrid(
-      graft.ext.Sketches.dcmClamp(values, valueCol))
+      graft.ext.Sketches.dcmClamp(values, valueCol), width)
 }

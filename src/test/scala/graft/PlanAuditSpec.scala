@@ -336,6 +336,28 @@ class PlanAuditSpec extends SparkSpec {
       s"q99 scans not bucketed: $p")
   }
 
+  test("doc chunking (q102) is MAP-ONLY: zero shuffles, pruned scan") {
+    // one split per row, sequence + posexplode + shared-array slices —
+    // the chunk-scan-to-sink shape must never exchange
+    val p = staticPlan(SparkEntry.queries("q102_doc_chunks")(spark, dir))
+    assert(shuffles(p).isEmpty, s"q102 shuffles: $p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet == Set("doc_id", "text"),
+        s"q102 scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+  }
+
+  test("corpus cube (q103): ONE scan through Expand, one aggregation") {
+    // four grouping sets from a single pass — the plan must hold exactly
+    // one Expand over one scan, not a union of four scans
+    val p = staticPlan(SparkEntry.queries("q103_corpus_cube")(spark, dir))
+    val expands = p.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1, s"q103 lost the Expand: $p")
+    assert(scans(p).size == 1, s"q103 scanned more than once: $p")
+    assert(shuffles(p).size <= 1, s"q103 shuffle count grew: $p")
+  }
+
   test("zorder key (q100) is MAP-ONLY whole-stage codegen") {
     val p = staticPlan(SparkEntry.queries("q100_zorder_key")(spark, dir))
     assert(shuffles(p).isEmpty, s"q100 shuffles: $p")

@@ -179,6 +179,18 @@ class SketchesSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("est_le_exact")))
   }
 
+  test("dcm histogram grid equals the direct grid cell-for-cell") {
+    val df = Sketches.dcmClamp(
+      (0L until 3000L).map(v => v * 7 % 1200).toDF("v"), "v")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Int]("lvl"), r.getAs[Int]("row_i"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")).toMap
+    val direct = toMap(Sketches.dcmGrid(df))
+    val viaHist = toMap(Sketches.dcmGridFromCounts(
+      df.groupBy(col("x")).agg(count(lit(1)).as("vcnt"))))
+    assert(direct === viaHist)
+  }
+
   test("dcm grids add: grid(A ∪ B) = grid(A) + grid(B) cell-wise") {
     def grid(lo: Long, hi: Long): Map[(Int, Int, Long), Long] =
       Sketches.dcmGrid(Sketches.dcmClamp(
