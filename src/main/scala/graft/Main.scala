@@ -38,6 +38,7 @@ object Main {
       |                      [--r <spanTokens>] [--p true] [--c true] [--x true]
       |                      [--d <nearDupMaxDf, 0=ungated>]
       |  graft.Main profile  --f <docs.parquet> [--o <outdir>]
+      |  graft.Main zorder   --f <table.parquet> --a <colA> --b <colB> [--o <outdir>] [--n <files>]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -169,6 +170,20 @@ object Main {
             s"${counts("vocab")} candidate words, " +
             s"${counts("quantiles")} length quantiles -> " +
             opt("--o", "results"))
+        case "zorder" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val a = opts.getOrElse("--a",
+            { System.err.println(usage); sys.exit(2); "" })
+          val b = opts.getOrElse("--b",
+            { System.err.println(usage); sys.exit(2); "" })
+          val stats = runZorder(spark, in, a, b, opt("--o", "results"),
+            opt("--n", "64").toInt)
+          println(s"zorder: ${stats("rows")} rows -> ${stats("files")} " +
+            s"z-clustered files at ${opt("--o", "results")} " +
+            s"(tightest-box check: a median file spans " +
+            s"${stats("median_span_a")}/${stats("domain_a")} of a, " +
+            s"${stats("median_span_b")}/${stats("domain_b")} of b)")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -747,6 +762,37 @@ object Main {
         i => posOf(nodes(i)), new java.io.File(s"$out/reorder.png"))
     }
     n
+  }
+
+  /** `zorder`: rewrite a parquet table z-clustered on two integer-ish
+    * columns (q100's operator as a CLI stage — the layout-maintenance
+    * job a lakehouse runs to keep multi-dimensional skipping tight).
+    * Emits the rewritten files plus the per-file min/max stats table a
+    * table format would index, and returns span diagnostics (how tight
+    * the median file's box is on each dimension).
+    */
+  def runZorder(spark: SparkSession, in: String, a: String, b: String,
+                out: String, nFiles: Int): Map[String, Long] = {
+    import graft.ops.Layout
+    Layout.zOrderWrite(spark.read.parquet(in), a, b, s"$out/zorder",
+      nFiles)
+    val stats = Layout.fileStats(spark, s"$out/zorder", a, b)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/zorder_file_stats")
+    val agg = stats.agg(
+      sum(col("rows")).as("rows"), count(lit(1)).as("files"),
+      expr("percentile_approx(max_a - min_a, 0.5)").as("sa"),
+      expr("percentile_approx(max_b - min_b, 0.5)").as("sb"),
+      (max(col("max_a")) - min(col("min_a"))).as("da"),
+      (max(col("max_b")) - min(col("min_b"))).as("db")).collect()(0)
+    stats.unpersist()
+    Map("rows" -> agg.getAs[Long]("rows"),
+      "files" -> agg.getAs[Long]("files"),
+      "median_span_a" -> agg.getAs[Number]("sa").longValue(),
+      "median_span_b" -> agg.getAs[Number]("sb").longValue(),
+      "domain_a" -> agg.getAs[Number]("da").longValue(),
+      "domain_b" -> agg.getAs[Number]("db").longValue())
   }
 
   /** `profile`: sketch-based corpus profile (the q93/q94/q98 operators

@@ -619,6 +619,16 @@ object SparkEntry {
           .select(size(TextOps.tokens(col("text"))).as("n_tokens")),
         "n_tokens")),
 
+    // …and the per-GROUP form: token-length percentiles per source —
+    // one grid per group, the standing per-corpus-slice length profile
+    "q105_dcm_quantiles_by_source" -> ((s, dir) =>
+      Sketches.dyadicCmQuantilesByGroup(
+        Tables.table(s, dir, "documents")
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).as("n_tokens")),
+        "n_tokens", "source")
+        .withColumnRenamed("g", "source")),
+
     // Morton z-value of (l_partkey, l_suppkey) — the multi-dimensional
     // clustering key behind file/row-group skipping (Layout scaladoc;
     // LayoutSpec measures the skipping win). Map-only integer bit
@@ -1269,6 +1279,27 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 6).as("sum_value"))),
+
+    // CDC latest-snapshot compaction: the newest event per key IS the
+    // upsert view of an append-only log — the merge-on-read shape every
+    // lakehouse pays on the read path. One rank-1 window, so Spark 4's
+    // partial WindowGroupLimit prunes map-side (each task forwards ONE
+    // candidate row per key before the shuffle — q101's pushdown at
+    // n=1); (ts, event_id) DESC makes the winner deterministic under
+    // same-timestamp ties.
+    "q104_latest_snapshot" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          round(col("value"), 6).as("last_value"))
+    }),
 
     // event-time SESSION windows (gap-close sessionization — the
     // streaming-native windowing Spark's session_window gives batch and
@@ -1983,6 +2014,15 @@ object SparkEntry {
       Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
     "q98_dcm_quantiles" -> Sketches.dyadicCmSql("documents",
       "len(string_split_regex(lower(text), '\\s+'))"),
+
+    "q105_dcm_quantiles_by_source" -> {
+      val inner = Sketches.dyadicCmGroupedSql("documents",
+        "len(string_split_regex(lower(text), '\\s+'))", "source")
+      s"""WITH q105 AS ($inner)
+         |SELECT g AS source, phi_ppm, n_total, target_rank, q_est,
+         |  q_exact, est_le_exact, rel_err
+         |FROM q105""".stripMargin
+    },
 
     "q100_zorder_key" -> {
       val pz = graft.ops.Layout.spread16Sql("p16")
@@ -2750,6 +2790,18 @@ object SparkEntry {
         |       event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q104_latest_snapshot" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  event_id AS last_event_id, event_type AS last_event_type,
+        |  round(value, 6) AS last_value
+        |FROM ranked WHERE rk = 1""".stripMargin,
 
     // gaps-and-islands sessionization: a session breaks when the gap to
     // the previous event is ≥ the 30-minute gap duration (Spark's

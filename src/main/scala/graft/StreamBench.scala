@@ -191,6 +191,18 @@ object StreamBench {
         in => StreamOps.streamingCmGrid(in, "word"),
         mode = "update"))
 
+    // 8. streamingDcmGrid — 2M skewed values in update mode: the
+    //    dyadic-level counter maintenance path (L·d cells per value),
+    //    state construction-bounded at ≤ 17·4·64 cells
+    val nDcm = 2000000L
+    val (dcmP, dcmSch) = writeIn("dcm-in",
+      spark.range(nDcm).select(
+        pmod(xxhash64(col("id")), lit(5000L)).as("v")))
+    record("dcm_grid", nDcm,
+      drain("dcm", dcmP, dcmSch,
+        in => StreamOps.streamingDcmGrid(in, "v"),
+        mode = "update"))
+
     // Persist the record as STREAMBENCH_LOCAL.json (full line, never
     // truncated) so streaming throughput diffs round-over-round
     // mechanically, like Bench's BENCH_LOCAL.json: each twin carries the

@@ -615,6 +615,179 @@ object Sketches {
             col("q_exact").cast("double")).as("rel_err"))
   }
 
+  /** Per-GROUP [[dyadicCmQuantiles]] — one dyadic grid per group, the
+    * production profile shape ("token-length percentiles per source /
+    * language"). Same determinism and one-sided contract; the summary
+    * is ≤ G·L·d·w cells and every per-group structure (histogram,
+    * candidates, rank window) stays domain-bounded. The rank window
+    * partitions by group (distributed), and the grid probes stay d
+    * broadcast joins keyed (g, lvl, bucket).
+    *
+    * Output: one row per (group, φ) — (g, phi_ppm, n_total,
+    * target_rank, q_est, q_exact, est_le_exact, rel_err).
+    */
+  def dyadicCmQuantilesByGroup(values: DataFrame, valueCol: String,
+      groupCol: String,
+      phisPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L,
+        990000L), width: Int = DcmWidth): DataFrame = {
+    import graft.util.Pins
+    val hist = values
+      .select(col(groupCol).as("g"),
+        least(greatest(col(valueCol).cast("long"), lit(0L)),
+          lit(DcmMax)).as("x"))
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("vcnt"))
+      .transform(Pins.pin(_))
+    val cells = hist
+      .select(col("g"), col("vcnt"),
+        posexplode(array((0 until DcmLevels).map(b =>
+          shiftright(col("x"), b)): _*)).as(Seq("lvl", "node")))
+      .select(col("g"), col("vcnt"), col("lvl"),
+        posexplode(array((0 until CmDepth).map(i =>
+          dcmBucket(i, col("lvl"), col("node"), width)): _*))
+          .as(Seq("row_i", "bucket")))
+      .groupBy(col("g"), col("lvl"), col("row_i"), col("bucket"))
+      .agg(sum(col("vcnt")).as("cnt"))
+      .transform(Pins.pin(_))
+    val totals = cells.filter(col("lvl") === 0 && col("row_i") === 0)
+      .groupBy(col("g")).agg(sum(col("cnt")).as("n_total"))
+    val probes = hist.select(col("g"), col("x"))
+      .select(col("g"), col("x"),
+        explode(array((0 until DcmLevels).map { b =>
+          struct(lit(b).as("lvl"),
+            (shiftright(col("x") + lit(1L), b) - lit(1L)).as("node"),
+            ((shiftright(col("x") + lit(1L), b) % 2) === 1).as("on"))
+        }: _*)).as("p"))
+      .filter(col("p.on"))
+      .select(col("g"), col("x"), col("p.lvl").as("lvl"),
+        col("p.node").as("node"))
+    val probed = (0 until CmDepth).foldLeft(
+      probes.withColumn("est_b", lit(Long.MaxValue))) { (acc, i) =>
+      acc.join(broadcast(cells.filter(col("row_i") === i)
+          .select(col("g").as("c_g"), col("lvl").as("c_lvl"),
+            col("bucket"), col("cnt").as(s"c$i"))),
+          col("g") === col("c_g") && col("lvl") === col("c_lvl") &&
+            dcmBucket(i, col("lvl"), col("node"), width) === col("bucket"),
+          "left")
+        .withColumn("est_b", least(col("est_b"),
+          coalesce(col(s"c$i"), lit(0L))))
+        .drop("c_g", "c_lvl", "bucket", s"c$i")
+    }
+    val estRank = probed.groupBy(col("g"), col("x"))
+      .agg(sum(col("est_b")).as("est_rank"))
+    val trueRank = hist.withColumn("true_rank",
+      sum(col("vcnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("x")))).drop("vcnt")
+    val ranks = estRank.join(trueRank, Seq("g", "x"))
+    val phis = values.sparkSession.range(1)
+      .select(explode(array(phisPpm.map(lit): _*)).as("phi_ppm"))
+    val targets = totals.crossJoin(broadcast(phis))
+      .withColumn("target_rank",
+        expr("(n_total * phi_ppm + 999999) div 1000000"))
+    ranks.join(broadcast(targets), "g")
+      .groupBy(col("g"), col("phi_ppm"), col("n_total"),
+        col("target_rank"))
+      .agg(min(when(col("est_rank") >= col("target_rank"), col("x")))
+          .as("q_est"),
+        min(when(col("true_rank") >= col("target_rank"), col("x")))
+          .as("q_exact"))
+      .select(col("g"), col("phi_ppm"), col("n_total"),
+        col("target_rank"), col("q_est"), col("q_exact"),
+        (col("q_est") <= col("q_exact")).as("est_le_exact"),
+        when(col("q_exact") === 0, lit(null).cast("double"))
+          .otherwise((col("q_est") - col("q_exact")).cast("double") /
+            col("q_exact").cast("double")).as("rel_err"))
+  }
+
+  /** DuckDB mirror of [[dyadicCmQuantilesByGroup]]. */
+  def dyadicCmGroupedSql(table: String, valueExpr: String,
+      groupExpr: String,
+      phisPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L,
+        990000L), width: Int = DcmWidth): String = {
+    val lvlValues = (0 until DcmLevels).map(b => s"($b)").mkString(", ")
+    val rowValues = (0 until CmDepth).map(i => s"($i)").mkString(", ")
+    val phiValues = phisPpm.map(p => s"(CAST($p AS BIGINT))")
+      .mkString(", ")
+    s"""WITH v AS (
+       |  SELECT $groupExpr AS g,
+       |    least(greatest(CAST($valueExpr AS BIGINT), 0), $DcmMax) AS x
+       |  FROM $table
+       |),
+       |hist AS (
+       |  SELECT g, x, CAST(count(*) AS BIGINT) AS vcnt FROM v
+       |  GROUP BY 1, 2
+       |),
+       |lvls(b) AS (VALUES $lvlValues),
+       |rws(i) AS (VALUES $rowValues),
+       |cells AS (
+       |  SELECT h.g, l.b AS lvl, r.i AS row_i,
+       |    CAST(('0x' || substr(md5('dcm' || '|' || r.i || '|' ||
+       |      CAST(l.b AS VARCHAR) || '|' || CAST((h.x >> l.b) AS VARCHAR)),
+       |      1, 7)) AS BIGINT) % $width AS bucket,
+       |    CAST(sum(h.vcnt) AS BIGINT) AS cnt
+       |  FROM hist h, lvls l, rws r
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |totals AS (
+       |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n_total
+       |  FROM cells WHERE lvl = 0 AND row_i = 0 GROUP BY 1
+       |),
+       |probes AS (
+       |  SELECT h.g, h.x, l.b AS lvl, ((h.x + 1) >> l.b) - 1 AS node
+       |  FROM hist h, lvls l
+       |  WHERE ((h.x + 1) >> l.b) % 2 = 1
+       |),
+       |probe_rows AS (
+       |  SELECT p.g, p.x, p.lvl, r.i AS row_i,
+       |    coalesce(ce.cnt, 0) AS cnt
+       |  FROM probes p
+       |  CROSS JOIN rws r
+       |  LEFT JOIN cells ce ON ce.g = p.g AND ce.lvl = p.lvl
+       |    AND ce.row_i = r.i
+       |    AND ce.bucket = CAST(('0x' || substr(md5('dcm' || '|' || r.i ||
+       |      '|' || CAST(p.lvl AS VARCHAR) || '|' ||
+       |      CAST(p.node AS VARCHAR)), 1, 7)) AS BIGINT) % $width
+       |),
+       |node_est AS (
+       |  SELECT g, x, lvl, min(cnt) AS est_b FROM probe_rows
+       |  GROUP BY 1, 2, 3
+       |),
+       |est_rank AS (
+       |  SELECT g, x, CAST(sum(est_b) AS BIGINT) AS est_rank
+       |  FROM node_est GROUP BY 1, 2
+       |),
+       |true_rank AS (
+       |  SELECT g, x,
+       |    CAST(sum(vcnt) OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+       |      AS true_rank
+       |  FROM hist
+       |),
+       |ranks AS (
+       |  SELECT e.g, e.x, e.est_rank, t.true_rank
+       |  FROM est_rank e JOIN true_rank t ON t.g = e.g AND t.x = e.x
+       |),
+       |phis(phi_ppm) AS (VALUES $phiValues),
+       |targets AS (
+       |  SELECT t.g, p.phi_ppm, t.n_total,
+       |    (t.n_total * p.phi_ppm + 999999) // 1000000 AS target_rank
+       |  FROM totals t CROSS JOIN phis p
+       |),
+       |agg AS (
+       |  SELECT t.g, t.phi_ppm, t.n_total, t.target_rank,
+       |    min(CASE WHEN r.est_rank >= t.target_rank THEN r.x END)
+       |      AS q_est,
+       |    min(CASE WHEN r.true_rank >= t.target_rank THEN r.x END)
+       |      AS q_exact
+       |  FROM ranks r JOIN targets t ON t.g = r.g
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT g, phi_ppm, n_total, target_rank, q_est, q_exact,
+       |  q_est <= q_exact AS est_le_exact,
+       |  CASE WHEN q_exact = 0 THEN NULL
+       |    ELSE CAST(q_est - q_exact AS DOUBLE) / CAST(q_exact AS DOUBLE)
+       |  END AS rel_err
+       |FROM agg""".stripMargin
+  }
+
   /** DuckDB mirror of [[dyadicCmQuantiles]]: rebuilds the identical
     * grid (same md5 buckets), prefix decomposition, integer targets and
     * single-division `rel_err`.

@@ -463,4 +463,27 @@ class MainSpec extends SparkSpec {
     assert(qs.filter(col("q_est") > 0).count() > 0,
       "token-count quantiles degenerate to zero")
   }
+
+  test("zorder CLI mode: rewritten files carry tight 2-D boxes and " +
+      "identical data") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val src = s"$tmp/in"
+    (0L until 40000L).map(i => (i % 200, (i / 200) * 7 % 200))
+      .toDF("a", "b").write.mode("overwrite").parquet(src)
+    val stats = Main.runZorder(spark, src, "a", "b", s"$tmp/out", 32)
+    assert(stats("rows") == 40000L && stats("files") == 32L)
+    // z-locality: the median file's box must be far tighter than the
+    // full domain on BOTH dimensions (a linear sort leaves one at 100 %)
+    assert(stats("median_span_a") * 2 <= stats("domain_a"),
+      s"a-span ${stats("median_span_a")} of ${stats("domain_a")}")
+    assert(stats("median_span_b") * 2 <= stats("domain_b"),
+      s"b-span ${stats("median_span_b")} of ${stats("domain_b")}")
+    // and the rewrite is a permutation, not a transformation
+    val back = spark.read.parquet(s"$tmp/out/zorder")
+      .groupBy(col("a"), col("b")).count()
+    val orig = spark.read.parquet(src)
+      .groupBy(col("a"), col("b")).count()
+    assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
+  }
 }

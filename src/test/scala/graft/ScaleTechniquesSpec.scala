@@ -131,4 +131,42 @@ class ScaleTechniquesSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("runtime bloom-filter join reduction: a selective dim filter " +
+      "prunes the fact side BEFORE its shuffle") {
+    // the big-big join shape where neither side broadcasts: Spark's
+    // runtime filter turns the filtered dim side into a bloom filter
+    // applied to the fact side's scan — at 100 TB the fact shuffle
+    // carries only might-match rows. Thresholds are lowered to make the
+    // optimizer fire at spec scale; the assertion is the INJECTION and
+    // value-equality, the production win is the pruned shuffle.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // parquet sources (the runtime filter only targets file scans)
+      (0L until 200000L).map(i => (i % 1000, i)).toDF("k", "payload")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      (0L until 1000L).map(i => (i, s"d$i")).toDF("k", "attr")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+        .filter(col("attr").isin("d3", "d47", "d901")) // selective
+      val j = fact.join(dim, "k")
+      val hasBloom = j.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("bloomfilter")
+      assert(hasBloom,
+        s"no runtime bloom filter injected:\n${j.queryExecution.optimizedPlan}")
+      assert(j.count() == 3L * 200L) // 3 keys × 200 fact rows each
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
 }

@@ -206,6 +206,29 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("dcm grouped quantiles: each group equals the ungrouped run on " +
+      "its slice") {
+    // group isolation — the per-group grid must answer exactly what the
+    // single-group operator answers on that group's rows alone
+    val rows = (1L to 400L).map(v => ("a", v)) ++
+      (1L to 90L).map(v => ("b", v * 11))
+    val df = rows.toDF("g", "v")
+    val grouped = Sketches.dyadicCmQuantilesByGroup(df, "v", "g")
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("phi_ppm")) ->
+        (r.getAs[Long]("q_est"), r.getAs[Long]("q_exact"))).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Sketches.dyadicCmQuantiles(
+          df.filter(col("g") === g).select(col("v")), "v")
+        .collect()
+        .map(r => r.getAs[Long]("phi_ppm") ->
+          (r.getAs[Long]("q_est"), r.getAs[Long]("q_exact"))).toMap
+      solo.foreach { case (phi, qq) =>
+        assert(grouped((g, phi)) === qq, s"group $g phi $phi diverged")
+      }
+    }
+  }
+
   test("dcm clamp pins the sketch domain") {
     val df = Seq(-5L, 0L, 70000L, Sketches.DcmMax).toDF("v")
     val xs = Sketches.dcmClamp(df, "v").collect().map(_.getAs[Long]("x"))
