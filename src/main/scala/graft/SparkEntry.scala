@@ -629,6 +629,31 @@ object SparkEntry {
         "n_tokens", "source")
         .withColumnRenamed("g", "source")),
 
+    // deequ-style table-stats profile: per-column row/null/distinct
+    // counts and numeric min/max for six lineitem columns from ONE
+    // aggregation pass — the multi-count-distinct plans a single Expand
+    // (each row replicated once per distinct agg, the q103 shape), then
+    // the wide one-row result unpivots to one row per column. The
+    // standing data-quality gate a 100 TB ingest runs before anything
+    // else trusts the table.
+    "q106_table_stats" -> ((s, dir) => {
+      val cols = Seq("l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")))
+      val wide = Tables.table(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stacked = cols.map(c =>
+        struct(lit(c).as("column"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val")))
+      wide.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+    }),
+
     // Morton z-value of (l_partkey, l_suppkey) — the multi-dimensional
     // clustering key behind file/row-group skipping (Layout scaladoc;
     // LayoutSpec measures the skipping win). Map-only integer bit
@@ -1279,6 +1304,48 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 6).as("sum_value"))),
+
+    // time-series RESAMPLE with gap-fill: sparse per-(user, hour) event
+    // counts densified over each user's own [min, max] hour span —
+    // missing hours become explicit zero rows (the sparse→dense step
+    // every downstream time-series model needs). The dense axis comes
+    // from `sequence` + explode per user (each user expands only its
+    // own span — distributed, no global calendar cartesian).
+    "q107_hourly_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          col("value"))
+      val counts = ev.groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))
+      val dense = ev.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      dense.join(counts, Seq("user_id", "hr"), "left")
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    }),
+
+    // trailing RANGE-frame moving average: each event's mean value over
+    // the preceding hour of ITS OWN timeline — the ordered-analytics
+    // frame W1's integer windows cannot express (frame bounds are
+    // event-time offsets, not row counts; simultaneous events share a
+    // frame, so the result is tie-stable by construction).
+    "q108_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          count(lit(1)).over(w).as("n_frame"),
+          round(avg(col("value")).over(w), 6).as("avg_1h"))
+    }),
 
     // CDC latest-snapshot compaction: the newest event per key IS the
     // upsert view of an append-only log — the merge-on-read shape every
@@ -2014,6 +2081,19 @@ object SparkEntry {
       Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
     "q98_dcm_quantiles" -> Sketches.dyadicCmSql("documents",
       "len(string_split_regex(lower(text), '\\s+'))"),
+
+    "q106_table_stats" -> {
+      val cols = Seq("l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column",
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    },
 
     "q105_dcm_quantiles_by_source" -> {
       val inner = Sketches.dyadicCmGroupedSql("documents",
@@ -2790,6 +2870,38 @@ object SparkEntry {
         |       event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q107_hourly_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, value FROM events),
+        |counts AS (
+        |  SELECT user_id, hr, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(value), 6) AS sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev
+        |  GROUP BY 1),
+        |dense AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM spans)
+        |SELECT d.user_id,
+        |  strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  coalesce(c.n, 0) AS n,
+        |  coalesce(c.sum_value, 0.0) AS sum_value
+        |FROM dense d
+        |LEFT JOIN counts c ON c.user_id = d.user_id AND c.hr = d.hr"""
+        .stripMargin,
+
+    "q108_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_frame,
+        |  round(avg(value) OVER w, 6) AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(epoch(ts) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q104_latest_snapshot" ->
       """WITH ranked AS (

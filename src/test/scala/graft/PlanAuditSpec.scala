@@ -358,6 +358,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"q103 shuffle count grew: $p")
   }
 
+  test("table stats (q106): six distinct-counts in ONE scan through " +
+      "one Expand") {
+    val p = staticPlan(SparkEntry.queries("q106_table_stats")(spark, dir))
+    assert(scans(p).size == 1, s"q106 scanned more than once: $p")
+    val expands = p.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1,
+      s"q106 expected one Expand for the multi-distinct agg: $p")
+  }
+
+  test("gapfill (q107) and moving average (q108): no cartesian, " +
+      "windows stay partitioned") {
+    val p7 = staticPlan(SparkEntry.queries("q107_hourly_gapfill")(spark, dir))
+    assert(p7.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q107 planned a cartesian: $p7")
+    val p8 = staticPlan(SparkEntry.queries("q108_moving_avg")(spark, dir))
+    val wins = p8.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty &&
+      wins.forall(_.partitionSpec.nonEmpty),
+      s"q108 window lost its partitioning: $p8")
+  }
+
   test("zorder key (q100) is MAP-ONLY whole-stage codegen") {
     val p = staticPlan(SparkEntry.queries("q100_zorder_key")(spark, dir))
     assert(shuffles(p).isEmpty, s"q100 shuffles: $p")
