@@ -39,6 +39,7 @@ object Main {
       |                      [--d <nearDupMaxDf, 0=ungated>]
       |  graft.Main profile  --f <docs.parquet> [--o <outdir>]
       |  graft.Main zorder   --f <table.parquet> --a <colA> --b <colB> [--o <outdir>] [--n <files>]
+      |  graft.Main stats    --f <table.parquet> [--c col1,col2,...] [--o <outdir>]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -184,6 +185,12 @@ object Main {
             s"(tightest-box check: a median file spans " +
             s"${stats("median_span_a")}/${stats("domain_a")} of a, " +
             s"${stats("median_span_b")}/${stats("domain_b")} of b)")
+        case "stats" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val colsArg = opts.get("--c").map(_.split(",").toSeq)
+          val n = runStats(spark, in, colsArg, opt("--o", "results"))
+          println(s"stats: $n column profiles -> ${opt("--o", "results")}")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -762,6 +769,33 @@ object Main {
         i => posOf(nodes(i)), new java.io.File(s"$out/reorder.png"))
     }
     n
+  }
+
+  /** `stats`: the q106 table-stats profile over an arbitrary parquet —
+    * per-column row/null/distinct counts and min/max (computed on the
+    * native type, emitted as strings) from ONE aggregation pass. The
+    * multi-count-distinct costs one Expand (each row replicated once
+    * per profiled column) — a deliberate single-scan-vs-replication
+    * trade; profile a column subset via `--c` on very wide tables.
+    */
+  def runStats(spark: SparkSession, in: String,
+               colsOpt: Option[Seq[String]], out: String): Long = {
+    val df = spark.read.parquet(in)
+    val cols = colsOpt.getOrElse(df.columns.toSeq)
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = cols.map(c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val")))
+    wide.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/table_stats")
+    spark.read.parquet(s"$out/table_stats").count()
   }
 
   /** `zorder`: rewrite a parquet table z-clustered on two integer-ish

@@ -629,6 +629,13 @@ object SparkEntry {
         "n_tokens", "source")
         .withColumnRenamed("g", "source")),
 
+    // per-node triangle counts over the undirected transaction graph —
+    // the degree-oriented wedge join (GraphOps.triangleCounts scaladoc:
+    // orientation bounds hub fan-out at O(√m) where the naive wedge
+    // join is quadratic on hubs)
+    "q109_triangle_counts" -> ((s, dir) =>
+      GraphOps.triangleCounts(GraphOps.binaryEdges(edges(s, dir)))),
+
     // deequ-style table-stats profile: per-column row/null/distinct
     // counts and numeric min/max for six lineitem columns from ONE
     // aggregation pass — the multi-count-distinct plans a single Expand
@@ -2081,6 +2088,38 @@ object SparkEntry {
       Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
     "q98_dcm_quantiles" -> Sketches.dyadicCmSql("documents",
       "len(string_split_regex(lower(text), '\\s+'))"),
+
+    "q109_triangle_counts" ->
+      s"""WITH $E,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |e AS (
+         |  SELECT CASE WHEN (la.d, u.a) < (lb.d, u.b) THEN u.a ELSE u.b
+         |    END AS u,
+         |    CASE WHEN (la.d, u.a) < (lb.d, u.b) THEN u.b ELSE u.a
+         |    END AS w,
+         |    CASE WHEN (la.d, u.a) < (lb.d, u.b) THEN lb.d ELSE la.d
+         |    END AS dw
+         |  FROM und u
+         |  JOIN deg la ON la.v = u.a
+         |  JOIN deg lb ON lb.v = u.b),
+         |tris AS (
+         |  SELECT e1.u, e1.w AS w1, e2.w AS w2
+         |  FROM e e1
+         |  JOIN e e2 ON e2.u = e1.u
+         |    AND (e1.dw, e1.w) < (e2.dw, e2.w)
+         |  JOIN e e3 ON e3.u = e1.w AND e3.w = e2.w)
+         |SELECT account, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (
+         |  SELECT u AS account FROM tris
+         |  UNION ALL SELECT w1 FROM tris
+         |  UNION ALL SELECT w2 FROM tris)
+         |GROUP BY 1""".stripMargin,
 
     "q106_table_stats" -> {
       val cols = Seq("l_partkey", "l_suppkey", "l_quantity",

@@ -407,6 +407,77 @@ object StreamOps {
       }
   }
 
+  /** One event of the streaming moving-average input. */
+  final case class MaEvent(userId: Long, eventId: Long,
+                           ts: java.sql.Timestamp, value: Double)
+  /** Per-key frame history: parallel (epoch-second, value) columns. */
+  final case class MaHist(tss: Seq[Long], values: Seq[Double])
+  /** One emitted moving-average row. */
+  final case class MaOut(userId: Long, eventId: Long,
+                         ts: java.sql.Timestamp, nFrame: Long,
+                         avg1h: Double)
+
+  /** Streaming trailing RANGE-frame moving average — the q108
+    * operator's streaming twin: each event emits its mean value over
+    * the preceding `frameSeconds` of its key's OWN timeline.
+    *
+    * State is BOUNDED by the watermark + frame horizon: per key only
+    * events with ts ≥ (watermark − frame) are retained (an in-horizon
+    * late event still finds its full frame), everything older is
+    * dropped — state tracks the horizon, not the stream's lifetime.
+    *
+    * Contract (loud, like the interval twin's divisibility note): the
+    * emit-on-arrival frame equals the batch q108 frame when events
+    * arrive in event-time order per key (the common ingest shape; the
+    * spec pins batch equality on it). An out-of-order event still gets
+    * ITS OWN frame right (history is consulted by event time), but an
+    * EARLIER-arrived later event has already emitted without it —
+    * streaming append mode cannot retract.
+    */
+  def streamingMovingAvg(events: DataFrame, frameSeconds: Long = 3600L,
+                         watermark: String = "1 hour")
+      : Dataset[MaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts"), col("value").cast("double").as("value"))
+      .as[MaEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[MaEvent], state: GroupState[MaHist]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(MaHist(Nil, Nil))
+            var hist = prev.tss.zip(prev.values)
+            val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+              .map { e =>
+                val t = e.ts.getTime / 1000
+                hist = (hist :+ (t -> e.value)).sortBy(_._1)
+                val frame = hist.filter { case (tt, _) =>
+                  tt >= t - frameSeconds && tt <= t }
+                MaOut(uid, e.eventId, e.ts, frame.size,
+                  frame.map(_._2).sum / frame.size)
+              }
+            // prune to the late-arrival horizon: an in-horizon event's
+            // ts can be as old as the watermark, and its frame reaches
+            // frameSeconds further back
+            val wmSec = state.getCurrentWatermarkMs() / 1000
+            hist = hist.filter(_._1 >= wmSec - frameSeconds)
+            state.update(MaHist(hist.map(_._1), hist.map(_._2)))
+            // expire the key once the watermark passes its newest event
+            // + frame (clamped above the current watermark — Spark
+            // rejects timeouts at/behind it)
+            val maxMs = (hist.map(_._1).maxOption.getOrElse(wmSec) +
+              frameSeconds) * 1000
+            state.setTimeoutTimestamp(
+              math.max(maxMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming HyperLogLog registers: the streaming twin of
     * Sketches.hllDistinct (q93). The register table — (group, register)
     * → max rank — IS the streaming state, and it is bounded BY THE

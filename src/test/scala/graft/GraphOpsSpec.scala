@@ -47,6 +47,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getSeq[Long](3) == Seq(10L, 11L, 12L))
   }
 
+  test("triangleCounts: K4 plus a pendant, by hand") {
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, every vertex in exactly 3;
+    // pendant 5-1 joins none. Directions/duplicates must not matter.
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(es).collect()
+      .map(r => r.getAs[Long]("account") -> r.getAs[Long]("n_triangles"))
+      .toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts orientation: hub wedges bound by higher-ordered " +
+      "neighbors") {
+    // star K1,5 (hub 9): no triangles at all — the oriented wedge join
+    // must emit nothing (a naive join on the hub would form C(5,2)
+    // wedges; orientation points every edge INTO the hub, zero out)
+    val es = (1L to 5L).map(i => (i, 9L)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(es).count() == 0)
+  }
+
   test("permuteEdges labels both endpoints with positions") {
     val pos = Seq((1L, 0L), (2L, 1L), (3L, 2L), (10L, 3L), (11L, 4L),
       (12L, 5L)).toDF("id", "pos")

@@ -464,6 +464,25 @@ class MainSpec extends SparkSpec {
       "token-count quantiles degenerate to zero")
   }
 
+  test("stats CLI mode: one-pass per-column profile with native-type " +
+      "min/max") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val n = Main.runStats(spark, s"$sfDir/documents.parquet",
+      Some(Seq("doc_id", "lang", "n_chars")), s"$tmp/out")
+    assert(n == 3)
+    val st = spark.read.parquet(s"$tmp/out/table_stats").collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val docs = st("doc_id")
+    assert(docs.getAs[Long]("n_nulls") == 0)
+    assert(docs.getAs[Long]("n_distinct") == docs.getAs[Long]("n_rows"))
+    // min/max computed on the NATIVE type then stringified: numeric
+    // order, not lexicographic (n_chars min is a small number even
+    // though "100" < "99" as strings)
+    val nc = st("n_chars")
+    assert(nc.getAs[String]("min_val").toLong <=
+      nc.getAs[String]("max_val").toLong)
+  }
+
   test("zorder CLI mode: rewritten files carry tight 2-D boxes and " +
       "identical data") {
     import spark.implicits._

@@ -358,6 +358,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"q103 shuffle count grew: $p")
   }
 
+  test("triangle counts (q109): equi wedge joins only, no cartesian") {
+    val p = staticPlan(
+      SparkEntry.queries("q109_triangle_counts")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q109 planned a cartesian: $p")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"q109 planned a nested-loop join: $p")
+  }
+
   test("table stats (q106): six distinct-counts in ONE scan through " +
       "one Expand") {
     val p = staticPlan(SparkEntry.queries("q106_table_stats")(spark, dir))

@@ -300,6 +300,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming moving average equals the batch RANGE frame on " +
+      "in-order input; state prunes to the horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val rows = mem.toDF.toDF("user_id", "event_id", "ts", "value")
+    val q = StreamOps.streamingMovingAvg(rows, frameSeconds = 600L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ma_out")
+      .outputMode("append").start()
+    try {
+      // offset from epoch 0: the initial watermark IS epoch 0 and rows
+      // at/behind it are dropped as late before reaching the state fn
+      def ts(min: Long) = new java.sql.Timestamp((min + 1000) * 60000L)
+      // two users, events every 2 min with a value ramp; in-order feed
+      val evs = (0L until 60L).flatMap(i => Seq(
+        (1L, i * 2, ts(i * 2), i.toDouble),
+        (2L, i * 2 + 1, ts(i * 2), (i * 3).toDouble)))
+      mem.addData(evs.take(60): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(60): _*)
+      q.processAllAvailable()
+      val got = spark.table("ma_out").collect()
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("eventId")) ->
+          (r.getAs[Long]("nFrame"),
+            math.round(r.getAs[Double]("avg1h") * 1e6) / 1e6)).toMap
+      // batch RANGE frame on the same rows (the q108 shape)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts"))).rangeBetween(-600L, 0L)
+      val want = evs.toDF("user_id", "event_id", "ts", "value")
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n"),
+          round(avg(col("value")).over(w), 6).as("a"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("a"))).toMap
+      assert(got.size == want.size)
+      want.foreach { case (k, v) =>
+        assert(got(k) === v, s"frame diverged at $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dyadic-cm grid equals the batch grid cell-for-cell") {
     import graft.ext.Sketches
     implicit val sq = spark.sqlContext
