@@ -356,4 +356,73 @@ class SparkPropsSpec extends SparkSpec {
     val nz = sk.filter(abs(col("value")) > 1e-15).count()
     assert(nz == 0)
   }
+
+  test("triangleCounts equals the brute-force triple scan on random " +
+      "graphs") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 4) {
+      val n = 8 + trial * 3
+      val es = randomEdges(n * 3, n, 10).map(e => (e._1, e._2))
+      val got = graft.ops.GraphOps.triangleCounts(es.toDF("src", "dst"))
+        .collect()
+        .map(r => r.getAs[Long]("account") -> r.getAs[Long]("n_triangles"))
+        .toMap
+      // brute force over all vertex triples of the undirected simple graph
+      val und = es.flatMap { case (a, b) =>
+        if (a == b) Nil else Seq((a min b, a max b)) }.toSet
+      val vs = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val brute = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for {
+        i <- vs.indices; j <- (i + 1) until vs.size
+        k <- (j + 1) until vs.size
+        (x, y, z) = (vs(i), vs(j), vs(k))
+        if und((x, y)) && und((x, z)) && und((y, z))
+      } { brute(x) += 1; brute(y) += 1; brute(z) += 1 }
+      assert(got === brute.toMap, s"trial $trial diverged")
+    }
+  }
+
+  test("dyadic-CM rank estimates stay one-sided on random multisets") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 3) {
+      val vals = Seq.fill(400)(rng.nextInt(3000).toLong)
+      val out = graft.ext.Sketches.dyadicCmQuantiles(
+        vals.toDF("v"), "v").collect()
+      // exact quantile from the raw multiset; the estimate can only be
+      // at or BELOW it (overcounted ranks cross the target early)
+      val sorted = vals.sorted
+      out.foreach { r =>
+        val target = r.getAs[Long]("target_rank").toInt
+        assert(r.getAs[Long]("q_exact") == sorted(target - 1),
+          s"trial $trial: q_exact diverged from the sorted multiset")
+        assert(r.getAs[Boolean]("est_le_exact"), s"trial $trial one-sided")
+      }
+    }
+  }
+
+  test("zValue is a bijection on the 16-bit grid (local deinterleave)") {
+    val s = spark
+    import s.implicits._
+    def deinterleave(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      for (i <- 0 until 16) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val pts = Seq.fill(200)((rng.nextInt(65536).toLong,
+      rng.nextInt(65536).toLong))
+    val rows = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.ops.Layout.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(deinterleave(r.getAs[Long]("z")) ===
+        ((r.getAs[Long]("a"), r.getAs[Long]("b"))))
+    }
+  }
 }
