@@ -1318,41 +1318,18 @@ object SparkEntry {
     // every downstream time-series model needs). The dense axis comes
     // from `sequence` + explode per user (each user expands only its
     // own span — distributed, no global calendar cartesian).
-    "q107_hourly_gapfill" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
-          col("value"))
-      val counts = ev.groupBy(col("user_id"), col("hr"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 6).as("sum_value"))
-      val dense = ev.groupBy(col("user_id"))
-        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"),
-            expr("interval 1 hour"))).as("hr"))
-      dense.join(counts, Seq("user_id", "hr"), "left")
-        .select(col("user_id"),
-          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-    }),
+    "q107_hourly_gapfill" -> ((s, dir) =>
+      graft.ops.TimeSeries.gapfillHourly(Tables.events(s, dir),
+        "user_id", "ts", "value")),
 
     // trailing RANGE-frame moving average: each event's mean value over
     // the preceding hour of ITS OWN timeline — the ordered-analytics
     // frame W1's integer windows cannot express (frame bounds are
     // event-time offsets, not row counts; simultaneous events share a
     // frame, so the result is tie-stable by construction).
-    "q108_moving_avg" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(unix_timestamp(col("ts")))
-        .rangeBetween(-3600L, 0L)
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-          count(lit(1)).over(w).as("n_frame"),
-          round(avg(col("value")).over(w), 6).as("avg_1h"))
-    }),
+    "q108_moving_avg" -> ((s, dir) =>
+      graft.ops.TimeSeries.movingAvg(Tables.events(s, dir),
+        "user_id", "event_id", "ts", "value")),
 
     // CDC latest-snapshot compaction: the newest event per key IS the
     // upsert view of an append-only log — the merge-on-read shape every
@@ -1361,19 +1338,10 @@ object SparkEntry {
     // candidate row per key before the shuffle — q101's pushdown at
     // n=1); (ts, event_id) DESC makes the winner deterministic under
     // same-timestamp ties.
-    "q104_latest_snapshot" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      Tables.events(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
-          col("event_id").as("last_event_id"),
-          col("event_type").as("last_event_type"),
-          round(col("value"), 6).as("last_value"))
-    }),
+    "q104_latest_snapshot" -> ((s, dir) =>
+      graft.ops.TimeSeries.latestSnapshot(Tables.events(s, dir),
+        "user_id", "ts", "event_id", Seq("event_type", "value"))
+        .withColumn("last_value", round(col("last_value"), 6))),
 
     // event-time SESSION windows (gap-close sessionization — the
     // streaming-native windowing Spark's session_window gives batch and

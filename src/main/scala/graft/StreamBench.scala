@@ -203,6 +203,21 @@ object StreamBench {
         in => StreamOps.streamingDcmGrid(in, "v"),
         mode = "update"))
 
+    // 9. streamingMovingAvg — 1M in-order events across 100 users, 10 s
+    //    cadence per user, 1-hour frame (≈360 frame entries per state):
+    //    the per-event trailing-frame maintenance path
+    val nMa = 1000000L
+    val (maP, maSch) = writeIn("ma-in",
+      spark.range(nMa).select(
+        pmod(col("id"), lit(100L)).as("user_id"),
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) +
+          (col("id") / 100L).cast("long") * 10L).as("ts"),
+        (pmod(col("id"), lit(1000L))).cast("double").as("value")))
+    record("moving_avg", nMa,
+      drain("ma", maP, maSch,
+        in => StreamOps.streamingMovingAvg(in).toDF))
+
     // Persist the record as STREAMBENCH_LOCAL.json (full line, never
     // truncated) so streaming throughput diffs round-over-round
     // mechanically, like Bench's BENCH_LOCAL.json: each twin carries the

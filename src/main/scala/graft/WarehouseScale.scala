@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale run record for the warehouse family (q104/q107/q108/
+  * q109 operators) at ~1000× the bench scale, with closed-form planted
+  * truth (dev tool, run manually; results recorded in README, like
+  * SketchScale).
+  *
+  * Event log (default 50M rows, 100k users, one event per user every
+  * 10 s): every aggregate below has an exact closed form, asserted.
+  *  - latest snapshot: exactly one row per user, and user u's last
+  *    event id is n − users + u, so Σ last_event_id is closed-form;
+  *  - hourly gap-fill over a 2-hour-cadence remap of the same log:
+  *    each user's dense span is 2·(perUser−1)+1 hours, exactly
+  *    perUser−1 of them zero rows — counts closed-form;
+  *  - trailing 1-hour moving average: user-local frame sizes ramp
+  *    1,2,…,361 then hold at 361, so Σ n_frame is closed-form;
+  *  - triangles: 20k disjoint K5 cliques (every node in C(4,2) = 6
+  *    triangles) plus a 100k-edge triangle-free star overlay — the
+  *    hub's wedge fan-out is exactly the orientation claim under test.
+  */
+object WarehouseScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val users = 100000L
+    require(n % users == 0)
+    val perUser = n / users
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t0() = System.nanoTime()
+    def secs(t: Long) = (System.nanoTime() - t) / 1e9
+
+    val base = 1700000000L
+    def events(cadenceSec: Long) = spark.range(n).select(
+      pmod(col("id"), lit(users)).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_seconds(lit(base) +
+        (col("id") / lit(users)).cast("long") * cadenceSec).as("ts"),
+      pmod(col("id"), lit(1000L)).cast("double").as("value"))
+
+    // ───── q104 latest snapshot ─────
+    val tS = t0()
+    val snap = graft.ops.TimeSeries.latestSnapshot(events(10L),
+      "user_id", "ts", "event_id", Seq("value"))
+    val snapAgg = snap.agg(count(lit(1)).as("rows"),
+      sum(col("last_event_id")).as("ids")).collect()(0)
+    val snapSec = secs(tS)
+    assert(snapAgg.getAs[Long]("rows") == users, "snapshot row count")
+    // Σ_u (n − users + u) = users·(n − users) + users·(users−1)/2
+    val wantIds = users * (n - users) + users * (users - 1) / 2
+    assert(snapAgg.getAs[Long]("ids") == wantIds,
+      s"snapshot ids ${snapAgg.getAs[Long]("ids")} != $wantIds")
+
+    // ───── q107 gap-fill (2-hour cadence ⇒ half the dense hours are
+    // planted zeros) ─────
+    val tG = t0()
+    val gf = graft.ops.TimeSeries.gapfillHourly(events(7200L),
+      "user_id", "ts", "value")
+    val gfAgg = gf.agg(count(lit(1)).as("rows"),
+      sum(when(col("n") === 0, 1L).otherwise(0L)).as("zeros")).collect()(0)
+    val gfSec = secs(tG)
+    val wantDense = users * (2 * (perUser - 1) + 1)
+    assert(gfAgg.getAs[Long]("rows") == wantDense,
+      s"gapfill rows ${gfAgg.getAs[Long]("rows")} != $wantDense")
+    assert(gfAgg.getAs[Long]("zeros") == users * (perUser - 1),
+      "gapfill zero-row count")
+
+    // ───── q108 moving average (10 s cadence, 1 h frame ⇒ frames ramp
+    // to 361 then hold) ─────
+    val tM = t0()
+    val ma = graft.ops.TimeSeries.movingAvg(events(10L),
+      "user_id", "event_id", "ts", "value")
+    val maAgg = ma.agg(count(lit(1)).as("rows"),
+      sum(col("n_frame")).as("frames")).collect()(0)
+    val maSec = secs(tM)
+    assert(maAgg.getAs[Long]("rows") == n, "moving-avg row count")
+    val full = math.min(perUser, 361L)
+    val wantFrames = users * (full * (full + 1) / 2 +
+      math.max(0L, perUser - full) * full)
+    assert(maAgg.getAs[Long]("frames") == wantFrames,
+      s"frame sum ${maAgg.getAs[Long]("frames")} != $wantFrames")
+
+    // ───── q109 triangles: 20k disjoint K5s + a triangle-free star ─────
+    val cliques = 20000L
+    val k5 = spark.range(cliques * 10).select(
+      expr("id div 10").as("c"), pmod(col("id"), lit(10L)).as("p"))
+      .select(
+        // the 10 edges of K5 in one lookup table
+        (col("c") * 5 + element_at(
+          typedLit(Seq(0, 0, 0, 0, 1, 1, 1, 2, 2, 3)),
+          (col("p") + 1).cast("int"))).as("src"),
+        (col("c") * 5 + element_at(
+          typedLit(Seq(1, 2, 3, 4, 2, 3, 4, 3, 4, 4)),
+          (col("p") + 1).cast("int"))).as("dst"))
+    val hub = cliques * 5
+    val star = spark.range(100000L).select(
+      lit(hub).as("src"), (col("id") + hub + 1).as("dst"))
+    val tT = t0()
+    val tri = graft.ops.GraphOps.triangleCounts(k5.union(star))
+    val triAgg = tri.agg(count(lit(1)).as("rows"),
+      sum(col("n_triangles")).as("tris"),
+      max(col("n_triangles")).as("mx")).collect()(0)
+    val triSec = secs(tT)
+    assert(triAgg.getAs[Long]("rows") == cliques * 5,
+      "triangle node count (star must contribute none)")
+    assert(triAgg.getAs[Long]("tris") == cliques * 5 * 6,
+      "triangle corner sum")
+    assert(triAgg.getAs[Long]("mx") == 6, "per-node triangle count")
+
+    println(s"""{"n":$n,"users":$users,""" +
+      s""""snapshot_sec":$snapSec,"gapfill_sec":$gfSec,""" +
+      s""""gapfill_rows":${gfAgg.getAs[Long]("rows")},""" +
+      s""""moving_avg_sec":$maSec,""" +
+      s""""triangle_nodes":${triAgg.getAs[Long]("rows")},""" +
+      s""""triangle_sec":$triSec}""")
+    spark.stop()
+  }
+}
