@@ -33,6 +33,7 @@ object Main {
       |  graft.Main stream-asof --f <dir with points/ updates/> [--o <outdir>] [--m "1 hour"]
       |  graft.Main stream-interval --f <dir with points/ intervals/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main stream-overlap --f <dir with left/ right/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
+      |  graft.Main stream-snapshot --f <dir with events/> [--o <outdir>]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |                      [--r <spanTokens>] [--p true] [--c true] [--x true]
@@ -120,6 +121,12 @@ object Main {
             bucketSeconds = opt("--g", "3600").toLong)
           println(s"stream-overlap: $n overlapping pairs -> " +
             s"${opt("--o", "results")}/stream_overlap")
+        case "stream-snapshot" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamSnapshot(spark, in, opt("--o", "results"))
+          println(s"stream-snapshot: $n upsert changelog rows -> " +
+            s"${opt("--o", "results")}/stream_snapshot")
         case "curate" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -411,6 +418,40 @@ object Main {
     * finite directory and exits, the checkpoint carries update history
     * into the next run. Returns matched-point rows written so far.
     */
+  /** Streaming CDC snapshot end-to-end — the q104/q111 pairing's
+    * streaming face ([[StreamOps.streamingSnapshot]]), user-reachable:
+    * an `in/events` CSV directory drained as a file stream, the per-key
+    * upsert changelog appended to parquet via foreachBatch (the file
+    * sink is append-only; each micro-batch's winners land as one
+    * changelog slab — the compacted-topic shape). Returns changelog
+    * rows; the latest row per key IS the snapshot.
+    */
+  def runStreamSnapshot(spark: SparkSession, in: String,
+                        out: String): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val ev = spark.readStream
+      .schema(StructType.fromDDL("user_id BIGINT, event_id BIGINT, " +
+        "ts TIMESTAMP, event_type STRING, value DOUBLE"))
+      .option("header", "true").csv(s"$in/events")
+    val q = StreamOps.streamingSnapshot(ev).toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(s"$out/stream_snapshot"); ()
+      }
+      .option("checkpointLocation", s"$out/_snapshot_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_snapshot"))) 0L
+    else spark.read.schema("userId BIGINT, lastTs TIMESTAMP, " +
+        "lastEventId BIGINT, lastEventType STRING, lastValue DOUBLE")
+      .parquet(s"$out/stream_snapshot").count()
+  }
+
   def runStreamAsof(spark: SparkSession, in: String, out: String,
                     watermark: String = "1 hour"): Long = {
     import org.apache.spark.sql.streaming.Trigger

@@ -594,6 +594,24 @@ object SparkEntry {
           col("token"))
     }),
 
+    // BYTE-LEVEL trainer (Bpe.symbolStateBytes): every UTF-8 byte is a
+    // hex-pair symbol, so digits, punctuation and non-ASCII — planted
+    // here by decorating each doc with "idN. n=M! café" — are never
+    // OOV. Same one-corpus-pass → vocab-size-rounds shape; the oracle
+    // regrows the byte merges from scratch in SQL.
+    "q113_bpe_bytelevel" -> ((s, dir) => {
+      val corpus = Tables.table(s, dir, "documents")
+        .select(concat(col("text"), lit(" id"),
+          col("doc_id").cast("string"), lit(". n="),
+          col("n_chars").cast("string"), lit("! café")).as("t"))
+      val wf = corpus
+        .select(explode(split(col("t"), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      Bpe.mergeTable(s,
+        Bpe.learnMerges(wf, BpeNumMerges, Bpe.symbolStateBytes))
+    }),
+
     // ───── sketch family (Sketches scaladoc): bounded-state summaries
     // whose registers/buckets AND estimates are engine-portable md5 +
     // exact-dyadic arithmetic, so the approximations themselves sit
@@ -602,6 +620,14 @@ object SparkEntry {
       Sketches.hllDistinct(Tables.table(s, dir, "lineitem"),
         col("l_orderkey"), Seq(col("l_returnflag")))
         .withColumnRenamed("g0", "l_returnflag")),
+    // the SMALL regime of the same sketch: ~150 distinct users per
+    // event_type at sf0.01 (n ≪ 2.5m), so this row exercises the
+    // linear-counting branch — the literal-table m·ln(m/V) correction —
+    // under the hash gate, where q93's ~20k-distinct groups stay raw
+    "q114_hll_linear_count" -> ((s, dir) =>
+      Sketches.hllDistinct(Tables.events(s, dir),
+        col("user_id"), Seq(col("event_type")))
+        .withColumnRenamed("g0", "event_type")),
     "q94_cms_heavy_hitters" -> ((s, dir) =>
       Sketches.cmHeavyHitters(
         Tables.table(s, dir, "documents")
@@ -672,6 +698,30 @@ object SparkEntry {
           col("l_suppkey").bitwiseAND(lit(65535L)).as("s16"))
         .withColumn("zval",
           graft.ops.Layout.zValue(col("p16"), col("s16")))),
+
+    // the layout WIN as an oracled row (not only LayoutSpec's physical
+    // measurement): cut the sorted row sequence into 256 equal "files",
+    // keep per-file (min, max) of both predicate columns — the stats
+    // every format prunes on — and count how many files a 2-D box query
+    // must touch under the z-order vs the single-column layout (71 vs
+    // 154 at sf0.01: the second-dimension predicate prunes nothing in a
+    // p16-sorted layout). All integers; rank via the distributed
+    // two-pass zipWithIndex idiom.
+    "q112_layout_skipping" -> ((s, dir) => {
+      val base = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").bitwiseAND(lit(65535L)).as("p16"),
+          col("l_suppkey").bitwiseAND(lit(65535L)).as("s16"))
+        .withColumn("zval",
+          graft.ops.Layout.zValue(col("p16"), col("s16")))
+      val z = graft.ops.Layout.bucketsTouched(base, "zorder",
+        "p16", "s16", 256, 400, 1600, 10, 30,
+        col("zval"), col("l_orderkey"), col("l_linenumber"))
+      val lin = graft.ops.Layout.bucketsTouched(base, "linear",
+        "p16", "s16", 256, 400, 1600, 10, 30,
+        col("p16"), col("l_orderkey"), col("l_linenumber"))
+      z.unionByName(lin)
+    }),
 
     // context-window chunking with stride (the RAG / long-doc training
     // splitter): chunk i of a doc covers tokens [i·48, i·48+64) — 16
@@ -1414,6 +1464,8 @@ object SparkEntry {
       val nb = 8
       val oT = s"graft_q99_orders_$tag"
       val lT = s"graft_q99_lineitem_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $oT")
+      s.sql(s"DROP TABLE IF EXISTS $lT")
       Tables.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .repartition(nb, col("o_orderkey"))
@@ -1427,7 +1479,7 @@ object SparkEntry {
         .write.mode("overwrite").option("path", s"$wh/lineitem")
         .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(lT)
-      s.table(oT)
+      val joined = s.table(oT)
         .join(s.table(lT).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_custkey"))
@@ -1435,6 +1487,82 @@ object SparkEntry {
           sum(col("l_quantity").cast("bigint")).as("sum_qty"),
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"))
             .as("revenue_cents"))
+      // Dataset creation analyzes eagerly, so the catalog lookup already
+      // resolved both relations (bucket spec included) into the plan;
+      // dropping the EXTERNAL tables now leaves the scratch files (and
+      // the returned plan) intact while keeping the session catalog
+      // clean across repeated verify/bench invocations.
+      s.sql(s"DROP TABLE IF EXISTS $oT")
+      s.sql(s"DROP TABLE IF EXISTS $lT")
+      joined
+    }),
+
+    // dynamic partition pruning: the fact table is written
+    // date-PARTITIONED (write.partitionBy — the standing layout of every
+    // 100 TB fact table), and the month dimension carries a quarter
+    // attribute the optimizer cannot invert into a static predicate on
+    // the join key — so the only way the selective dim filter reaches
+    // the fact scan is Spark's DPP subquery (the
+    // `dynamicpruningexpression` PartitionFilter, reusing the dim's
+    // broadcast). PlanAuditSpec pins the subquery's presence AND that
+    // the runtime partitions-read metric drops to the Q2 months only.
+    "q110_dpp_prune" -> ((s, dir) => {
+      val wh = scratch("q110", dir)
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .repartition(col("ship_month")) // one writer per partition dir
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(s"$wh/fact")
+      val fact = s.read.parquet(s"$wh/fact")
+      // month dim from a calendar sequence: month_key joins the
+      // partition column, qtr is the selective attribute ("Q2 only")
+      val dim = s.range(1)
+        .select(explode(sequence(to_date(lit("1995-01-01")),
+          to_date(lit("2001-12-01")),
+          expr("interval 1 month"))).as("m"))
+        .select(date_format(col("m"), "yyyy-MM").as("month_key"),
+          quarter(col("m")).as("qtr"))
+      fact.join(dim.filter(col("qtr") === 2),
+          col("ship_month") === col("month_key"))
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+            .as("revenue_cents"))
+    }),
+
+    // copy-on-write MERGE compaction — q104's write-side sibling: a CDC
+    // batch (corrections + backfill inserts, derived deterministically
+    // from the first five days of the month) upserts into a
+    // day-partitioned events table by rewriting ONLY the touched
+    // partitions (ops/Cow.scala; CowSpec asserts the other 25 days'
+    // files stay byte-identical). The face is the full post-merge
+    // snapshot, hash-checked against a DuckDB replay of the same upsert.
+    "q111_cow_merge" -> ((s, dir) => {
+      val wh = scratch("q111", dir)
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      base.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$wh/events")
+      val firstWeek = base.filter(dayofmonth(col("ts")) <= 5)
+      val updates = firstWeek.filter(col("event_id") % 17 === 0)
+        .withColumn("event_type", lit("corrected"))
+        .withColumn("value", col("value") + 1000.0)
+      val inserts = firstWeek.filter(col("event_id") % 23 === 0)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .withColumn("event_type", lit("backfill"))
+        .withColumn("value", lit(1.5))
+      graft.ops.Cow.mergeCow(s, s"$wh/events",
+        updates.unionByName(inserts), "event_id", "day")
+      s.read.parquet(s"$wh/events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
     }),
 
     "q35_csv_edges_roundtrip" -> ((s, dir) => {
@@ -2044,6 +2172,9 @@ object SparkEntry {
     "q91_bpe_merges" -> Bpe.q91Sql(BpeNumMerges),
     "q92_bpe_encode" -> Bpe.q92Sql(BpeNumMerges),
     "q97_bpe_tokens" -> Bpe.q97Sql(BpeNumMerges),
+    "q113_bpe_bytelevel" -> Bpe.q113Sql(BpeNumMerges,
+      "text || ' id' || CAST(doc_id AS VARCHAR) || '. n=' || " +
+        "CAST(n_chars AS VARCHAR) || '! café'"),
 
     // Sketch mirrors: the HLL registers and CM grid are rebuilt in SQL
     // from the same md5 halves, and the estimates are exact-dyadic
@@ -2051,6 +2182,8 @@ object SparkEntry {
     // scaladoc pins the determinism argument).
     "q93_hll_distinct" ->
       Sketches.hllSql("lineitem", "l_orderkey", "l_returnflag"),
+    "q114_hll_linear_count" ->
+      Sketches.hllSql("events", "user_id", "event_type"),
     "q94_cms_heavy_hitters" -> Sketches.cmSql("^[a-z]+$"),
     "q95_kmv_intersect" ->
       Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
@@ -2121,6 +2254,40 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, p16, s16,
          |  ($pz) | (($sz) << 1) AS zval
          |FROM base""".stripMargin
+    },
+
+    "q112_layout_skipping" -> {
+      val pz = graft.ops.Layout.spread16Sql("p16")
+      val sz = graft.ops.Layout.spread16Sql("s16")
+      def side(tag: String, orderBy: String) =
+        s"""${tag}r AS (
+           |  SELECT p16, s16,
+           |    (row_number() OVER (ORDER BY $orderBy) - 1) AS pos,
+           |    count(*) OVER () AS n
+           |  FROM zb),
+           |${tag}s AS (
+           |  SELECT (pos * 256) // n AS bucket,
+           |    min(p16) AS mn_a, max(p16) AS mx_a,
+           |    min(s16) AS mn_b, max(s16) AS mx_b
+           |  FROM ${tag}r GROUP BY 1),
+           |${tag}c AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS buckets_total,
+           |    CAST(sum(CASE WHEN mx_a >= 400 AND mn_a <= 1600
+           |          AND mx_b >= 10 AND mn_b <= 30
+           |        THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched
+           |  FROM ${tag}s)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey & 65535 AS p16, l_suppkey & 65535 AS s16
+         |  FROM lineitem),
+         |zb AS (
+         |  SELECT *, ($pz) | (($sz) << 1) AS zval FROM base),
+         |${side("z", "zval, l_orderkey, l_linenumber")},
+         |${side("l", "p16, l_orderkey, l_linenumber")}
+         |SELECT 'zorder' AS layout, buckets_total, buckets_touched FROM zc
+         |UNION ALL
+         |SELECT 'linear' AS layout, buckets_total, buckets_touched FROM lc
+         |""".stripMargin
     },
 
     "q102_doc_chunks" ->
@@ -2856,6 +3023,51 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // the partition-layout roundtrip is Spark-side physical; the VALUES
+    // the DPP-pruned join must preserve are the Q2-months rollup
+    "q110_dpp_prune" ->
+      """WITH fact AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |    l_quantity, l_extendedprice
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT strftime(m, '%Y-%m') AS month_key, quarter(m) AS qtr
+        |  FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+        |          DATE '2001-12-01', INTERVAL 1 MONTH)) AS m))
+        |SELECT f.ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(f.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(f.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM fact f JOIN dim d ON f.ship_month = d.month_key
+        |WHERE d.qtr = 2
+        |GROUP BY 1""".stripMargin,
+
+    // global replay of the partition-scoped copy-on-write upsert: batch
+    // rows win by key, everything else survives — equal to the
+    // touched-partition rewrite because a key's partition never changes
+    // (updates keep their ts; insert keys are fresh)
+    "q111_cow_merge" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |fw AS (SELECT * FROM base WHERE date_part('day', ts) <= 5),
+        |batch AS (
+        |  SELECT event_id, ts, user_id, 'corrected' AS event_type,
+        |    value + 1000 AS value
+        |  FROM fw WHERE event_id % 17 = 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, ts, user_id, 'backfill', 1.5
+        |  FROM fw WHERE event_id % 23 = 0),
+        |merged AS (
+        |  SELECT * FROM batch
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE event_id NOT IN (SELECT event_id FROM batch))
+        |SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  user_id, event_type, round(value, 6) AS value
+        |FROM merged""".stripMargin,
 
     "q35_csv_edges_roundtrip" ->
       s"WITH $E SELECT src, dst, weight, ts FROM edges",

@@ -218,6 +218,23 @@ object StreamBench {
       drain("ma", maP, maSch,
         in => StreamOps.streamingMovingAvg(in).toDF))
 
+    // 10. streamingSnapshot — 1M events over 50k keys (20 versions per
+    //     key, out-of-order by the hash jitter) in update mode: the
+    //     per-key winner-maintenance path; out rows count changelog
+    //     emissions (≤ one per key per micro-batch)
+    val nSnap = 1000000L
+    val (snapP, snapSch) = writeIn("snap-in",
+      spark.range(nSnap).select(
+        pmod(col("id"), lit(50000L)).as("user_id"),
+        col("id").as("event_id"),
+        tsOf(col("id"), 3000L).as("ts"),
+        lit("t").as("event_type"),
+        (pmod(col("id"), lit(1000L))).cast("double").as("value")))
+    record("snapshot", nSnap,
+      drain("snap", snapP, snapSch,
+        in => StreamOps.streamingSnapshot(in).toDF,
+        mode = "update"))
+
     // Persist the record as STREAMBENCH_LOCAL.json (full line, never
     // truncated) so streaming throughput diffs round-over-round
     // mechanically, like Bench's BENCH_LOCAL.json: each twin carries the

@@ -57,6 +57,19 @@ object Bpe {
   def symbolState(word: Column): Column =
     concat(regexp_replace(word, "(.)", " $1"), lit(" "))
 
+  /** BYTE-LEVEL initial state: every UTF-8 byte of the word becomes one
+    * two-hex-digit symbol — `"né"` → `" 6E C3 A9 "`. Nothing is ever
+    * out-of-vocabulary (digits, punctuation, any script — the reason
+    * real tokenizers are byte-level), and the space-separated replace
+    * idiom survives unchanged because hex symbols (and their merged
+    * concatenations) never contain the separator. Engine-portable:
+    * Spark's `hex(encode(w, 'UTF-8'))` and DuckDB's `hex(encode(w))`
+    * both emit uppercase hex of the UTF-8 bytes.
+    */
+  def symbolStateBytes(word: Column): Column =
+    concat(regexp_replace(hex(encode(word, "UTF-8")), "(..)", " $1"),
+      lit(" "))
+
   /** One merge applied to a symbol state (see class doc for semantics). */
   def applyMerge(s: Column, lhs: String, rhs: String): Column =
     replace(s, lit(s" $lhs $rhs "), lit(s" $lhs$rhs "))
@@ -73,6 +86,14 @@ object Bpe {
     */
   def tokenCount(word: Column, merges: Seq[Merge]): Column =
     size(split(trim(applyMerges(symbolState(word), merges)), " "))
+      .cast("long")
+
+  /** Token count of a word under BYTE-LEVEL `merges` — total by
+    * construction (every UTF-8 byte starts as a symbol, so no word is
+    * OOV; BpeSpec pins digits/punctuation/non-ASCII).
+    */
+  def tokenCountBytes(word: Column, merges: Seq[Merge]): Column =
+    size(split(trim(applyMerges(symbolStateBytes(word), merges)), " "))
       .cast("long")
 
   /** The ONE corpus-scale pass: word → corpus frequency. Partial
@@ -109,9 +130,10 @@ object Bpe {
     * trainer shape; the corpus is never rescanned). Stops early if no
     * adjacent pairs remain.
     */
-  def learnMerges(wordFreq: DataFrame, numMerges: Int): Seq[Merge] = {
+  def learnMerges(wordFreq: DataFrame, numMerges: Int,
+      state: Column => Column = symbolState): Seq[Merge] = {
     val base = wordFreq.select(col("word"), col("freq"),
-      symbolState(col("word")).as("s"))
+      state(col("word")).as("s"))
     val merges = Seq.newBuilder[Merge]
     var cur = base
     var step = 1
@@ -168,16 +190,35 @@ object Bpe {
     * if none remained — the null-guarded replace then leaves state
     * untouched, matching the trainer's early stop).
     */
-  def mergeCtes(numMerges: Int, docsRel: String = "documents"): String = {
-    val sb = new StringBuilder
-    sb ++= s"""w0 AS MATERIALIZED (
+  def mergeCtes(numMerges: Int, docsRel: String = "documents"): String =
+    mergeCtesFrom(numMerges,
+      s"""w0 AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
       |    regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS s
       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
       |        FROM $docsRel)
       |  WHERE regexp_matches(word, '^[a-z]+$$')
       |  GROUP BY word
-      |)""".stripMargin
+      |)""".stripMargin)
+
+  /** Byte-level w0: hex-pair symbol states over ALL non-empty tokens of
+    * `corpusExpr` (an expression over `docsRel`'s columns) — the
+    * [[symbolStateBytes]] alphabet, nothing OOV.
+    */
+  def byteW0(corpusExpr: String, docsRel: String = "documents"): String =
+    s"""w0 AS MATERIALIZED (
+    |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+    |    regexp_replace(hex(encode(word)), '(..)', ' \\1', 'g') || ' ' AS s
+    |  FROM (SELECT unnest(string_split_regex($corpusExpr, '\\s+')) AS word
+    |        FROM $docsRel)
+    |  WHERE word <> ''
+    |  GROUP BY word
+    |)""".stripMargin
+
+  /** Unrolled merge-round CTEs over an arbitrary `w0` state table. */
+  def mergeCtesFrom(numMerges: Int, w0: String): String = {
+    val sb = new StringBuilder
+    sb ++= w0
     for (k <- 1 to numMerges) {
       val prev = s"w${k - 1}"
       sb ++= s""",
@@ -209,6 +250,19 @@ object Bpe {
       .map(k => s"SELECT $k AS step, l, r, cnt FROM m$k")
       .mkString("\n  UNION ALL ")
     s"""WITH ${mergeCtes(numMerges)}
+       |SELECT step, l AS lhs, r AS rhs, l || r AS merged,
+       |  cnt AS pair_cnt
+       |FROM ($union)""".stripMargin
+  }
+
+  /** q113 oracle: the BYTE-LEVEL merge table over `corpusExpr` —
+    * identical trainer replay, byte alphabet.
+    */
+  def q113Sql(numMerges: Int, corpusExpr: String): String = {
+    val union = (1 to numMerges)
+      .map(k => s"SELECT $k AS step, l, r, cnt FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${mergeCtesFrom(numMerges, byteW0(corpusExpr))}
        |SELECT step, l AS lhs, r AS rhs, l || r AS merged,
        |  cnt AS pair_cnt
        |FROM ($union)""".stripMargin

@@ -35,7 +35,14 @@ import org.apache.spark.sql.functions._
   *    doubles: a Scala-printed literal constant (α·m²·2^R — the stashed-
   *    literal convention of the trained quantizers) over the exact
   *    denominator. No `ln`, no transcendentals, no order-dependent fp
-  *    sums anywhere in the checked columns.
+  *    sums EVALUATED IN either engine's checked columns — the small-
+  *    range linear-counting branch does need m·ln(m/V), but V is an
+  *    exact integer in [1, 255], so all 255 possible values ship as
+  *    precomputed literals ([[HllLcTable]]) to both engines;
+  *  - NULL keys are excluded before hashing everywhere (operator filter
+  *    + mirror WHERE) — Spark's null-skipping concat_ws and DuckDB's
+  *    null-propagating `||` would otherwise disagree on null-bearing
+  *    key columns.
   *
   * Reference context: the reference repo (563-line pandas pipelines) has
   * no sketch surface; these belong to the training-data extension
@@ -66,6 +73,22 @@ object Sketches {
   /** ±3σ relative-error acceptance bound, σ = 1.04/√m. */
   val HllBound: Double = 3.0 * 1.04 / math.sqrt(M.toDouble)
 
+  /** Linear-counting table for the small regime: entry V (1-based) is
+    * m·ln(m/V) for V empty registers. The ln is a TRANSCENDENTAL — but
+    * it never runs inside either engine: all 255 possible values (V is
+    * an exact integer in [1, 255]) are computed HERE once and shipped to
+    * both engines as shortest-round-trip literals, so the corrected
+    * estimate stays bit-identical cross-engine (the stashed-literal
+    * convention of the trained quantizers).
+    */
+  val HllLcTable: Seq[Double] =
+    (1 to M - 1).map(v => M.toDouble * math.log(M.toDouble / v))
+
+  /** Raw-estimate threshold below which linear counting applies (the
+    * standard Flajolet small-range correction gate): E_raw ≤ 2.5·m.
+    */
+  val HllLcGate: Double = 2.5 * M
+
   /** (register index, rank) of one key draw — THE hash arithmetic of the
     * sketch, shared verbatim by the batch operator, the streaming twin
     * ([[graft.streaming.StreamOps.streamingHllRegisters]]) and (in SQL
@@ -94,6 +117,14 @@ object Sketches {
     // an exact integer — identical in Spark (truncating cast) and DuckDB
     // (rounding cast) because there is nothing to round.
     val term = pow(lit(2.0), lit(MaxRank) - col("mj")).cast("long")
+    val raw = lit(HllScale) / col("denom_scaled").cast("double")
+    // small-range correction: when the raw estimate is ≤ 2.5m and empty
+    // registers remain, linear counting m·ln(m/V) is the better (and
+    // Flajolet-standard) estimator — without it, within_bound is
+    // expected-false for n ≪ m. V = m − nonzero_registers is an exact
+    // integer, and the LC value comes from the literal HllLcTable, so
+    // the branch hash-checks like the raw path.
+    val v = (lit(M) - col("nonzero_registers")).cast("int")
     regs.groupBy(gs.map(col): _*)
       .agg(count(lit(1)).as("nonzero_registers"),
         sum(term).as("present_sum"))
@@ -101,7 +132,9 @@ object Sketches {
         (lit(M.toLong) - col("nonzero_registers")) * lit(1L << MaxRank))
       .drop("present_sum")
       .withColumn("hll_estimate",
-        lit(HllScale) / col("denom_scaled").cast("double"))
+        when(col("nonzero_registers") < M && raw <= lit(HllLcGate),
+          element_at(typedLit(HllLcTable), v))
+          .otherwise(raw))
   }
 
   /** Per-group HyperLogLog distinct estimate of `key`, hash-checked
@@ -117,6 +150,12 @@ object Sketches {
     * shuffle payload — ≤ m rows per group. `exact_distinct` is the
     * verification column; a production profile at 100 TB would drop it
     * (that is the point of the sketch).
+    *
+    * Null contract: NULL keys are excluded from the sketch (filtered
+    * before hashing), matching both `countDistinct`'s exclusion on the
+    * exact side and the SQL mirror's null-propagating `||` concat —
+    * without the filter, Spark's null-skipping concat_ws would hash a
+    * NULL key as the bare tag and silently count it as one distinct.
     */
   def hllDistinct(df: DataFrame, key: Column, groupCols: Seq[Column],
       tag: String = "hll"): DataFrame = {
@@ -125,14 +164,15 @@ object Sketches {
     // consumer (the SmurfGen tag-keyed idiom).
     val (j, rank) = hllRegisterCols(key, tag)
     val named = groupCols.zipWithIndex.map { case (c, i) => c.as(s"g$i") }
+    val df0 = df.filter(key.isNotNull)
     val gs = named.indices.map(i => col(s"g$i"))
     val gNames = named.indices.map(i => s"g$i")
-    val regs = df
+    val regs = df0
       .select(named :+ j.as("j") :+ rank.as("rank"): _*)
       .groupBy(gs :+ col("j"): _*)
       .agg(max(col("rank")).as("mj"))
     val perGroup = hllEstimateFromRegisters(regs, gNames)
-    val exact = df
+    val exact = df0
       .select(named :+ key.as("k"): _*)
       .groupBy(gs: _*)
       .agg(countDistinct(col("k")).as("exact_distinct"))
@@ -148,7 +188,10 @@ object Sketches {
 
   /** DuckDB mirror of [[hllDistinct]] over a single group column. The
     * arithmetic is the same to the bit: hex-cast md5 halves, bin-length
-    * rank, integer-scaled denominator, and the one shared double literal.
+    * rank, integer-scaled denominator, the one shared double literal —
+    * and the identical literal linear-counting table for the small
+    * regime. NULL keys are filtered explicitly (the operator's null
+    * contract).
     */
   def hllSql(table: String, keyExpr: String, groupCol: String,
       tag: String = "hll"): String = {
@@ -159,6 +202,7 @@ object Sketches {
        |    CAST(('0x' || substr(md5($s), 8, 7)) AS BIGINT) AS h2,
        |    $keyExpr AS k
        |  FROM $table
+       |  WHERE $keyExpr IS NOT NULL
        |),
        |regs AS (
        |  SELECT g0, h1 % $M AS j,
@@ -175,22 +219,35 @@ object Sketches {
        |exact AS (
        |  SELECT g0, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
        |  FROM h GROUP BY 1
+       |),
+       |est AS (
+       |  -- the raw harmonic estimate, then the same literal-table
+       |  -- linear-counting branch the Spark operator applies in the
+       |  -- small regime (V empty registers > 0 and raw ≤ 2.5m)
+       |  SELECT g0, nonzero_registers,
+       |    present_sum + ($M - nonzero_registers) *
+       |      CAST(${1L << MaxRank} AS BIGINT) AS denom_scaled,
+       |    CASE WHEN nonzero_registers < $M
+       |           AND $HllScale / CAST(present_sum +
+       |             ($M - nonzero_registers) *
+       |             CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE)
+       |             <= $HllLcGate
+       |         THEN ([${HllLcTable.mkString(", ")}])[$M - nonzero_registers]
+       |         ELSE $HllScale / CAST(present_sum +
+       |           ($M - nonzero_registers) *
+       |           CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE) END
+       |      AS hll_estimate
+       |  FROM per_group
        |)
        |SELECT p.g0 AS $groupCol, $M AS m, p.nonzero_registers,
-       |  p.present_sum + ($M - p.nonzero_registers) *
-       |    CAST(${1L << MaxRank} AS BIGINT) AS denom_scaled,
+       |  p.denom_scaled,
        |  e.exact_distinct,
-       |  $HllScale / CAST(p.present_sum + ($M - p.nonzero_registers) *
-       |    CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE) AS hll_estimate,
-       |  ($HllScale / CAST(p.present_sum + ($M - p.nonzero_registers) *
-       |    CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE)
-       |    - CAST(e.exact_distinct AS DOUBLE))
+       |  p.hll_estimate,
+       |  (p.hll_estimate - CAST(e.exact_distinct AS DOUBLE))
        |    / CAST(e.exact_distinct AS DOUBLE) AS rel_err,
-       |  abs(($HllScale / CAST(p.present_sum + ($M - p.nonzero_registers) *
-       |    CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE)
-       |    - CAST(e.exact_distinct AS DOUBLE))
+       |  abs((p.hll_estimate - CAST(e.exact_distinct AS DOUBLE))
        |    / CAST(e.exact_distinct AS DOUBLE)) <= $HllBound AS within_bound
-       |FROM per_group p JOIN exact e USING (g0)""".stripMargin
+       |FROM est p JOIN exact e USING (g0)""".stripMargin
   }
 
   // ─────────────────── KMV (theta) sketch set ops ───────────────────
@@ -224,7 +281,10 @@ object Sketches {
       k: Int = KmvK, tag: String = "kmv"): DataFrame = {
     val h = org.apache.spark.sql.graft.GraftExprBridge
       .md5Halves(concat_ws("|", lit(tag), key.cast("string")))
-    val distinctHashes = df.select(group.as("g"), h.as("h")).distinct()
+    // null contract (shared with hllDistinct): NULL keys never enter the
+    // sketch — concat_ws would otherwise hash them as the bare tag
+    val distinctHashes = df.filter(key.isNotNull)
+      .select(group.as("g"), h.as("h")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("h"))
     distinctHashes
@@ -384,6 +444,7 @@ object Sketches {
   def cmGrid(keys: DataFrame, keyCol: String,
       width: Int = CmWidth): DataFrame =
     keys
+      .filter(col(keyCol).isNotNull) // the sketches' shared null contract
       .select(posexplode(array((0 until CmDepth).map(i =>
         cmBucket(col(keyCol), i, width)): _*)).as(Seq("row_i", "bucket")))
       .groupBy(col("row_i"), col("bucket"))

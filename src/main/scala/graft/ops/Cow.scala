@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write MERGE/upsert compaction — the WRITE-side sibling of
+  * [[TimeSeries.latestSnapshot]]'s merge-on-read: given a partitioned
+  * base table and a CDC batch, rewrite ONLY the partitions the batch
+  * touches and leave every other partition's files byte-identical
+  * (CowSpec asserts exactly that).
+  *
+  * Scale shape (the lakehouse MERGE every 100 TB deployment pays):
+  *  - the touched-partition list comes from ONE distinct over the batch
+  *    (bounded by the batch, not the base);
+  *  - the base read is partition-PRUNED to the touched list (a static
+  *    IN-list partition filter — the scan never opens an untouched
+  *    partition's files);
+  *  - upsert = batch ∪ (pruned base ⟕anti batch keys) — the anti join
+  *    shuffles only touched-partition rows against batch keys;
+  *  - the write is Spark's dynamic partition overwrite: each touched
+  *    partition is staged and atomically swapped, untouched directories
+  *    are never listed, let alone rewritten.
+  *
+  * The merged frame is localCheckpoint-ed before the write because the
+  * output path is also the (pruned) input path — the checkpoint severs
+  * the lineage so `InsertIntoHadoopFsRelation`'s read-path check passes;
+  * its size is bounded by the TOUCHED partitions, not the table. A
+  * production deployment swaps metastore pointers instead; the
+  * per-partition staging semantics are the same.
+  *
+  * Reference context: the reference (563-line pandas pipelines) has no
+  * storage layer; this belongs to the warehouse extension surface
+  * (SURVEY §2.12), paired with the q104 read-side snapshot.
+  */
+object Cow {
+
+  /** Upsert `batch` into the partitioned parquet table at `basePath`
+    * copy-on-write style. `batch` must carry the table's columns
+    * including `partCol`; rows with keys present in the base REPLACE
+    * them, new keys append — within the touched partitions only (the
+    * caller's batch contract: a key's partition never changes between
+    * base and batch, the standard CDC shape where the partition column
+    * derives from an immutable event time).
+    *
+    * Returns the touched partition values (the rewrite audit trail).
+    */
+  def mergeCow(spark: SparkSession, basePath: String, batch: DataFrame,
+      keyCol: String, partCol: String): Seq[Any] = {
+    val touched = batch.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val base = spark.read.parquet(basePath)
+      .filter(col(partCol).isin(touched: _*))
+    val survivors = base.join(
+      batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    val merged = batch.select(base.columns.map(col): _*)
+      .unionByName(survivors.select(base.columns.map(col): _*))
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(basePath)
+    touched
+  }
+}

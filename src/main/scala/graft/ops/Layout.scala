@@ -86,4 +86,46 @@ object Layout {
       bHi: Long): Long =
     stats.filter(col("max_a") >= aLo && col("min_a") <= aHi &&
       col("max_b") >= bLo && col("min_b") <= bHi).count()
+
+  /** LOGICAL model of the file layout, deterministic end-to-end so the
+    * z-vs-linear skipping comparison sits under the oracle hash gate
+    * (q112) and not only in LayoutSpec's physical measurement: rows
+    * sorted by `order` (a TOTAL order — callers append unique tiebreak
+    * columns) are cut into `nFiles` equal runs, bucket = ⌊rank·nFiles/n⌋
+    * — exactly the equal-rows split [[zOrderWrite]]'s range partition
+    * targets — and each run reports the (min, max) of both predicate
+    * columns, i.e. the per-file stats a table format stores.
+    *
+    * Scale shape: the rank is the distributed two-pass zipWithIndex
+    * idiom ([[GraphOps.withPosition]] — range-partitioned sort, never a
+    * single-task window), the row count broadcasts as one row, and the
+    * stats table is `nFiles` rows.
+    */
+  def bucketStats(df: DataFrame, a: String, b: String, nFiles: Int,
+      order: Column*): DataFrame = {
+    val ranked = GraphOps.withPosition(df, "__pos", order: _*)
+    val n = broadcast(df.groupBy().agg(count(lit(1)).as("__n")))
+    ranked.crossJoin(n)
+      .withColumn("bucket",
+        expr(s"CAST((__pos * $nFiles) div __n AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(min(col(a)).as("min_a"), max(col(a)).as("max_a"),
+        min(col(b)).as("min_b"), max(col(b)).as("max_b"),
+        count(lit(1)).as("rows"))
+  }
+
+  /** One comparison row per layout: how many of the `nFiles` stat
+    * buckets a 2-D box predicate touches under [[bucketStats]] of the
+    * given `order`. The q112 face unions the z-order and linear rows.
+    */
+  def bucketsTouched(df: DataFrame, layout: String, a: String, b: String,
+      nFiles: Int, aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      order: Column*): DataFrame =
+    bucketStats(df, a, b, nFiles, order: _*)
+      .agg(count(lit(1)).as("buckets_total"),
+        sum(when(col("max_a") >= aLo && col("min_a") <= aHi &&
+          col("max_b") >= bLo && col("min_b") <= bHi, 1L)
+          .otherwise(0L)).as("buckets_touched"))
+      .select(lit(layout).as("layout"), col("buckets_total"),
+        col("buckets_touched"))
 }

@@ -407,6 +407,67 @@ object StreamOps {
       }
   }
 
+  /** One event of the streaming CDC-snapshot input. */
+  final case class SnapEvent(userId: Long, eventId: Long,
+                             ts: java.sql.Timestamp, eventType: String,
+                             value: Double)
+  /** Per-key winner state: the (ts, eventId)-max row seen so far. */
+  final case class SnapState(tsMs: Long, eventId: Long,
+                             eventType: String, value: Double)
+  /** One emitted snapshot row (the key's new current version). */
+  final case class SnapOut(userId: Long, lastTs: java.sql.Timestamp,
+                           lastEventId: Long, lastEventType: String,
+                           lastValue: Double)
+
+  /** Streaming CDC latest-snapshot — the streaming twin of
+    * [[graft.ops.TimeSeries.latestSnapshot]] (q104) and the read-side
+    * pair of the q111 copy-on-write merge: an append-only event stream
+    * compacted to one current row per key, emitted as an UPSERT stream
+    * (a row appears exactly when its key's winner changes — the shape
+    * that feeds a compacted topic or a MERGE sink).
+    *
+    * State is one row per live key — the compacted table itself, the
+    * same by-construction bound a production materialized upsert view
+    * pays (NOT windowed history; a watermark would be wrong here since
+    * an arbitrarily late event can still lose to the current winner by
+    * (ts, event_id) order, and winning late events are the point of
+    * CDC). Update output mode; after draining, the latest emitted row
+    * per key equals the batch snapshot row-for-row (StreamOpsSpec pins
+    * it, including a late-arrival loser that must NOT re-emit).
+    */
+  def streamingSnapshot(events: DataFrame): Dataset[SnapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts"), col("event_type").as("eventType"),
+        col("value").cast("double").as("value"))
+      .as[SnapEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[SnapEvent],
+         state: GroupState[SnapState]) =>
+          val prev = state.getOption
+          var best = prev
+          evs.foreach { e =>
+            val better = best.forall(b =>
+              e.ts.getTime > b.tsMs ||
+                (e.ts.getTime == b.tsMs && e.eventId > b.eventId))
+            if (better)
+              best = Some(SnapState(e.ts.getTime, e.eventId,
+                e.eventType, e.value))
+          }
+          if (best != prev) {
+            val b = best.get
+            state.update(b)
+            Iterator.single(SnapOut(uid,
+              new java.sql.Timestamp(b.tsMs), b.eventId, b.eventType,
+              b.value))
+          } else Iterator.empty
+      }
+  }
+
   /** One event of the streaming moving-average input. */
   final case class MaEvent(userId: Long, eventId: Long,
                            ts: java.sql.Timestamp, value: Double)
@@ -490,7 +551,14 @@ object StreamOps {
                 var sum = 0.0
                 var i = lo
                 while (i < hi) { sum += vals(i); i += 1 }
-                MaOut(uid, e.eventId, e.ts, hi - lo, sum / (hi - lo))
+                // round exactly as the batch twin's round(avg, 6) —
+                // BigDecimal HALF_UP is Spark's Round semantics for
+                // doubles — so emitted rows match the q108 face
+                // byte-for-byte, not just up to re-rounding
+                val avg = BigDecimal.valueOf(sum / (hi - lo))
+                  .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble
+                MaOut(uid, e.eventId, e.ts, hi - lo, avg)
               }
             // prune to the late-arrival horizon: an in-horizon event's
             // ts can be as old as the watermark, and its frame reaches
@@ -528,7 +596,8 @@ object StreamOps {
   def streamingHllRegisters(rows: DataFrame, keyCol: String,
       groupCol: String, tag: String = "hll"): DataFrame = {
     val (j, rank) = graft.ext.Sketches.hllRegisterCols(col(keyCol), tag)
-    rows.select(col(groupCol).as("g0"), j.as("j"), rank.as("rank"))
+    rows.filter(col(keyCol).isNotNull) // the batch operator's null contract
+      .select(col(groupCol).as("g0"), j.as("j"), rank.as("rank"))
       .groupBy(col("g0"), col("j"))
       .agg(max(col("rank")).as("mj"))
   }

@@ -48,6 +48,36 @@ class BpeSpec extends SparkSpec {
     assert(ms.head.lhs == "a" && ms.head.rhs == "b")
   }
 
+  test("byte-level state: hex-pair symbols, UTF-8 multibyte, nothing " +
+      "OOV") {
+    // "né" is 1 ASCII byte + the 2-byte UTF-8 of é (C3 A9): three
+    // symbols, uppercase hex — the exact string DuckDB's
+    // hex(encode(w)) yields, so the mirror replays the same states
+    val st = spark.range(1)
+      .select(Bpe.symbolStateBytes(lit("né")).as("s")).head().getString(0)
+    assert(st == " 6E C3 A9 ")
+    // digits and punctuation tokenize instead of dropping: "a1!" = 3
+    // bytes = 3 tokens under no merges
+    val n = spark.range(1)
+      .select(Bpe.tokenCountBytes(lit("a1!"), Nil).as("n"))
+      .head().getLong(0)
+    assert(n == 3L)
+    // the trainer runs the same replace idiom on the byte alphabet:
+    // corpus "née" ×2 → state " 6E C3 A9 65 ", pairs (6E,C3), (C3,A9),
+    // (A9,65) all cnt 2 → lexicographic tie-break: "6E" < "A9" < "C3"
+    val wf = Seq(("née", 2L)).toDF("word", "freq")
+    val ms = Bpe.learnMerges(wf, 2, Bpe.symbolStateBytes)
+    assert(ms.head.lhs == "6E" && ms.head.rhs == "C3" &&
+      ms.head.cnt == 2L)
+    // round 2 state " 6EC3 A9 65 ": (6EC3,A9) vs (A9,65), tie →
+    // '6' < 'A' lexicographic → (6EC3,A9)
+    assert(ms(1).lhs == "6EC3" && ms(1).rhs == "A9")
+    val tc = spark.range(1)
+      .select(Bpe.tokenCountBytes(lit("née"), ms).as("n"))
+      .head().getLong(0)
+    assert(tc == 2L) // 6EC3A9 + 65
+  }
+
   test("early stop when no pairs remain") {
     val wf = Seq(("ab", 2L)).toDF("word", "freq")
     // one merge exhausts the only pair; round 2 finds nothing

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write MERGE (ops/Cow.scala): the write-side guarantee the
+  * q111 hash gate cannot see — untouched partitions' FILES must come
+  * through the merge byte-identical (not rewritten, not re-staged),
+  * while touched partitions hold exactly the upsert result.
+  */
+class CowSpec extends SparkSpec {
+
+  private def md5OfFiles(root: Path): Map[String, String] =
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val d = MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(p))
+        root.relativize(p).toString -> d.map("%02x".format(_)).mkString
+      }.toMap
+
+  test("mergeCow rewrites ONLY touched partitions — untouched files " +
+      "byte-identical, touched partitions hold the exact upsert") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow")
+    val tbl = root.resolve("t").toString
+    // 4 partitions × 10 keys
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    base.repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = md5OfFiles(Paths.get(tbl))
+    assert(before.nonEmpty)
+
+    // batch touches parts 1 and 2 only: update ids 3, 14; insert id 99
+    val batch = Seq((3L, 1, 300.0), (14L, 2, 1400.0), (99L, 1, 9900.0))
+      .toDF("id", "part", "v")
+    val touched = graft.ops.Cow.mergeCow(spark, tbl, batch, "id", "part")
+    assert(touched.toSet == Set(1, 2))
+
+    val after = md5OfFiles(Paths.get(tbl))
+    val untouchedBefore = before.filter { case (p, _) =>
+      p.startsWith("part=3") || p.startsWith("part=4") }
+    val untouchedAfter = after.filter { case (p, _) =>
+      p.startsWith("part=3") || p.startsWith("part=4") }
+    assert(untouchedBefore == untouchedAfter,
+      "untouched partitions' files changed (paths or bytes)")
+    // touched partitions were actually rewritten (fresh file names)
+    assert(after.keySet.filter(_.startsWith("part=1")) !=
+      before.keySet.filter(_.startsWith("part=1")))
+
+    // value semantics: the read-back equals the global upsert replay
+    val got = spark.read.parquet(tbl)
+      .select(col("id"), col("part").cast("int").as("part"), col("v"))
+      .as[(Long, Int, Double)].collect().toSet
+    val want = (1 to 40).filterNot(i => i == 3 || i == 14)
+      .map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0)).toSet ++
+      Set((3L, 1, 300.0), (14L, 2, 1400.0), (99L, 1, 9900.0))
+    assert(got == want)
+  }
+
+  test("mergeCow prunes the base read to the touched partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow2")
+    val tbl = root.resolve("t").toString
+    (1 to 20).map(i => (i.toLong, i % 2, i * 1.0)).toDF("id", "part", "v")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    // the IN-list partition filter is static: a scan of the base
+    // restricted to part=0 must report exactly one partition
+    val pruned = spark.read.parquet(tbl).filter(col("part").isin(0))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scan.nonEmpty)
+    assert(scan.head.metrics("numPartitions").value == 1,
+      "touched-partition read not pruned")
+  }
+}

@@ -199,6 +199,31 @@ class MainSpec extends SparkSpec {
     assert(got(t(40)) == Some(2.0))  // after the second
   }
 
+  test("stream-snapshot CLI mode appends the upsert changelog; latest " +
+      "row per key is the snapshot") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val d = new java.io.File(s"$tmp/in/events"); d.mkdirs()
+    def t(min: Int) =
+      java.time.Instant.ofEpochSecond(1700000000L + min * 60L).toString
+    val w = new java.io.PrintWriter(s"$d/part-0.csv")
+    w.println("user_id,event_id,ts,event_type,value")
+    Seq(s"1,10,${t(10)},a,1.0", s"1,20,${t(30)},b,2.0",
+      s"2,11,${t(5)},c,3.0", s"1,5,${t(20)},late-loser,9.0")
+      .foreach(w.println)
+    w.close()
+    val n = Main.runStreamSnapshot(spark, s"$tmp/in", s"$tmp/out")
+    // one micro-batch: one winner per key → 2 changelog rows, the
+    // late loser rejected by (ts, event_id) order
+    assert(n == 2, s"expected 2 changelog rows, got $n")
+    val got = spark.read.parquet(s"$tmp/out/stream_snapshot")
+      .collect().map(r => r.getAs[Long]("userId") ->
+        (r.getAs[Long]("lastEventId"),
+          r.getAs[String]("lastEventType"),
+          r.getAs[Double]("lastValue"))).toMap
+    assert(got(1L) == ((20L, "b", 2.0)))
+    assert(got(2L) == ((11L, "c", 3.0)))
+  }
+
   test("stream-interval CLI mode pairs points with covering intervals") {
     val tmp = Files.createTempDirectory("graft-main").toString
     def write(sub: String, header: String, lines: Seq[String]): Unit = {
@@ -446,12 +471,13 @@ class MainSpec extends SparkSpec {
     assert(counts("sources") > 0 && counts("vocab") > 0)
     assert(counts("heavy_hitters") <= counts("vocab"))
     val hll = spark.read.parquet(s"$tmp/out/profile_distinct")
-    // tiny per-source vocab at sf0.001 sits in HLL's linear-counting
-    // regime where the raw estimate biases low — the point here is the
-    // tables land complete with exact verification columns, not the
-    // bound flag (SketchesSpec covers the estimator's regime)
+    // tiny per-source vocab at sf0.001 sits in HLL's small regime — the
+    // linear-counting branch (literal-table m·ln(m/V)) now holds the
+    // bound there too, so the flag is assertable
     assert(hll.columns.toSet.contains("hll_estimate"))
     assert(hll.filter(col("exact_distinct") <= 0).count() == 0)
+    assert(hll.filter(!col("within_bound")).count() == 0,
+      "HLL estimate outside the 3-sigma bound even with LC correction")
     val hh = spark.read.parquet(s"$tmp/out/profile_heavy")
     assert(hh.filter(!col("overcount_ok")).count() == 0,
       "CM one-sided guarantee violated")

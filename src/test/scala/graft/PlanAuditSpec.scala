@@ -369,6 +369,35 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty, s"q109 planned a nested-loop join: $p")
   }
 
+  test("dpp (q110): the dim filter reaches the fact scan as a " +
+      "dynamic-pruning subquery and prunes partitions at RUNTIME") {
+    // static shape: the partitioned fact scan must carry a
+    // DynamicPruningExpression partition filter — the optimizer cannot
+    // statically invert quarter(m) = 2 into a predicate on the join key,
+    // so if DPP didn't fire the scan would read all 83 month partitions
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q110_dpp_prune")(spark, dir)
+      val p = df.queryExecution.executedPlan
+      val factScan = scans(p)
+        .filter(_.relation.partitionSchema.nonEmpty)
+      assert(factScan.size == 1, s"expected one partitioned scan: $p")
+      assert(factScan.head.partitionFilters.exists(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+          .expressions.DynamicPruningExpression])),
+        s"no dynamicpruning subquery on the fact scan: " +
+          s"${factScan.head.partitionFilters}")
+      // runtime proof: execute and read the scan's partitions-read
+      // metric — Q2 has 3 months/year over 1995..2001 = 21 of the 83
+      // written partitions
+      df.collect()
+      val partsRead = factScan.head.metrics("numPartitions").value
+      assert(partsRead == 21,
+        s"DPP read $partsRead partitions, wanted 21 of 83")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("table stats (q106): six distinct-counts in ONE scan through " +
       "one Expand") {
     val p = staticPlan(SparkEntry.queries("q106_table_stats")(spark, dir))

@@ -64,6 +64,47 @@ class SketchesSpec extends SparkSpec {
       row.getAs[Double]("hll_estimate"))
   }
 
+  test("hll small regime: linear counting from the literal table, and " +
+      "the bound holds where the raw estimate biased low") {
+    // 40 distinct keys against m = 256 is deep in the small regime: the
+    // raw harmonic estimate biases low (expected-false within_bound was
+    // the pre-fix behavior); the LC branch must kick in with EXACTLY the
+    // literal-table value m·ln(m/V) — the same bits the SQL mirror reads
+    val df = spark.range(40).select(col("id").as("k"), lit(1).as("g"))
+    val row = Sketches.hllDistinct(df, col("k"), Seq(col("g")))
+      .collect().head
+    val nonzero = row.getAs[Long]("nonzero_registers")
+    assert(nonzero < Sketches.M)
+    val v = (Sketches.M - nonzero).toInt
+    assert(row.getAs[Double]("hll_estimate") ===
+      Sketches.HllLcTable(v - 1))
+    assert(row.getAs[Boolean]("within_bound"),
+      s"LC estimate ${row.getAs[Double]("hll_estimate")} outside the " +
+        s"bound for exact ${row.getAs[Long]("exact_distinct")}")
+    // the raw branch still rules when the gate is not met
+    assert(Sketches.HllLcTable.length === Sketches.M - 1)
+  }
+
+  test("hll and kmv null contract: NULL keys never enter the sketch") {
+    // a null key under concat_ws would hash as the bare tag and count as
+    // one phantom distinct; the operators must filter it so Spark agrees
+    // with the null-propagating SQL mirrors
+    val df = ((1L to 30L).map(k => (Option(k), "g")) :+
+      ((None: Option[Long]), "g"))
+      .toDF("k", "g")
+    val withNull = Sketches.hllDistinct(df, col("k"), Seq(col("g")))
+      .collect().head
+    val without = Sketches.hllDistinct(df.filter(col("k").isNotNull),
+      col("k"), Seq(col("g"))).collect().head
+    assert(withNull.getAs[Long]("denom_scaled") ===
+      without.getAs[Long]("denom_scaled"))
+    assert(withNull.getAs[Long]("exact_distinct") === 30L)
+    val kmvNull = Sketches.kmvSketch(df, col("k"), col("g")).collect()
+    val kmvNo = Sketches.kmvSketch(df.filter(col("k").isNotNull),
+      col("k"), col("g")).collect()
+    assert(kmvNull.map(_.toSeq).toSet === kmvNo.map(_.toSeq).toSet)
+  }
+
   test("hll denominator stays exact dyadic (fits well under 2^53)") {
     // worst case: every register empty except impossible — bound is
     // m * 2^MaxRank = 2^37, far inside the 53-bit exact-integer range,

@@ -300,6 +300,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming snapshot: the upsert stream compacts to the batch " +
+      "q104 snapshot; a late loser never re-emits") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val rows = mem.toDF.toDF("user_id", "event_id", "ts", "event_type",
+      "value")
+    val q = StreamOps.streamingSnapshot(rows)
+      .writeStream.format("memory").queryName("snap_out")
+      .outputMode("update").start()
+    try {
+      // user 1: two versions in order; user 2: one version
+      mem.addData((1L, 10L, ts(10), "a", 1.0), (2L, 11L, ts(5), "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, 20L, ts(30), "c", 3.0))
+      q.processAllAvailable()
+      val afterWin = spark.table("snap_out").count()
+      // batch 1 emits both keys, batch 2 re-emits user 1's new winner
+      assert(afterWin == 3L)
+      // a LATE event that loses by (ts, event_id) must not emit or
+      // disturb the state (arbitrary lateness is legal here — no
+      // watermark drops it, the order rule rejects it)
+      mem.addData((1L, 5L, ts(20), "late-loser", 99.0))
+      q.processAllAvailable()
+      assert(spark.table("snap_out").count() == 3L,
+        "late loser re-emitted")
+      // compact: latest emitted row per key == batch latestSnapshot
+      val all = Seq(
+        (1L, 10L, ts(10), "a", 1.0), (2L, 11L, ts(5), "b", 2.0),
+        (1L, 20L, ts(30), "c", 3.0), (1L, 5L, ts(20), "late-loser", 99.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+      val batch = graft.ops.TimeSeries.latestSnapshot(all, "user_id",
+        "ts", "event_id", Seq("event_type", "value")).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("last_ts"), r.getAs[Long]("last_event_id"),
+            r.getAs[String]("last_event_type"),
+            r.getAs[Double]("last_value"))).toMap
+      val streamed = spark.table("snap_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("userId"))
+            .orderBy(col("lastTs").desc, col("lastEventId").desc)))
+        .filter(col("rk") === 1)
+        .select(col("userId"),
+          date_format(col("lastTs"), "yyyy-MM-dd HH:mm:ss").as("t"),
+          col("lastEventId"), col("lastEventType"), col("lastValue"))
+        .collect()
+        .map(r => r.getAs[Long]("userId") ->
+          (r.getAs[String]("t"), r.getAs[Long]("lastEventId"),
+            r.getAs[String]("lastEventType"),
+            r.getAs[Double]("lastValue"))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming moving average equals the batch RANGE frame on " +
       "in-order input; state prunes to the horizon") {
     implicit val sq = spark.sqlContext
@@ -321,10 +375,11 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(evs.drop(60): _*)
       q.processAllAvailable()
+      // no re-rounding: the twin emits the batch face's round(avg, 6)
+      // itself, so equality is byte-for-byte
       val got = spark.table("ma_out").collect()
         .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("eventId")) ->
-          (r.getAs[Long]("nFrame"),
-            math.round(r.getAs[Double]("avg1h") * 1e6) / 1e6)).toMap
+          (r.getAs[Long]("nFrame"), r.getAs[Double]("avg1h"))).toMap
       // batch RANGE frame on the same rows (the q108 shape)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
