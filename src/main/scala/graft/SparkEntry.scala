@@ -599,18 +599,8 @@ object SparkEntry {
     // here by decorating each doc with "idN. n=M! café" — are never
     // OOV. Same one-corpus-pass → vocab-size-rounds shape; the oracle
     // regrows the byte merges from scratch in SQL.
-    "q113_bpe_bytelevel" -> ((s, dir) => {
-      val corpus = Tables.table(s, dir, "documents")
-        .select(concat(col("text"), lit(" id"),
-          col("doc_id").cast("string"), lit(". n="),
-          col("n_chars").cast("string"), lit("! café")).as("t"))
-      val wf = corpus
-        .select(explode(split(col("t"), "\\s+")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      Bpe.mergeTable(s,
-        Bpe.learnMerges(wf, BpeNumMerges, Bpe.symbolStateBytes))
-    }),
+    "q113_bpe_bytelevel" -> ((s, dir) =>
+      Bpe.mergeTable(s, sharedByteMerges(s, dir))),
 
     // ───── sketch family (Sketches scaladoc): bounded-state summaries
     // whose registers/buckets AND estimates are engine-portable md5 +
@@ -628,6 +618,45 @@ object SparkEntry {
       Sketches.hllDistinct(Tables.events(s, dir),
         col("user_id"), Seq(col("event_type")))
         .withColumnRenamed("g0", "event_type")),
+    // sketch RE-AGGREGATION — the actual 100 TB win of registers over
+    // countDistinct: per-(type, day) register tables (what a daily job
+    // would persist) merge by max into the per-type estimate WITHOUT
+    // rescanning raw data, and because max is associative the rolled-up
+    // registers are bit-identical to a direct single-pass build — the
+    // `rollup_exact` flag (hash-checked true) proves it per group.
+    "q117_hll_rollup" -> ((s, dir) => {
+      val (j, rank) = Sketches.hllRegisterCols(col("user_id"))
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          j.as("j"), rank.as("rank"))
+      val daily = ev.groupBy(col("event_type"), col("day"), col("j"))
+        .agg(max(col("rank")).as("mj"))
+        .transform(graft.util.Pins.pin)
+      val merged = daily.groupBy(col("event_type"), col("j"))
+        .agg(max(col("mj")).as("mj"))
+      val direct = ev.groupBy(col("event_type"), col("j"))
+        .agg(max(col("rank")).as("mj"))
+      val est = Sketches.hllEstimateFromRegisters(
+        merged.withColumnRenamed("event_type", "g0"), Seq("g0"))
+      val nDays = daily.groupBy(col("event_type"))
+        .agg(countDistinct(col("day")).as("n_days"))
+      val same = merged.join(direct,
+          merged("event_type") === direct("event_type") &&
+            merged("j") === direct("j") && merged("mj") === direct("mj"),
+          "left_semi")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_same"))
+      val regCount = merged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_regs"))
+      est.withColumnRenamed("g0", "event_type")
+        .join(nDays, "event_type")
+        .join(regCount, "event_type")
+        .join(same, "event_type")
+        .select(col("event_type"), col("n_days"),
+          col("nonzero_registers"), col("denom_scaled"),
+          col("hll_estimate"),
+          (col("n_same") === col("n_regs")).as("rollup_exact"))
+    }),
     "q94_cms_heavy_hitters" -> ((s, dir) =>
       Sketches.cmHeavyHitters(
         Tables.table(s, dir, "documents")
@@ -1392,6 +1421,184 @@ object SparkEntry {
       graft.ops.TimeSeries.latestSnapshot(Tables.events(s, dir),
         "user_id", "ts", "event_id", Seq("event_type", "value"))
         .withColumn("last_value", round(col("last_value"), 6))),
+
+    // SCD2 (slowly-changing-dimension type 2) versioning: the
+    // append-only log becomes validity intervals — each version row
+    // carries [valid_from, valid_to) from its own ts to the key's next
+    // version (lead window), open versions flagged current with the
+    // classic high-date sentinel. The dimension-table shape every
+    // warehouse derives from CDC; one partitioned window, no self-join.
+    "q115_scd2_intervals" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(
+            date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"),
+          col("event_type"), round(col("value"), 6).as("value"))
+    }),
+
+    // snapshot DIFF — the audit face of the q111 merge: classify every
+    // key across two table versions as added / removed / changed (the
+    // CDC batch here: q111's corrections + backfills plus a deterministic
+    // delete set, all inside the first five days). One full-outer
+    // key-shuffle join; unchanged rows (the 100 TB bulk) drop before the
+    // sink.
+    "q116_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_type"), round(col("value"), 6).as("value"))
+      val fw = Tables.events(s, dir)
+        .filter(dayofmonth(col("ts")) <= 5)
+      val updates = fw.filter(col("event_id") % 17 === 0)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          lit("corrected").as("event_type"),
+          round(col("value") + 1000.0, 6).as("value"))
+      val inserts = fw.filter(col("event_id") % 23 === 0)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          lit("backfill").as("event_type"), lit(1.5).as("value"))
+      val deleted = fw.filter(col("event_id") % 31 === 0)
+        .select(col("event_id"))
+      val next = base
+        .join(updates.select(col("event_id")), Seq("event_id"),
+          "left_anti")
+        .join(deleted, Seq("event_id"), "left_anti")
+        .unionByName(updates).unionByName(inserts)
+      val b = base.select(col("event_id"), struct(col("ts_s"),
+        col("event_type"), col("value")).as("b"))
+      val n = next.select(col("event_id"), struct(col("ts_s"),
+        col("event_type"), col("value")).as("n"))
+      b.join(n, Seq("event_id"), "full_outer")
+        .withColumn("change",
+          when(col("b").isNull, "added")
+            .when(col("n").isNull, "removed")
+            .when(col("b") =!= col("n"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("change") =!= "unchanged")
+        .select(col("event_id"), col("change"),
+          coalesce(col("n.event_type"), col("b.event_type"))
+            .as("event_type"),
+          col("b.value").as("old_value"), col("n.value").as("new_value"))
+    }),
+
+    // schema evolution: two table versions written with different
+    // schemas (v2 adds a column) read back as ONE relation via
+    // mergeSchema — the standing lakehouse contract that old files keep
+    // working when the pipeline grows a column; v1 rows surface the new
+    // column as NULL.
+    "q120_schema_evolution" -> ((s, dir) => {
+      val wh = scratch("q120", dir)
+      val docs = Tables.table(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$wh/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$wh/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$wh/v1", s"$wh/v2")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
+
+    // copy-on-write DELETE — the GDPR job: purge every event of the
+    // selected users from the day-partitioned table (ops/Cow.deleteCow;
+    // a user-scoped delete legitimately touches every day partition —
+    // the partition-pruned path is CowSpec's key-correlated case, and
+    // the all-rows-deleted partition edge is pinned there too). Face =
+    // the full post-delete snapshot, hash-checked against the filter
+    // replay.
+    "q121_gdpr_delete" -> ((s, dir) => {
+      val wh = scratch("q121", dir)
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      base.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$wh/events")
+      val doomed = base.filter(col("user_id") % 37 === 0)
+        .select(col("user_id")).distinct()
+      graft.ops.Cow.deleteCow(s, s"$wh/events", doomed, "user_id",
+        "day")
+      s.read.parquet(s"$wh/events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    // incremental aggregate maintenance — the materialized-view delta
+    // update every warehouse pays instead of nightly full recompute:
+    // the per-(user, day) rollup is refreshed by recomputing ONLY the
+    // groups the CDC batch touches (affected list = one distinct over
+    // the delta; at 100 TB the recompute side is the partition-pruned
+    // touched days, q111's layout) and copying every other group
+    // forward. Hash-green against a FULL recompute of the merged
+    // snapshot — the maintenance identity itself is what the oracle
+    // checks.
+    "q118_incremental_agg" -> ((s, dir) => {
+      val day = date_format(col("ts"), "yyyy-MM-dd").as("day")
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), day, col("event_id"), col("value"))
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 6).as("sum_value"))
+      val a0 = agg(base)
+      // the q111/q116 CDC batch: corrections, backfills, deletes
+      val fw = base.filter(col("day") <= lit("2024-01-05"))
+      val updates = fw.filter(col("event_id") % 17 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val inserts = fw.filter(col("event_id") % 23 === 0)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .withColumn("value", lit(1.5))
+      val delKeys = fw.filter(col("event_id") % 31 === 0)
+        .select(col("event_id"))
+      val next = base
+        .join(updates.select(col("event_id")), Seq("event_id"),
+          "left_anti")
+        .join(delKeys, Seq("event_id"), "left_anti")
+        .unionByName(updates).unionByName(inserts)
+      // delta rows (both sides of every change) → affected groups
+      val affected = fw.filter(col("event_id") % 17 === 0 ||
+          col("event_id") % 23 === 0 || col("event_id") % 31 === 0)
+        .select(col("user_id"), col("day")).distinct()
+        .transform(graft.util.Pins.pin)
+      val refreshed = agg(next.join(affected, Seq("user_id", "day"),
+        "left_semi"))
+      a0.join(affected, Seq("user_id", "day"), "left_anti")
+        .unionByName(refreshed)
+    }),
+
+    // in-window event dedup — the retry/at-least-once scrubber an
+    // ingest runs before anything downstream counts: a (user, type)
+    // occurrence within 300 s of its IMMEDIATE PREDECESSOR is dropped
+    // (debounce-by-predecessor — one partitioned lag window; the
+    // anchor-on-last-KEPT variant is inherently sequential per key and
+    // belongs to the streaming state form). Time math in exact integer
+    // microseconds (unix_micros / epoch_us) — no fractional-second
+    // cast divergence between engines.
+    "q119_event_dedup_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= 300000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          round(col("value"), 6).as("value"))
+    }),
 
     // event-time SESSION windows (gap-close sessionization — the
     // streaming-native windowing Spark's session_window gives batch and
@@ -2184,6 +2391,157 @@ object SparkEntry {
       Sketches.hllSql("lineitem", "l_orderkey", "l_returnflag"),
     "q114_hll_linear_count" ->
       Sketches.hllSql("events", "user_id", "event_type"),
+
+    "q120_schema_evolution" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END
+        |    AS n_chars
+        |FROM documents""".stripMargin,
+
+    "q121_gdpr_delete" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  user_id, event_type, round(value, 6) AS value
+        |FROM events
+        |WHERE user_id % 37 <> 0""".stripMargin,
+
+    "q118_incremental_agg" ->
+      """WITH base AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+        |    value
+        |  FROM events),
+        |fw AS (SELECT * FROM base WHERE day <= '2024-01-05'),
+        |upd AS (SELECT user_id, day, event_id, value + 1000 AS value
+        |        FROM fw WHERE event_id % 17 = 0),
+        |ins AS (SELECT user_id, day, event_id + 1000000000 AS event_id,
+        |          1.5 AS value
+        |        FROM fw WHERE event_id % 23 = 0),
+        |del AS (SELECT event_id FROM fw WHERE event_id % 31 = 0),
+        |nxt AS (
+        |  SELECT user_id, day, event_id, value FROM base
+        |  WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |    AND event_id NOT IN (SELECT event_id FROM del)
+        |  UNION ALL SELECT user_id, day, event_id, value FROM upd
+        |  UNION ALL SELECT user_id, day, event_id, value FROM ins)
+        |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM nxt GROUP BY 1, 2""".stripMargin,
+
+    "q119_event_dedup_window" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, event_type, ts, value,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  round(value, 6) AS value
+        |FROM l
+        |WHERE prev_us IS NULL
+        |   OR epoch_us(ts) - prev_us >= 300000000""".stripMargin,
+
+    "q115_scd2_intervals" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+        |    '9999-12-31 00:00:00') AS valid_to,
+        |  (lead(ts) OVER w) IS NULL AS is_current,
+        |  event_type, round(value, 6) AS value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin,
+
+    "q116_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |    event_type, round(value, 6) AS value FROM events),
+        |fw AS (SELECT * FROM events WHERE date_part('day', ts) <= 5),
+        |upd AS (
+        |  SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |    'corrected' AS event_type, round(value + 1000, 6) AS value
+        |  FROM fw WHERE event_id % 17 = 0),
+        |ins AS (
+        |  SELECT event_id + 1000000000 AS event_id,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |    'backfill' AS event_type, 1.5 AS value
+        |  FROM fw WHERE event_id % 23 = 0),
+        |del AS (SELECT event_id FROM fw WHERE event_id % 31 = 0),
+        |nxt AS (
+        |  SELECT * FROM base
+        |  WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |    AND event_id NOT IN (SELECT event_id FROM del)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |diff AS (
+        |  SELECT coalesce(b.event_id, n.event_id) AS event_id,
+        |    CASE WHEN b.event_id IS NULL THEN 'added'
+        |         WHEN n.event_id IS NULL THEN 'removed'
+        |         WHEN b.ts_s <> n.ts_s OR b.event_type <> n.event_type
+        |              OR b.value <> n.value THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    coalesce(n.event_type, b.event_type) AS event_type,
+        |    b.value AS old_value, n.value AS new_value
+        |  FROM base b FULL OUTER JOIN nxt n ON n.event_id = b.event_id)
+        |SELECT * FROM diff WHERE change <> 'unchanged'""".stripMargin,
+
+    "q117_hll_rollup" -> {
+      val m = Sketches.M
+      val r = Sketches.MaxRank
+      val key = "'hll|' || CAST(user_id AS VARCHAR)"
+      val raw = s"${Sketches.HllScale} / CAST(denom_scaled AS DOUBLE)"
+      val lc = s"([${Sketches.HllLcTable.mkString(", ")}])" +
+        s"[$m - nonzero_registers]"
+      s"""WITH h AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |    CAST(('0x' || substr(md5($key), 1, 7)) AS BIGINT) AS h1,
+         |    CAST(('0x' || substr(md5($key), 8, 7)) AS BIGINT) AS h2
+         |  FROM events WHERE user_id IS NOT NULL),
+         |rr AS (
+         |  SELECT event_type, day, h1 % $m AS j,
+         |    CASE WHEN h2 = 0 THEN $r
+         |         ELSE $r - length(bin(h2)) END AS rank
+         |  FROM h),
+         |daily AS (
+         |  SELECT event_type, day, j, max(rank) AS mj
+         |  FROM rr GROUP BY 1, 2, 3),
+         |merged AS (
+         |  SELECT event_type, j, max(mj) AS mj FROM daily GROUP BY 1, 2),
+         |direct AS (
+         |  SELECT event_type, j, max(rank) AS mj FROM rr GROUP BY 1, 2),
+         |pg AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS nonzero_registers,
+         |    CAST(sum(CAST(power(2, $r - mj) AS BIGINT)) AS BIGINT) +
+         |      ($m - count(*)) * CAST(${1L << r} AS BIGINT)
+         |      AS denom_scaled
+         |  FROM merged GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, nonzero_registers, denom_scaled,
+         |    CASE WHEN nonzero_registers < $m
+         |           AND $raw <= ${Sketches.HllLcGate}
+         |         THEN $lc ELSE $raw END AS hll_estimate
+         |  FROM pg),
+         |nd AS (
+         |  SELECT event_type, CAST(count(DISTINCT day) AS BIGINT)
+         |    AS n_days FROM daily GROUP BY 1),
+         |sm AS (
+         |  SELECT m2.event_type, CAST(count(*) AS BIGINT) AS n_same
+         |  FROM merged m2 JOIN direct d
+         |    ON d.event_type = m2.event_type AND d.j = m2.j
+         |      AND d.mj = m2.mj
+         |  GROUP BY 1),
+         |rc AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_regs
+         |  FROM merged GROUP BY 1)
+         |SELECT e.event_type, nd.n_days, e.nonzero_registers,
+         |  e.denom_scaled, e.hll_estimate,
+         |  (sm.n_same = rc.n_regs) AS rollup_exact
+         |FROM est e
+         |JOIN nd USING (event_type)
+         |JOIN rc USING (event_type)
+         |JOIN sm USING (event_type)""".stripMargin
+    },
     "q94_cms_heavy_hitters" -> Sketches.cmSql("^[a-z]+$"),
     "q95_kmv_intersect" ->
       Sketches.kmvSql("lineitem", "l_orderkey", "l_returnflag"),
@@ -3462,6 +3820,24 @@ object SparkEntry {
       Bpe.learnMerges(
         Bpe.wordFrequencies(Tables.table(s, dir, "documents")),
         BpeNumMerges)
+    }
+
+  /** q113's byte-level trainer, memoized like [[sharedBpeMerges]]; the
+    * word-frequency table persists across the merge rounds so each
+    * round aggregates the vocab table, never the corpus.
+    */
+  private def sharedByteMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    ivfTrained(s, s"bpe-bytes|$dir") {
+      val wf = Tables.table(s, dir, "documents")
+        .select(concat(col("text"), lit(" id"),
+          col("doc_id").cast("string"), lit(". n="),
+          col("n_chars").cast("string"), lit("! café")).as("t"))
+        .select(explode(split(col("t"), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .persist()
+      try Bpe.learnMerges(wf, BpeNumMerges, Bpe.symbolStateBytes)
+      finally { wf.unpersist(); () }
     }
 
   /** Σ_i (v[i]−c_i)² as an explicit left-associated SQL sum — the same

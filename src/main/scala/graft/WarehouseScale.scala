@@ -115,12 +115,137 @@ object WarehouseScale {
       "triangle corner sum")
     assert(triAgg.getAs[Long]("mx") == 6, "per-node triangle count")
 
+    // ───── q110/q111 at scale: the partitioned fact layout, DPP, and
+    // the copy-on-write merge — on a 42-day, day-partitioned write of
+    // the same 50M-row log (2 h cadence, midnight-aligned epoch so the
+    // per-day row counts are closed-form: 12 cadence slots per day,
+    // 8 on the last) ─────
+    val base2 = 1700006400L // midnight UTC — day index = k div 12
+    val root = java.nio.file.Files.createTempDirectory("graft-whscale")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    val facts = root.resolve("facts").toString
+    val ev2 = spark.range(n).select(
+      pmod(col("id"), lit(users)).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_seconds(lit(base2) +
+        (col("id") / lit(users)).cast("long") * 7200L).as("ts"),
+      pmod(col("id"), lit(1000L)).cast("double").as("value"))
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+    val nDays = ((perUser + 11) / 12).toInt // 42 at the default scale
+    def slots(d: Int): Long = math.min(perUser, 12L * (d + 1)) - 12L * d
+    val tW = t0()
+    ev2.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(facts)
+    val writeSec = secs(tW)
+
+    // DPP: weekend dim (day index ≡ 5, 6 mod 7 — an attribute the
+    // optimizer cannot invert into a static day predicate), broadcast
+    // join on the partition column; the fact scan must read ONLY the
+    // weekend partitions, asserted via the runtime metric
+    val weekendIdx = (0 until nDays).filter(d => d % 7 == 5 || d % 7 == 6)
+    val wantWeekendRows = users * weekendIdx.map(slots).sum
+    val dim = spark.range(nDays).select(
+      date_format(timestamp_seconds(lit(base2) + col("id") * 86400L),
+        "yyyyMMdd").cast("int").as("day_key"),
+      pmod(col("id"), lit(7L)).as("dow"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (dppSec, partsRead) =
+      try {
+        // the aggregate is part of THIS plan: metrics must be read off
+        // the executed plan instance, and count() would execute a
+        // different one
+        val q = spark.read.parquet(facts)
+          .join(dim.filter(col("dow").isin(5, 6)),
+            col("day") === col("day_key"))
+          .groupBy().agg(count(lit(1)).as("rows"))
+        val tD = t0()
+        // collect(), not head()/count(): those wrap the plan in a new
+        // query execution, and the partitions-read metric lives on THIS
+        // plan's scan node
+        val got = q.collect()(0).getLong(0)
+        val dSec = secs(tD)
+        assert(got == wantWeekendRows,
+          s"dpp weekend rows $got != $wantWeekendRows")
+        val scan = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.partitionSchema.nonEmpty => s }
+        assert(scan.nonEmpty && scan.head.partitionFilters.exists(
+          _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+            .expressions.DynamicPruningExpression])),
+          "no dynamic-pruning subquery on the 50M fact scan")
+        (dSec, scan.head.metrics("numPartitions").value)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(partsRead == weekendIdx.size.toLong,
+      s"DPP read $partsRead partitions, wanted ${weekendIdx.size} of $nDays")
+
+    // copy-on-write merge: corrections (value += 1000) for id % 97 == 0
+    // inside the first three days; value is integer-valued and every
+    // sum stays far under 2^53, so the post-merge total is EXACT
+    val sumBefore = spark.read.parquet(facts)
+      .agg(sum(col("value"))).head().getDouble(0)
+    val batch = ev2.filter(col("day") < lit(dayKeyOf(base2, 3)))
+      .filter(col("event_id") % 97 === 0) // corrections in days 0, 1, 2
+      .withColumn("value", col("value") + 1000.0)
+    val nUpd = batch.count()
+    import scala.jdk.CollectionConverters._
+    def untouchedMd5(): Map[String, String] = {
+      val p = java.nio.file.Paths.get(facts)
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith(".") &&
+          !weekdaysTouched(base2).exists(d =>
+            f.toString.contains(s"day=$d")))
+        .map { f =>
+          val dig = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f))
+          p.relativize(f).toString ->
+            dig.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = untouchedMd5()
+    val tC = t0()
+    val touched = graft.ops.Cow.mergeCow(spark, facts, batch,
+      "event_id", "day")
+    val cowSec = secs(tC)
+    assert(touched.size == 3, s"touched ${touched.size} partitions")
+    val after = untouchedMd5()
+    assert(before == after && before.nonEmpty,
+      "untouched partitions' files changed across the 50M CoW merge")
+    val merged = spark.read.parquet(facts)
+      .agg(count(lit(1)).as("rows"), sum(col("value")).as("s"))
+      .head()
+    assert(merged.getAs[Long]("rows") == n, "CoW changed the row count")
+    assert(merged.getAs[Double]("s") == sumBefore + 1000.0 * nUpd,
+      "CoW value total off the closed form")
+
     println(s"""{"n":$n,"users":$users,""" +
       s""""snapshot_sec":$snapSec,"gapfill_sec":$gfSec,""" +
       s""""gapfill_rows":${gfAgg.getAs[Long]("rows")},""" +
       s""""moving_avg_sec":$maSec,""" +
       s""""triangle_nodes":${triAgg.getAs[Long]("rows")},""" +
-      s""""triangle_sec":$triSec}""")
+      s""""triangle_sec":$triSec,""" +
+      s""""fact_write_sec":$writeSec,"dpp_sec":$dppSec,""" +
+      s""""dpp_partitions_read":$partsRead,"dpp_partitions_total":$nDays,""" +
+      s""""cow_sec":$cowSec,"cow_updates":$nUpd}""")
     spark.stop()
   }
+
+  /** yyyyMMdd integer key of day index `d` from the aligned epoch. */
+  private def dayKeyOf(base: Long, d: Int): Int = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+    fmt.format(java.time.Instant.ofEpochSecond(base + d * 86400L)).toInt
+  }
+
+  /** The day keys the CoW batch touches (indices 0, 1, 2). */
+  private def weekdaysTouched(base: Long): Seq[Int] =
+    (0 until 3).map(dayKeyOf(base, _))
 }

@@ -61,4 +61,46 @@ object Cow {
       .parquet(basePath)
     touched
   }
+
+  /** Copy-on-write DELETE — the GDPR/right-to-be-forgotten job: remove
+    * every row whose `keyCol` appears in `keys`, rewriting only the
+    * partitions that actually hold such rows. Touched list = one
+    * semi-join + distinct (when the key correlates with the partition
+    * column that prunes hard; a user-scoped delete over a date layout
+    * legitimately touches every partition — the cost every lakehouse
+    * pays for that access pattern).
+    *
+    * The dynamic-overwrite pitfall is handled explicitly: a partition
+    * whose rows are ALL deleted produces no output rows, so the
+    * staged-swap write would silently leave its old files in place —
+    * those directories are removed directly (CowSpec pins the case).
+    *
+    * Returns the touched partition values.
+    */
+  def deleteCow(spark: SparkSession, basePath: String, keys: DataFrame,
+      keyCol: String, partCol: String): Seq[Any] = {
+    val base = spark.read.parquet(basePath)
+    val k = keys.select(col(keyCol)).distinct()
+    val touched = base.join(k, Seq(keyCol), "left_semi")
+      .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Nil
+    val survivors = base.filter(col(partCol).isin(touched: _*))
+      .join(k, Seq(keyCol), "left_anti")
+      .localCheckpoint()
+    val stillThere = survivors.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(basePath)
+    // fully-emptied partitions never reach the dynamic overwrite —
+    // drop their directories outright
+    touched.filterNot(stillThere).foreach { v =>
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/$partCol=$v")
+      val fs = dir.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.delete(dir, true); ()
+    }
+    touched
+  }
 }

@@ -64,6 +64,51 @@ class CowSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("deleteCow purges keys, rewrites only key-bearing partitions, " +
+      "and removes a fully-emptied partition's directory") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow3")
+    val tbl = root.resolve("t").toString
+    // parts 1..4, ids 1..40; part 4 will be deleted WHOLESALE
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    base.repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = md5OfFiles(Paths.get(tbl))
+    // doomed keys: two ids in part 1, ALL of part 4; parts 2-3 untouched
+    val doomed = (Seq(3L, 7L) ++ (31L to 40L)).toDF("id")
+    val touched = graft.ops.Cow.deleteCow(spark, tbl, doomed, "id",
+      "part")
+    assert(touched.toSet == Set(1, 4))
+    val after = md5OfFiles(Paths.get(tbl))
+    val untouched = (m: Map[String, String]) => m.filter { case (p, _) =>
+      p.startsWith("part=2") || p.startsWith("part=3") }
+    assert(untouched(before) == untouched(after),
+      "untouched partitions' files changed")
+    // the emptied partition's directory is GONE (the dynamic-overwrite
+    // pitfall: no output rows for part=4 means the staged swap would
+    // have left its old files in place)
+    assert(!Files.exists(Paths.get(s"$tbl/part=4")),
+      "fully-deleted partition directory survived")
+    val got = spark.read.parquet(tbl).select(col("id")).as[Long]
+      .collect().toSet
+    assert(got == (1L to 30L).toSet -- Set(3L, 7L))
+  }
+
+  test("deleteCow with no matching keys touches nothing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow4")
+    val tbl = root.resolve("t").toString
+    (1 to 10).map(i => (i.toLong, i % 2, i * 1.0)).toDF("id", "part", "v")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = md5OfFiles(Paths.get(tbl))
+    val touched = graft.ops.Cow.deleteCow(spark, tbl,
+      Seq(999L).toDF("id"), "id", "part")
+    assert(touched.isEmpty)
+    assert(md5OfFiles(Paths.get(tbl)) == before)
+  }
+
   test("mergeCow prunes the base read to the touched partitions") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cow2")

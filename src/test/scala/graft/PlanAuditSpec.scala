@@ -398,6 +398,24 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("scd2 (q115) keeps its window partitioned; snapshot diff (q116) " +
+      "is an equi full-outer join, never a cartesian") {
+    val p5 = staticPlan(
+      SparkEntry.queries("q115_scd2_intervals")(spark, dir))
+    val wins = p5.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"q115 lead window lost its key partitioning: $p5")
+    val p6 = staticPlan(
+      SparkEntry.queries("q116_snapshot_diff")(spark, dir))
+    assert(p6.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q116 planned a cartesian: $p6")
+    assert(p6.collect {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"q116 planned a nested-loop join: $p6")
+  }
+
   test("table stats (q106): six distinct-counts in ONE scan through " +
       "one Expand") {
     val p = staticPlan(SparkEntry.queries("q106_table_stats")(spark, dir))
