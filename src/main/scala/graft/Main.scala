@@ -34,6 +34,7 @@ object Main {
       |  graft.Main stream-interval --f <dir with points/ intervals/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main stream-overlap --f <dir with left/ right/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main stream-snapshot --f <dir with events/> [--o <outdir>]
+      |  graft.Main stream-sessions --f <dir with events/> [--o <outdir>] [--g "30 minutes"] [--m "2 hours"]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
       |                      [--r <spanTokens>] [--p true] [--c true] [--x true]
@@ -127,6 +128,14 @@ object Main {
           val n = runStreamSnapshot(spark, in, opt("--o", "results"))
           println(s"stream-snapshot: $n upsert changelog rows -> " +
             s"${opt("--o", "results")}/stream_snapshot")
+        case "stream-sessions" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamSessions(spark, in, opt("--o", "results"),
+            gap = opt("--g", "30 minutes"),
+            watermark = opt("--m", "2 hours"))
+          println(s"stream-sessions: $n finalized sessions -> " +
+            s"${opt("--o", "results")}/stream_sessions")
         case "curate" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -450,6 +459,34 @@ object Main {
     else spark.read.schema("userId BIGINT, lastTs TIMESTAMP, " +
         "lastEventId BIGINT, lastEventType STRING, lastValue DOUBLE")
       .parquet(s"$out/stream_snapshot").count()
+  }
+
+  /** Streaming sessionization over a CSV event directory — q41's twin
+    * as a CLI: finalized (watermark-closed) sessions land as parquet;
+    * sessions still open when the input drains stay in state and do not
+    * emit (append-mode semantics — the next run's events would extend
+    * them from the checkpoint).
+    */
+  def runStreamSessions(spark: SparkSession, in: String, out: String,
+                        gap: String, watermark: String): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val ev = spark.readStream
+      .schema(StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE"))
+      .option("header", "true").csv(s"$in/events")
+    val q = StreamOps.streamingSessions(ev, gap, watermark)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/stream_sessions")
+      .option("checkpointLocation", s"$out/_sessions_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema("user_id BIGINT, session_start STRING, " +
+        "n_events BIGINT, sum_value DOUBLE")
+      .parquet(s"$out/stream_sessions").count()
   }
 
   def runStreamAsof(spark: SparkSession, in: String, out: String,

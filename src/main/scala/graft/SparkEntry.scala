@@ -1536,6 +1536,318 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // PIVOT — the analyst's month × status crosstab, compiled by Spark
+    // into ONE grouped aggregate over conditional sums (explicit value
+    // list ⇒ no extra distinct pass; one shuffle total). Totals in
+    // integer cents (the q99 idiom) so the sums are order-independent.
+    "q122_order_pivot" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      Tables.table(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("cents", cents)
+        .groupBy(col("month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+        .select(col("month"),
+          col("F_cents").as("f_cents"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          col("O_cents").as("o_cents"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"),
+          col("P_cents").as("p_cents"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"))
+    }),
+
+    // UNPIVOT/melt — the inverse reshape: a wide per-source profile back
+    // to long (metric, value) rows. The melt itself is map-only (an
+    // Expand over the aggregated frame — row count × metric count, zero
+    // extra shuffles beyond the profile agg).
+    "q123_source_unpivot" -> ((s, dir) => {
+      val wide = Tables.table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          countDistinct(col("lang")).cast("double").as("n_langs"))
+      wide.unpivot(Array(col("source")),
+        Array(col("n_docs"), col("avg_chars"), col("n_langs")),
+        "metric", "value")
+    }),
+
+    // Event funnel — strict-order view → click → purchase per user:
+    // each stage's first hit must follow the PREVIOUS stage's first hit
+    // (the product-analytics contract; a click before any view doesn't
+    // count). Three per-stage grouped mins chained by user_id equi-joins
+    // — every shuffle is on user_id, AQE broadcasts the shrinking stage
+    // tables at scale.
+    "q124_event_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c.select(col("user_id"), col("t_click")),
+          Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t_purchase")),
+          Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("depth"),
+          date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss")
+            .as("view_s"),
+          date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss")
+            .as("click_s"),
+          date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss")
+            .as("purchase_s"))
+    }),
+
+    // Retention cohorts — users grouped by first-seen day, activity
+    // counted per 7-day offset bucket: the cohort triangle every growth
+    // dashboard draws. Two shuffles (first-seen agg, cohort×offset agg);
+    // the per-user first-seen table is the broadcastable side at scale.
+    "q125_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(
+          date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          floor(datediff(col("d"), col("cohort_day")) / 7)
+            .cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // Bloom-prefiltered semi join — the urgent-orders lineitems rollup,
+    // with the fact side screened MAP-ONLY through a broadcast Bloom of
+    // the dim keys before the exact semi join (ops/BloomJoin; the
+    // explicit, hash-checkable form of Spark's runtime bloom filter).
+    // The result is EXACTLY the semi join — the bloom only shrinks what
+    // the join shuffle sees (~20 % of lineitem here, the dim
+    // selectivity; false positives ≤ 0.1 % die in the exact join).
+    "q126_bloom_semijoin" -> ((s, dir) => {
+      val urgent = Tables.table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.BloomJoin.bloomSemiJoin(
+          Tables.table(s, dir, "lineitem"), "l_orderkey",
+          urgent, "o_orderkey")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM")
+          .as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    // Small-file compaction — the OPTIMIZE maintenance job: a day-
+    // partitioned events table deliberately fragmented to 8 files/day is
+    // compacted toward one ~16 MB target file per partition in ONE
+    // distributed job (ops/Compact: FS-listed plan, pruned read of only
+    // over-fragmented partitions, deterministic md5 bin →
+    // repartition(day, bin), dynamic partition overwrite). Face = the
+    // full post-compaction read-back — compaction must never change a
+    // row; CompactSpec pins the file-count reduction and the untouched-
+    // partition byte-identity.
+    "q127_compaction" -> ((s, dir) => {
+      val wh = scratch("q127", dir)
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      base.repartition(8, col("event_id"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$wh/events")
+      graft.ops.Compact.compactPartitions(s, s"$wh/events", "day",
+        "event_id", 16L << 20)
+      s.read.parquet(s"$wh/events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    // Data-quality audit — the Deequ-style expectation suite a warehouse
+    // runs before publishing a table: completeness, uniqueness, domain,
+    // range, and referential-integrity metrics as one long
+    // (entity, metric, value) frame. One aggregate pass per table plus
+    // one anti-join for the FK orphan count; every value is a ratio of
+    // exact integer counts (deterministic doubles).
+    "q128_quality_audit" -> ((s, dir) => {
+      def ratio(num: Column, den: Column): Column =
+        round(num.cast("double") / den.cast("double"), 6)
+      val ev = Tables.events(s, dir)
+      val evM = ev.agg(
+        count(lit(1)).as("n"),
+        count(col("props")).as("n_props"),
+        countDistinct(col("event_id")).as("n_ids"),
+        sum(when(col("value") <= 0, 1L).otherwise(0L)).as("n_nonpos"),
+        sum(when(col("event_type").isin(
+          "click", "error", "purchase", "signup", "view"), 0L)
+          .otherwise(1L)).as("n_baddom"))
+        .select(explode(map(
+          lit("completeness_props"),
+            ratio(col("n_props"), col("n")),
+          lit("uniqueness_event_id"),
+            ratio(col("n_ids"), col("n")),
+          lit("nonpositive_value_rate"),
+            ratio(col("n_nonpos"), col("n")),
+          lit("domain_violation_rate"),
+            ratio(col("n_baddom"), col("n")))).as(Seq("metric", "value")))
+        .select(lit("events").as("entity"), col("metric"), col("value"))
+      val li = Tables.table(s, dir, "lineitem")
+      val orphans = li.join(
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val liM = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_qty_bad"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("n_disc_bad"))
+        .crossJoin(orphans)
+        .select(explode(map(
+          lit("fk_orphan_rate_orderkey"),
+            ratio(col("n_orphans"), col("n")),
+          lit("quantity_range_violation_rate"),
+            ratio(col("n_qty_bad"), col("n")),
+          lit("discount_range_violation_rate"),
+            ratio(col("n_disc_bad"), col("n")))).as(Seq("metric", "value")))
+        .select(lit("lineitem").as("entity"), col("metric"),
+          col("value"))
+      val ord = Tables.table(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_ids"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 0L)
+          .otherwise(1L)).as("n_baddom"))
+        .select(explode(map(
+          lit("uniqueness_o_orderkey"),
+            ratio(col("n_ids"), col("n")),
+          lit("domain_violation_rate"),
+            ratio(col("n_baddom"), col("n")))).as(Seq("metric", "value")))
+        .select(lit("orders").as("entity"), col("metric"), col("value"))
+      evM.unionByName(liM).unionByName(ord)
+    }),
+
+    // Snapshot-isolated time travel (ops/TxLog): commit the events table
+    // as v0, commit a CDC upsert as v1 (touched partitions rewritten as
+    // NEW files, untouched files carried into the v1 manifest by
+    // reference), then read BOTH versions back — v0 AFTER v1 exists is
+    // the snapshot-isolation guarantee (q111's in-place CoW destroys the
+    // old version; the manifest layer is what keeps it). Face = both
+    // snapshots tagged, each hash-checked against its replay.
+    "q130_time_travel" -> ((s, dir) => {
+      val wh = scratch("q130", dir)
+      val tbl = s"$wh/events_vlog"
+      deleteRec(new java.io.File(tbl)) // deterministic version numbers
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      graft.ops.TxLog.commitInitial(s, tbl, base, "day")
+      val updates = base
+        .filter(dayofmonth(col("ts")) <= 5 && col("event_id") % 17 === 0)
+        .withColumn("event_type", lit("corrected"))
+        .withColumn("value", col("value") + 1000.0)
+      graft.ops.TxLog.commitUpsert(s, tbl, updates, "event_id", "day")
+      def face(v: Int): DataFrame =
+        graft.ops.TxLog.readVersion(s, tbl, v)
+          .select(lit(v.toLong).as("version"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("event_type"), round(col("value"), 6).as("value"))
+      face(0).unionByName(face(1))
+    }),
+
+    // Star-schema join — the canonical 100 TB BI shape: one fact-fact
+    // equi-join (lineitem ⋈ orders, key-shuffled) with the customer and
+    // part dimensions BROADCAST (PlanAuditSpec pins exactly two
+    // broadcast joins and zero dim-side shuffles). Totals in integer
+    // cents.
+    "q131_star_join" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .join(Tables.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("c_mktsegment"), col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    // Event-rate anomaly detection — the ops-monitoring query over the
+    // warehouse's own telemetry: per-user daily event counts scored
+    // against that user's mean/σ (population), days above z = 2 flagged.
+    // Two grouped aggs + one user_id join (the stats side is one row per
+    // user — broadcastable at any scale); σ = 0 keys emit no flag (the
+    // explicit NULL guard both engines share).
+    "q132_rate_anomalies" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy(col("user_id"))
+        .agg(avg(col("n")).as("mu"), stddev_pop(col("n")).as("sigma"))
+      daily.join(stats, Seq("user_id"))
+        .withColumn("z",
+          when(col("sigma") === 0, lit(null).cast("double"))
+            .otherwise(round((col("n") - col("mu")) / col("sigma"), 6)))
+        .filter(col("z") > 2.0)
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("z"))
+    }),
+
+    // Equi-width value histogram per event type — the profiling shape
+    // behind every column-stats dashboard: one grouped agg, bins as
+    // integer floor(value / width), mass in integer cents. Map-side
+    // combine keeps the shuffle at (type × bin) granularity.
+    "q133_value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long"))
+            .as("mass_cents"))),
+
+    // Join-key skew profile — the diagnosis a 100 TB join plan starts
+    // from: per-key count distribution (max, exact interpolating
+    // p50/p99, skew ratio max/avg) plus the heaviest key, for the four
+    // standing join keys. One groupBy + one single-row agg per key; the
+    // heaviest key via max_by with a min-key tie-break (deterministic).
+    "q129_skew_profile" -> ((s, dir) => {
+      def prof(df: DataFrame, key: String, entity: String): DataFrame =
+        df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(lit(entity).as("entity"),
+            count(lit(1)).as("n_keys"),
+            max(col("cnt")).as("max_cnt"),
+            round(avg(col("cnt")), 6).as("avg_cnt"),
+            round(percentile(col("cnt"), lit(0.5)), 6).as("p50_cnt"),
+            round(percentile(col("cnt"), lit(0.99)), 6).as("p99_cnt"),
+            round(max(col("cnt")).cast("double") /
+              avg(col("cnt")), 6).as("skew_ratio"),
+            max_by(col("k"), struct(col("cnt"), -col("k")))
+              .cast("long").as("top_key"))
+      prof(Tables.table(s, dir, "lineitem"), "l_orderkey",
+          "lineitem.l_orderkey")
+        .unionByName(prof(Tables.table(s, dir, "lineitem"), "l_partkey",
+          "lineitem.l_partkey"))
+        .unionByName(prof(Tables.table(s, dir, "orders"), "o_custkey",
+          "orders.o_custkey"))
+        .unionByName(prof(Tables.events(s, dir), "user_id",
+          "events.user_id"))
+    }),
+
     // incremental aggregate maintenance — the materialized-view delta
     // update every warehouse pays instead of nightly full recompute:
     // the per-(user, day) rollup is refreshed by recomputing ONLY the
@@ -2404,6 +2716,213 @@ object SparkEntry {
         |  user_id, event_type, round(value, 6) AS value
         |FROM events
         |WHERE user_id % 37 <> 0""".stripMargin,
+
+    "q122_order_pivot" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cents,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cents,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cents,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q123_source_unpivot" ->
+      """WITH w AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+        |    round(avg(n_chars), 6) AS avg_chars,
+        |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+        |  FROM documents GROUP BY 1)
+        |SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+        |UNION ALL SELECT source, 'avg_chars', avg_chars FROM w
+        |UNION ALL SELECT source, 'n_langs', n_langs FROM w"""
+        .stripMargin,
+
+    "q124_event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       WHEN v.t_view IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS depth,
+        |  strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS view_s,
+        |  strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS click_s,
+        |  strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS purchase_s
+        |FROM u
+        |LEFT JOIN v ON v.user_id = u.user_id
+        |LEFT JOIN c ON c.user_id = u.user_id
+        |LEFT JOIN p ON p.user_id = u.user_id""".stripMargin,
+
+    "q125_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.cohort_day, ev.d) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM ev JOIN f ON f.user_id = ev.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the bloom screen is Spark-side physical (a row reducer before the
+    // shuffle); the VALUES the query must preserve are the exact semi
+    // join's rollup
+    "q126_bloom_semijoin" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    // the fragmentation + compaction is Spark-side physical layout; the
+    // VALUES compaction must preserve are every row, unchanged
+    "q127_compaction" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  user_id, event_type, round(value, 6) AS value
+        |FROM events""".stripMargin,
+
+    "q128_quality_audit" ->
+      """WITH e AS (
+        |  SELECT count(*) AS n, count(props) AS n_props,
+        |    count(DISTINCT event_id) AS n_ids,
+        |    sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_nonpos,
+        |    sum(CASE WHEN event_type IN
+        |        ('click','error','purchase','signup','view')
+        |      THEN 0 ELSE 1 END) AS n_baddom
+        |  FROM events),
+        |l AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS n_qty_bad,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS n_disc_bad
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT count(*) AS n_orphans FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |o AS (
+        |  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_ids,
+        |    sum(CASE WHEN o_orderstatus IN ('F','O','P')
+        |      THEN 0 ELSE 1 END) AS n_baddom
+        |  FROM orders)
+        |SELECT 'events' AS entity, 'completeness_props' AS metric,
+        |  round(CAST(n_props AS DOUBLE) / CAST(n AS DOUBLE), 6) AS value
+        |FROM e
+        |UNION ALL SELECT 'events', 'uniqueness_event_id',
+        |  round(CAST(n_ids AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM e
+        |UNION ALL SELECT 'events', 'nonpositive_value_rate',
+        |  round(CAST(n_nonpos AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM e
+        |UNION ALL SELECT 'events', 'domain_violation_rate',
+        |  round(CAST(n_baddom AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM e
+        |UNION ALL SELECT 'lineitem', 'fk_orphan_rate_orderkey',
+        |  round(CAST(orph.n_orphans AS DOUBLE) / CAST(l.n AS DOUBLE), 6)
+        |FROM l, orph
+        |UNION ALL SELECT 'lineitem', 'quantity_range_violation_rate',
+        |  round(CAST(n_qty_bad AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM l
+        |UNION ALL SELECT 'lineitem', 'discount_range_violation_rate',
+        |  round(CAST(n_disc_bad AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM l
+        |UNION ALL SELECT 'orders', 'uniqueness_o_orderkey',
+        |  round(CAST(n_ids AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM o
+        |UNION ALL SELECT 'orders', 'domain_violation_rate',
+        |  round(CAST(n_baddom AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM o"""
+        .stripMargin,
+
+    // both snapshots replayed: v0 = the raw table, v1 = the correction
+    // overlay (no deletes/inserts in this batch — pure in-place upsert)
+    "q130_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, round(value, 6) AS value
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT) AS version, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  CASE WHEN date_part('day', ts) <= 5 AND event_id % 17 = 0
+        |       THEN 'corrected' ELSE event_type END AS event_type,
+        |  CASE WHEN date_part('day', ts) <= 5 AND event_id % 17 = 0
+        |       THEN round(value + 1000, 6) ELSE round(value, 6) END
+        |    AS value
+        |FROM events""".stripMargin,
+
+    "q131_star_join" ->
+      """SELECT c.c_mktsegment, p.p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q132_rate_anomalies" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id, avg(n) AS mu, stddev_pop(n) AS sigma
+        |  FROM daily GROUP BY 1)
+        |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+        |  CASE WHEN st.sigma = 0 THEN NULL
+        |       ELSE round((d.n - st.mu) / st.sigma, 6) END AS z
+        |FROM daily d JOIN st ON st.user_id = d.user_id
+        |WHERE CASE WHEN st.sigma = 0 THEN NULL
+        |           ELSE round((d.n - st.mu) / st.sigma, 6) END > 2.0"""
+        .stripMargin,
+
+    "q133_value_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS mass_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q129_skew_profile" -> {
+      def block(tbl: String, key: String, entity: String): String =
+        s"""SELECT '$entity' AS entity,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+           |  round(avg(cnt), 6) AS avg_cnt,
+           |  round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+           |  round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           |  round(CAST(max(cnt) AS DOUBLE) / avg(cnt), 6) AS skew_ratio,
+           |  CAST((SELECT k FROM (SELECT $key AS k, count(*) AS cnt
+           |          FROM $tbl GROUP BY 1)
+           |        ORDER BY cnt DESC, k ASC LIMIT 1) AS BIGINT)
+           |    AS top_key
+           |FROM (SELECT $key AS k, count(*) AS cnt FROM $tbl GROUP BY 1)
+           |""".stripMargin
+      Seq(block("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+        block("lineitem", "l_partkey", "lineitem.l_partkey"),
+        block("orders", "o_custkey", "orders.o_custkey"),
+        block("events", "user_id", "events.user_id"))
+        .mkString("\nUNION ALL\n")
+    },
 
     "q118_incremental_agg" ->
       """WITH base AS (

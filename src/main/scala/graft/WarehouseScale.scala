@@ -226,6 +226,64 @@ object WarehouseScale {
     assert(merged.getAs[Double]("s") == sumBefore + 1000.0 * nUpd,
       "CoW value total off the closed form")
 
+    // ───── q127 small-file compaction over the post-merge layout ─────
+    // the CoW merge just rewrote its 3 touched days through a shuffle, so
+    // exactly those partitions are now multi-file; a huge target plans 1
+    // file per day and must touch ONLY them, preserving the exact totals
+    val partsBefore = graft.ops.Compact.listPartitions(spark, facts, "day")
+    val fragmented = partsBefore.filter(_._2 > 1).map(_._1).toSet
+    assert(fragmented == weekdaysTouched(base2).map(_.toString).toSet,
+      s"unexpected fragmented partitions: $fragmented")
+    val tK = t0()
+    val plans = graft.ops.Compact.compactPartitions(spark, facts, "day",
+      "event_id", 8L << 30)
+    val compactSec = secs(tK)
+    assert(plans.filter(_.touched).map(_.value).toSet == fragmented)
+    val partsAfter = graft.ops.Compact.listPartitions(spark, facts, "day")
+    assert(partsAfter.forall(_._2 == 1),
+      s"compaction left multi-file partitions: ${partsAfter.filter(_._2 > 1)}")
+    val compacted = spark.read.parquet(facts)
+      .agg(count(lit(1)).as("rows"), sum(col("value")).as("s")).head()
+    assert(compacted.getAs[Long]("rows") == n &&
+      compacted.getAs[Double]("s") == sumBefore + 1000.0 * nUpd,
+      "compaction changed the data")
+
+    // ───── q130 transaction log: commit, upsert, time travel, vacuum ─────
+    val vtbl = root.resolve("vlog").toString
+    val tV = t0()
+    graft.ops.TxLog.commitInitial(spark, vtbl, ev2, "day")
+    graft.ops.TxLog.commitUpsert(spark, vtbl, batch, "event_id", "day")
+    val txCommitSec = secs(tV)
+    val tTr = t0()
+    val v0Sum = graft.ops.TxLog.readVersion(spark, vtbl, 0)
+      .agg(sum(col("value"))).head().getDouble(0)
+    val v1Sum = graft.ops.TxLog.readVersion(spark, vtbl, 1)
+      .agg(sum(col("value"))).head().getDouble(0)
+    val travelSec = secs(tTr)
+    assert(v0Sum == sumBefore, "v0 snapshot disturbed by the v1 commit")
+    assert(v1Sum == sumBefore + 1000.0 * nUpd, "v1 upsert total off")
+    val (vacFiles, vacManifests) = graft.ops.TxLog.vacuum(spark, vtbl, 1)
+    assert(vacManifests == 1 && vacFiles == 3,
+      s"vacuum removed ($vacFiles files, $vacManifests manifests); " +
+        "wanted exactly v0's 3 superseded day files")
+    assert(graft.ops.TxLog.readVersion(spark, vtbl, 1)
+      .agg(sum(col("value"))).head().getDouble(0) ==
+      sumBefore + 1000.0 * nUpd, "v1 unreadable after vacuum")
+
+    // ───── q126 bloom semijoin: 1 % user dim against the 50M fact ─────
+    val dimUsers = spark.range(users / 100).select(
+      (col("id") * 100L).as("u")) // users ≡ 0 (mod 100): 1 % selectivity
+    val wantMatch = (users / 100) * perUser
+    val tB = t0()
+    val screened = graft.ops.BloomJoin.bloomScreen(
+      spark.read.parquet(facts), "user_id", dimUsers, "u").count()
+    val semi = graft.ops.BloomJoin.bloomSemiJoin(
+      spark.read.parquet(facts), "user_id", dimUsers, "u").count()
+    val bloomSec = secs(tB)
+    assert(semi == wantMatch, s"bloom semijoin $semi != $wantMatch")
+    assert(screened >= wantMatch && screened <= wantMatch + n / 100,
+      s"screen kept $screened — outside [$wantMatch, fpp bound]")
+
     println(s"""{"n":$n,"users":$users,""" +
       s""""snapshot_sec":$snapSec,"gapfill_sec":$gfSec,""" +
       s""""gapfill_rows":${gfAgg.getAs[Long]("rows")},""" +
@@ -234,7 +292,11 @@ object WarehouseScale {
       s""""triangle_sec":$triSec,""" +
       s""""fact_write_sec":$writeSec,"dpp_sec":$dppSec,""" +
       s""""dpp_partitions_read":$partsRead,"dpp_partitions_total":$nDays,""" +
-      s""""cow_sec":$cowSec,"cow_updates":$nUpd}""")
+      s""""cow_sec":$cowSec,"cow_updates":$nUpd,""" +
+      s""""compact_sec":$compactSec,""" +
+      s""""txlog_commit_sec":$txCommitSec,"time_travel_sec":$travelSec,""" +
+      s""""vacuumed_files":$vacFiles,""" +
+      s""""bloom_screened":$screened,"bloom_semi_sec":$bloomSec}""")
     spark.stop()
   }
 

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction (the OPTIMIZE job every partitioned lakehouse
+  * table needs periodically): rewrite each over-fragmented partition into
+  * ~⌈bytes/target⌉ files, leave already-compact partitions' files
+  * byte-identical, never change a row.
+  *
+  * Scale shape — ONE distributed job, no per-partition driver loop:
+  *  - the plan (partition → current files/bytes → target file count) is
+  *    a single filesystem listing, bounded by the PARTITION count, not
+  *    the row count;
+  *  - only partitions with more files than their target are read back
+  *    (static IN-list partition pruning — an already-compact partition's
+  *    files are never opened);
+  *  - each row gets a deterministic bin `pmod(md5-28bit(key), nOut)` from
+  *    the broadcast plan, and `repartition(partCol, bin)` lands every
+  *    (partition, bin) in one shuffle task → that task writes one file
+  *    per partition directory it holds. Hash collisions between bins can
+  *    only MERGE bins (fewer, larger files — still compaction), never
+  *    split them, so filesAfter ≤ min(filesBefore, plannedOut) per
+  *    touched partition;
+  *  - the write is dynamic partition overwrite: touched directories are
+  *    staged and swapped, untouched directories never listed.
+  *
+  * The merged frame is localCheckpoint-ed before the write because the
+  * output path is also the pruned input path (same contract as
+  * [[Cow.mergeCow]]); its size is bounded by the touched partitions.
+  *
+  * Reference context: the reference (563-line pandas pipelines) has no
+  * storage layer; this belongs to the warehouse extension surface
+  * (SURVEY §2.12), the maintenance sibling of q111's CoW merge.
+  */
+object Compact {
+
+  /** One partition's audit row: value as it appears in the directory
+    * name, files and bytes before, planned output file count (0 target
+    * means "not touched").
+    */
+  final case class PartPlan(value: String, filesBefore: Int,
+      bytes: Long, plannedOut: Int, touched: Boolean)
+
+  /** List `basePath`'s `partCol=v` leaf directories with their data-file
+    * counts and byte totals (committed files only — `_SUCCESS`, hidden
+    * and staging entries excluded).
+    */
+  def listPartitions(spark: SparkSession, basePath: String,
+      partCol: String): Seq[(String, Int, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(basePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partCol="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        (d.getPath.getName.stripPrefix(s"$partCol="),
+          files.size, files.map(_.getLen).sum)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Compact the partitioned parquet table at `basePath` toward
+    * `targetBytes` per file. `keyCol` drives the deterministic bin
+    * assignment (any stable, well-spread column — the table's id).
+    * Returns the per-partition plan (the compaction audit trail).
+    */
+  def compactPartitions(spark: SparkSession, basePath: String,
+      partCol: String, keyCol: String, targetBytes: Long): Seq[PartPlan] = {
+    val parts = listPartitions(spark, basePath, partCol)
+    val plans = parts.map { case (v, n, bytes) =>
+      val out = math.max(1L,
+        (bytes + targetBytes - 1L) / targetBytes).toInt
+      PartPlan(v, n, bytes, out, n > out)
+    }
+    val touched = plans.filter(_.touched)
+    if (touched.isEmpty) return plans
+    val base = spark.read.parquet(basePath)
+    // partition-directory values are strings; type the IN-list literals
+    // to the inferred partition-column type so pruning stays static
+    val typedVal: String => Any = base.schema(partCol).dataType match {
+      case org.apache.spark.sql.types.IntegerType => _.toInt
+      case org.apache.spark.sql.types.LongType    => _.toLong
+      case _                                      => identity[String]
+    }
+    val pruned = base.filter(
+      col(partCol).isin(touched.map(p => typedVal(p.value)): _*))
+    val planDf = broadcast(spark.createDataFrame(
+      touched.map(p => (typedVal(p.value).toString, p.plannedOut)))
+      .toDF("__pv", "__n_out"))
+    val bin: Column = pmod(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10)
+        .cast("long"),
+      col("__n_out").cast("long"))
+    val binned = pruned
+      .join(planDf, col(partCol).cast("string") === col("__pv"))
+      .withColumn("__bin", bin)
+      .repartition(col(partCol), col("__bin"))
+      .drop("__pv", "__n_out", "__bin")
+      .localCheckpoint()
+    binned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(basePath)
+    plans
+  }
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated transaction log with time travel — the manifest
+  * layer q111's in-place CoW merge lacks: every commit writes NEW data
+  * files and a versioned manifest listing exactly the files that make up
+  * that snapshot, so EVERY past version stays readable forever (until a
+  * retention vacuum) and concurrent readers of v(n) are never disturbed
+  * by the writer of v(n+1). This is the Iceberg/Delta snapshot contract
+  * re-expressed minimally: the table IS its newest manifest; data files
+  * are immutable once written.
+  *
+  * Scale shape:
+  *  - a manifest is one small text file of relative file paths — O(file
+  *    count), read once on the driver like any table metadata;
+  *  - an upsert commit rewrites ONLY the partitions the batch touches
+  *    (same pruned-read + anti-join shape as [[Cow.mergeCow]]), landing
+  *    them as fresh files under `v{n}/` — untouched partitions' files
+  *    are REFERENCED by the new manifest, not copied, so commit cost is
+  *    bounded by the touched partitions, never the table;
+  *  - reading any version is `spark.read.parquet(files: _*)` — an
+  *    ordinary multi-file scan, partition-parallel, no driver work
+  *    beyond the manifest. The partition column travels INSIDE the data
+  *    files (written via a duplicated `__part` directory column), so an
+  *    explicit-file-list read needs no basePath partition inference
+  *    across versions.
+  *
+  * Reference context: the reference has no storage layer; this belongs
+  * to the warehouse extension surface (SURVEY §2.12) — the
+  * version-isolation sibling of q111 (CoW) and q116 (snapshot diff).
+  */
+object TxLog {
+
+  private val PartDir = "__part"
+
+  private def manifestPath(table: String, version: Int) =
+    Paths.get(s"$table/_vlog/v$version.json")
+
+  /** Newest committed version, or -1 for an empty log. */
+  def currentVersion(table: String): Int = {
+    val dir = Paths.get(s"$table/_vlog")
+    if (!Files.isDirectory(dir)) return -1
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Files (relative to `table`) making up `version`'s snapshot. */
+  def filesOf(table: String, version: Int): Seq[String] = {
+    val p = manifestPath(table, version)
+    require(Files.isRegularFile(p), s"no manifest for v$version")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** The `partCol=value` a relative data-file path belongs to. */
+  private def partOf(f: String): Option[String] =
+    f.split('/').find(_.startsWith(s"$PartDir="))
+      .map(_.stripPrefix(s"$PartDir="))
+
+  private def listDataFiles(spark: SparkSession, dir: String,
+      table: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // qualify so both sides carry the same scheme — an unqualified base
+    // URI refuses to relativize a `file:`-schemed listing
+    val base = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(table)).toUri
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += base.relativize(f.getPath.toUri).getPath
+    }
+    out.result().sorted
+  }
+
+  private def writeVersionFiles(spark: SparkSession, table: String,
+      version: Int, df: DataFrame, partCol: String): Seq[String] = {
+    df.withColumn(PartDir, col(partCol).cast("string"))
+      .repartition(col(PartDir))
+      .write.mode("overwrite").partitionBy(PartDir)
+      .parquet(s"$table/v$version")
+    listDataFiles(spark, s"$table/v$version", table)
+  }
+
+  private def writeManifest(table: String, version: Int,
+      files: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(s"$table/_vlog"))
+    Files.write(manifestPath(table, version),
+      files.sorted.mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Commit `df` as version 0 (the initial snapshot). */
+  def commitInitial(spark: SparkSession, table: String, df: DataFrame,
+      partCol: String): Int = {
+    writeManifest(table, 0,
+      writeVersionFiles(spark, table, 0, df, partCol))
+    0
+  }
+
+  /** Commit an upsert of `batch` (REPLACE matching `keyCol` rows within
+    * the touched partitions, append new ones) as the next version.
+    * Untouched partitions' files carry over into the new manifest BY
+    * REFERENCE; only the touched partitions are read back, merged, and
+    * rewritten as fresh `v{n}/` files. Prior versions' data files are
+    * never modified or deleted — `readVersion(cur)` keeps returning the
+    * exact old snapshot after this commit (TxLogSpec pins it).
+    */
+  def commitUpsert(spark: SparkSession, table: String, batch: DataFrame,
+      keyCol: String, partCol: String): Int = {
+    val cur = currentVersion(table)
+    require(cur >= 0, "commitInitial first")
+    val next = cur + 1
+    val touched = batch.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (touchedFiles, keptFiles) = filesOf(table, cur)
+      .partition(f => partOf(f).exists(touched.contains))
+    val dataCols = batch.columns.filterNot(_ == PartDir)
+    val merged =
+      if (touchedFiles.isEmpty) batch.select(dataCols.map(col): _*)
+      else {
+        val base = spark.read
+          .parquet(touchedFiles.map(f => s"$table/$f"): _*)
+          .select(dataCols.map(col): _*)
+        batch.select(dataCols.map(col): _*)
+          .unionByName(base.join(
+            batch.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_anti"))
+      }
+    writeManifest(table, next, keptFiles ++
+      writeVersionFiles(spark, table, next, merged, partCol))
+    next
+  }
+
+  /** Read the table AS OF `version` (time travel). */
+  def readVersion(spark: SparkSession, table: String,
+      version: Int): DataFrame =
+    spark.read
+      .parquet(filesOf(table, version).map(f => s"$table/$f"): _*)
+      .drop(PartDir)
+
+  /** Retention vacuum: keep the newest `retainVersions` snapshots,
+    * delete every older manifest and every data file no kept manifest
+    * references. Kept versions remain byte-for-byte readable (shared
+    * files are reference-counted by the manifest union, never deleted
+    * while referenced — TxLogSpec pins it). Returns
+    * (dataFilesDeleted, manifestsDeleted).
+    */
+  def vacuum(spark: SparkSession, table: String,
+      retainVersions: Int = 1): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the newest version")
+    val cur = currentVersion(table)
+    require(cur >= 0, "empty log")
+    val keepFrom = math.max(0, cur - retainVersions + 1)
+    val referenced = (keepFrom to cur)
+      .flatMap(v => filesOf(table, v)).toSet
+    val all = (0 to cur)
+      .map(v => s"$table/v$v")
+      .filter(d => Files.isDirectory(Paths.get(d)))
+      .flatMap(d => listDataFiles(spark, d, table))
+    val doomed = all.filterNot(referenced.contains)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    doomed.foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$table/$f"), false); ()
+    }
+    val oldManifests = (0 until keepFrom)
+      .filter(v => Files.deleteIfExists(manifestPath(table, v)))
+    (doomed.size, oldManifests.size)
+  }
+}

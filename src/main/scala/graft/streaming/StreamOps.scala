@@ -54,6 +54,32 @@ object StreamOps {
         col("multi_out_degree"), col("total_out_weight"),
         col("mean_out_weight"))
 
+  /** Streaming event-time sessionization — the q41 twin, and the one
+    * windowing shape that is STREAMING-NATIVE in Spark: `session_window`
+    * grows a per-key window while events keep arriving within `gap` of
+    * each other and finalizes it when the watermark passes the session's
+    * close (append mode — a session emits exactly once, merged across
+    * whatever micro-batches its events straddled).
+    *
+    * State is watermark-bounded by construction: only OPEN sessions
+    * (last event within `gap` of the watermark horizon) are retained;
+    * a finalized session's state is dropped on emit. Same face as the
+    * batch q41 (user_id, session_start, n_events, sum_value), with the
+    * batch operator's round(sum, 6) applied here so equality is
+    * byte-for-byte (the round-11 moving-avg advice, honored from the
+    * start).
+    */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop re-deliveries of the same (key) within
     * the watermark horizon — the streaming twin of Dedup.exact. State is
     * BOUNDED: dropDuplicatesWithinWatermark expires each key's entry once

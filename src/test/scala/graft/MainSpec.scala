@@ -224,6 +224,29 @@ class MainSpec extends SparkSpec {
     assert(got(2L) == ((11L, "c", 3.0)))
   }
 
+  test("stream-sessions CLI mode lands watermark-finalized sessions " +
+      "only") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val d = new java.io.File(s"$tmp/in/events"); d.mkdirs()
+    def t(min: Int) =
+      java.time.Instant.ofEpochSecond(1700000000L + min * 60L).toString
+    val w = new java.io.PrintWriter(s"$d/part-0.csv")
+    w.println("user_id,ts,value")
+    // user 1: two sessions (gap 40 min > 30); user 2: one session; the
+    // far-future row advances the watermark so all of those finalize
+    // while ITS OWN session stays open and must not land
+    Seq(s"1,${t(0)},1.0", s"1,${t(10)},2.0", s"1,${t(50)},3.0",
+      s"2,${t(5)},5.0", s"9,${t(5000)},0.0").foreach(w.println)
+    w.close()
+    val n = Main.runStreamSessions(spark, s"$tmp/in", s"$tmp/out",
+      gap = "30 minutes", watermark = "0 seconds")
+    assert(n == 3, s"expected 3 finalized sessions, got $n")
+    val got = spark.read.parquet(s"$tmp/out/stream_sessions")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
+  }
+
   test("stream-interval CLI mode pairs points with covering intervals") {
     val tmp = Files.createTempDirectory("graft-main").toString
     def write(sub: String, header: String, lines: Seq[String]): Unit = {

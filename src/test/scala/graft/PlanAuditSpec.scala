@@ -493,4 +493,63 @@ class PlanAuditSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(wins.size <= 1, s"q98 grew windows: $p")
   }
+
+  test("star join (q131): both dims broadcast, fact join shuffled, " +
+      "never a cartesian") {
+    val p = staticPlan(SparkEntry.queries("q131_star_join")(spark, dir))
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    // the two explicit dim broadcasts must hold; at sf0.001 Spark may
+    // legitimately broadcast the orders side of the fact join too, so
+    // pin ≥ 2 — what matters is no dim ever reaches a shuffle
+    assert(bhj.size >= 2, s"expected ≥2 broadcast dims: $p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    // dim scans pruned to the join key + the grouped column
+    val byTable = scans(p).map(s =>
+      s.relation.location.rootPaths.head.getName ->
+        s.requiredSchema.names.toSet).toMap
+    assert(byTable("customer.parquet") ==
+      Set("c_custkey", "c_mktsegment"))
+    assert(byTable("part.parquet") == Set("p_partkey", "p_brand"))
+  }
+
+  test("pivot (q122) stays Spark's two-stage pivot aggregate over a " +
+      "pruned scan — no per-status passes") {
+    val p = staticPlan(SparkEntry.queries("q122_order_pivot")(spark, dir))
+    // stage 1 shuffles on (month, status); stage 2's pivot-first shuffle
+    // moves only the already-aggregated month×status frame (≤ 3 rows per
+    // month) — never a third pass, never one scan per status value
+    assert(shuffles(p).size <= 2, s"q122 grew shuffles: $p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet ==
+        Set("o_orderdate", "o_orderstatus", "o_totalprice"),
+        s"q122 orders scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+  }
+
+  test("funnel (q124): every stage join is an equi-join on user_id, " +
+      "never a cartesian or nested loop") {
+    val p = staticPlan(SparkEntry.queries("q124_event_funnel")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q124 planned a cartesian: $p")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b
+    }.isEmpty, s"q124 planned a nested-loop join: $p")
+  }
+
+  test("bloom semijoin (q126): the word-table probes are broadcast " +
+      "joins; the fact scan is pruned") {
+    val p = staticPlan(
+      SparkEntry.queries("q126_bloom_semijoin")(spark, dir))
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected k broadcast word probes: $p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    val liScans = scans(p).filter(
+      _.relation.location.rootPaths.head.getName == "lineitem.parquet")
+    liScans.foreach { s =>
+      assert(s.requiredSchema.names.toSet.subsetOf(Set("l_orderkey",
+        "l_shipdate", "l_quantity", "l_extendedprice")),
+        s"q126 lineitem scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+  }
 }

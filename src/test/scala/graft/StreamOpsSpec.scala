@@ -424,4 +424,43 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming sessions equal the batch q41 session_window face") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val rows = mem.toDF.toDF("user_id", "ts", "value")
+    val q = StreamOps.streamingSessions(rows, gap = "30 minutes",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions split by a >30 min gap (the second session
+      // merges events arriving in DIFFERENT micro-batches — the merge is
+      // what session_window's state handles); user 2: one session
+      mem.addData((1L, ts(10), 1.0), (1L, ts(25), 2.0),
+        (2L, ts(15), 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(90), 3.0), (1L, ts(100), 4.0))
+      q.processAllAvailable()
+      // far-future event: advances the watermark so every real session
+      // finalizes (its own session stays open and must NOT emit)
+      mem.addData((9L, ts(2000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = Seq((1L, ts(10), 1.0), (1L, ts(25), 2.0),
+          (2L, ts(15), 5.0), (1L, ts(90), 3.0), (1L, ts(100), 4.0))
+        .toDF("user_id", "ts", "value")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"),
+            "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got === batch)
+      assert(!got.exists(_._1 == 9L), "open session emitted")
+    } finally q.stop()
+  }
 }

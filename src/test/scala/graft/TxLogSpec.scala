@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Transaction log / time travel (ops/TxLog.scala): the snapshot-
+  * isolation guarantees the q130 hash gate cannot fully see — an upsert
+  * commit rewrites only touched partitions as NEW files, carries
+  * untouched files into the new manifest BY REFERENCE (same physical
+  * file, zero copies), and never disturbs a prior version's readability.
+  */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commitUpsert reuses untouched files by reference and keeps " +
+      "every version readable") {
+    val root = Files.createTempDirectory("graft-txlog")
+    val tbl = root.resolve("t").toString
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    assert(graft.ops.TxLog.commitInitial(spark, tbl, base, "part") == 0)
+    val v0Files = graft.ops.TxLog.filesOf(tbl, 0)
+    assert(v0Files.nonEmpty && v0Files.forall(_.startsWith("v0/")))
+
+    // batch touches parts 1 and 2: update ids 3, 14; insert id 99
+    val batch = Seq((3L, 1, 300.0), (14L, 2, 1400.0), (99L, 1, 9900.0))
+      .toDF("id", "part", "v")
+    assert(graft.ops.TxLog.commitUpsert(spark, tbl, batch, "id",
+      "part") == 1)
+    val v1Files = graft.ops.TxLog.filesOf(tbl, 1)
+    // untouched partitions (3, 4): the IDENTICAL v0 paths, by reference
+    val keptV0 = v0Files.filter(f =>
+      f.contains("__part=3") || f.contains("__part=4"))
+    assert(keptV0.nonEmpty)
+    keptV0.foreach(f => assert(v1Files.contains(f),
+      s"untouched file $f not carried into v1 manifest"))
+    // touched partitions: fresh v1/ files only
+    v1Files.filter(f =>
+      f.contains("__part=1") || f.contains("__part=2"))
+      .foreach(f => assert(f.startsWith("v1/"), s"stale touched file $f"))
+
+    // v1 read = the upsert replay
+    val got1 = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select(col("id"), col("part").cast("int").as("part"), col("v"))
+      .as[(Long, Int, Double)].collect().toSet
+    val want1 = (1 to 40).filterNot(i => i == 3 || i == 14)
+      .map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0)).toSet ++
+      Set((3L, 1, 300.0), (14L, 2, 1400.0), (99L, 1, 9900.0))
+    assert(got1 == want1)
+
+    // time travel: v0 STILL reads the original snapshot after v1
+    val got0 = graft.ops.TxLog.readVersion(spark, tbl, 0)
+      .select(col("id"), col("part").cast("int").as("part"), col("v"))
+      .as[(Long, Int, Double)].collect().toSet
+    assert(got0 == base.as[(Long, Int, Double)].collect().toSet)
+
+    // a second upsert stacks: v2 references v0 AND v1 files
+    val batch2 = Seq((21L, 3, 2100.0)).toDF("id", "part", "v")
+    assert(graft.ops.TxLog.commitUpsert(spark, tbl, batch2, "id",
+      "part") == 2)
+    val v2Files = graft.ops.TxLog.filesOf(tbl, 2)
+    assert(v2Files.exists(_.startsWith("v0/")) &&
+      v2Files.exists(_.startsWith("v1/")) &&
+      v2Files.exists(_.startsWith("v2/")))
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .filter(col("id") === 21L).select(col("v")).as[Double]
+      .collect().toSeq == Seq(2100.0))
+    assert(graft.ops.TxLog.currentVersion(tbl) == 2)
+  }
+
+  test("vacuum deletes only files no kept manifest references; kept " +
+      "versions stay readable") {
+    val root = Files.createTempDirectory("graft-txlog3")
+    val tbl = root.resolve("t").toString
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part")
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part")
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((14L, 2, 1400.0)).toDF("id", "part", "v"), "id", "part")
+    // retain v1 and v2: v0's manifest goes; v0's part=1 file (superseded
+    // in v1) goes; v0's part=3/4 files STAY (v1/v2 still reference them)
+    val (nFiles, nManifests) = graft.ops.TxLog.vacuum(spark, tbl, 2)
+    assert(nManifests == 1)
+    assert(nFiles >= 1, "expected at least v0's superseded part=1 file")
+    intercept[IllegalArgumentException] {
+      graft.ops.TxLog.filesOf(tbl, 0)
+    }
+    // kept versions read exactly as before the vacuum
+    val got1 = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got1.contains((3L, 300.0)) && got1.contains((14L, 14.0)))
+    val got2 = graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet
+    assert(got2.contains((3L, 300.0)) && got2.contains((14L, 1400.0)))
+    assert(got2.size == 40)
+    assert(graft.ops.TxLog.currentVersion(tbl) == 2)
+  }
+
+  test("a batch with a brand-new partition commits cleanly") {
+    val root = Files.createTempDirectory("graft-txlog2")
+    val tbl = root.resolve("t").toString
+    val base = Seq((1L, 1, 1.0), (2L, 2, 2.0)).toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part")
+    val batch = Seq((9L, 9, 9.0)).toDF("id", "part", "v")
+    graft.ops.TxLog.commitUpsert(spark, tbl, batch, "id", "part")
+    val got = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select(col("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 9L))
+    // and v0 is untouched
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 0)
+      .count() == 2L)
+    assert(Files.isRegularFile(Paths.get(s"$tbl/_vlog/v1.json")))
+  }
+}
