@@ -42,6 +42,7 @@ object Main {
       |  graft.Main profile  --f <docs.parquet> [--o <outdir>]
       |  graft.Main zorder   --f <table.parquet> --a <colA> --b <colB> [--o <outdir>] [--n <files>]
       |  graft.Main stats    --f <table.parquet> [--c col1,col2,...] [--o <outdir>]
+      |  graft.Main compact  --f <partitioned table dir> --p <partCol> --k <keyCol> [--t <targetBytes>]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -207,6 +208,18 @@ object Main {
           val colsArg = opts.get("--c").map(_.split(",").toSeq)
           val n = runStats(spark, in, colsArg, opt("--o", "results"))
           println(s"stats: $n column profiles -> ${opt("--o", "results")}")
+        case "compact" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val partCol = opts.getOrElse("--p",
+            { System.err.println(usage); sys.exit(2); "" })
+          val keyCol = opts.getOrElse("--k",
+            { System.err.println(usage); sys.exit(2); "" })
+          val target = opt("--t", (128L << 20).toString).toLong
+          val (touched, total, before) =
+            runCompact(spark, in, partCol, keyCol, target)
+          println(s"compact: $touched/$total partitions " +
+            s"compacted ($before files before, target $target B/file)")
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -459,6 +472,16 @@ object Main {
     else spark.read.schema("userId BIGINT, lastTs TIMESTAMP, " +
         "lastEventId BIGINT, lastEventType STRING, lastValue DOUBLE")
       .parquet(s"$out/stream_snapshot").count()
+  }
+
+  /** In-place small-file compaction of a partitioned table (q127's
+    * operator as a CLI). Returns (touched, totalPartitions, filesBefore).
+    */
+  def runCompact(spark: SparkSession, table: String, partCol: String,
+      keyCol: String, targetBytes: Long): (Int, Int, Int) = {
+    val plans = graft.ops.Compact.compactPartitions(spark, table,
+      partCol, keyCol, targetBytes)
+    (plans.count(_.touched), plans.size, plans.map(_.filesBefore).sum)
   }
 
   /** Streaming sessionization over a CSV event directory — q41's twin

@@ -1819,6 +1819,116 @@ object SparkEntry {
           sum(floor(col("value") * 100 + 0.5).cast("long"))
             .as("mass_cents"))),
 
+    // Event-transition matrix — first-order Markov counts over each
+    // user's ordered event sequence (the product-analytics "what happens
+    // after X" table): one partitioned lag window, one (from, to) agg,
+    // probabilities from a 25-row totals join. The window shuffles on
+    // user_id; nothing downstream exceeds |types|² rows.
+    "q134_event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      c.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p"))
+    }),
+
+    // Time-hierarchy ROLLUP — year → month → grand total in ONE scan
+    // through Expand (the hierarchy sibling of q103's cube), levels
+    // tagged by grouping_id. Cents-integer totals.
+    "q135_rollup_hierarchy" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .rollup(col("y"), col("m"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"))
+        .select(col("y"), col("m"), col("gid"), col("n"),
+          col("total_cents"))),
+
+    // Last-touch attribution — each purchase attributed to the user's
+    // most recent PRIOR non-purchase event: one partitioned
+    // ignore-nulls last() window over [-∞, -1). The three attribution
+    // columns pick from the same row by construction (they are null on
+    // exactly the same rows), which keeps the oracle a plain
+    // last_value(... IGNORE NULLS) — no struct comparison across
+    // engines.
+    "q136_last_touch" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val touch = (c: Column) =>
+        last(when(col("event_type") =!= "purchase", c), true).over(w)
+      Tables.events(s, dir)
+        .withColumn("touch_type", touch(col("event_type")))
+        .withColumn("touch_id", touch(col("event_id")))
+        .withColumn("touch_ts",
+          touch(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("purchase_ts"),
+          col("touch_type"), col("touch_id"), col("touch_ts"))
+    }),
+
+    // Write-audit-publish quarantine — the ingest gate that consumes
+    // q128's expectation rules ROW-WISE: a (deterministically planted)
+    // bad batch unions into the feed, every row is routed clean /
+    // quarantined with its failed rules named. Map-only end to end —
+    // the 100 TB ingest shape where the audit rides the write with zero
+    // extra passes.
+    "q137_wap_quarantine" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+      // the corrupted late batch: new ids, one violation class per row
+      val bad = base.filter(col("event_id") % 41 === 0)
+        .select((col("event_id") + 2000000000L).as("event_id"),
+          when(col("event_id") % 3 === 2,
+            col("ts") + expr("INTERVAL 10 YEARS")).otherwise(col("ts"))
+            .as("ts"),
+          when(col("event_id") % 3 === 1, lit("clck"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("event_id") % 3 === 0, -col("value"))
+            .otherwise(col("value")).as("value"))
+      val rules = concat(
+        when(col("value") <= 0, lit("value;")).otherwise(lit("")),
+        when(!col("event_type").isin(
+          "click", "error", "purchase", "signup", "view"),
+          lit("domain;")).otherwise(lit("")),
+        when(col("ts") >= lit("2025-01-01").cast("timestamp"),
+          lit("time;")).otherwise(lit("")))
+      base.unionByName(bad)
+        .withColumn("failed_rules", rules)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_type"), round(col("value"), 6).as("value"),
+          when(col("failed_rules") === "", "clean")
+            .otherwise("quarantine").as("disposition"),
+          col("failed_rules"))
+    }),
+
+    // Deterministic pseudonymization — the GDPR-adjacent sibling of
+    // q121's hard delete and q72's PII scrub: stable md5 surrogate keys
+    // replace user identity so joins still line up across tables while
+    // the raw id never leaves the boundary. Map-only projection.
+    "q138_pseudonymize" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          md5(concat(lit("u|"), col("user_id").cast("string")))
+            .as("user_pseudo"),
+          col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          round(col("value"), 6).as("value"))),
+
     // Join-key skew profile — the diagnosis a 100 TB join plan starts
     // from: per-key count distribution (max, exact interpolating
     // p50/p99, skew ratio max/avg) plus the heaviest key, for the four
@@ -2877,6 +2987,84 @@ object SparkEntry {
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |JOIN part p ON p.p_partkey = l.l_partkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q137_wap_quarantine" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, event_type, value FROM events),
+        |bad AS (
+        |  SELECT event_id + 2000000000 AS event_id,
+        |    CASE WHEN event_id % 3 = 2 THEN ts + INTERVAL 10 YEAR
+        |         ELSE ts END AS ts,
+        |    CASE WHEN event_id % 3 = 1 THEN 'clck'
+        |         ELSE event_type END AS event_type,
+        |    CASE WHEN event_id % 3 = 0 THEN -value
+        |         ELSE value END AS value
+        |  FROM base WHERE event_id % 41 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM bad),
+        |r AS (SELECT *,
+        |  (CASE WHEN value <= 0 THEN 'value;' ELSE '' END ||
+        |   CASE WHEN event_type NOT IN
+        |       ('click','error','purchase','signup','view')
+        |     THEN 'domain;' ELSE '' END ||
+        |   CASE WHEN ts >= TIMESTAMP '2025-01-01'
+        |     THEN 'time;' ELSE '' END) AS failed_rules
+        |  FROM u)
+        |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, round(value, 6) AS value,
+        |  CASE WHEN failed_rules = '' THEN 'clean'
+        |       ELSE 'quarantine' END AS disposition,
+        |  failed_rules
+        |FROM r""".stripMargin,
+
+    "q138_pseudonymize" ->
+      """SELECT event_id,
+        |  md5('u|' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+        |  event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  round(value, 6) AS value
+        |FROM events""".stripMargin,
+
+    "q134_event_transitions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON t.from_type = c.from_type""".stripMargin,
+
+    "q135_rollup_hierarchy" ->
+      """SELECT CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS m,
+        |  CAST(2 * grouping(y) + grouping(m) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM (
+        |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |GROUP BY ROLLUP(y, m)""".stripMargin,
+
+    "q136_last_touch" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  touch_type, touch_id, touch_ts
+        |FROM a WHERE event_type = 'purchase'""".stripMargin,
 
     "q132_rate_anomalies" ->
       """WITH daily AS (

@@ -235,15 +235,16 @@ object StreamBench {
         in => StreamOps.streamingSnapshot(in).toDF,
         mode = "update"))
 
-    // 11. streamingSessions — 1M events over 2k users with hash-jittered
-    //     arrival across a 2.4M-second horizon (~8 events per 30-min gap
-    //     per user → real session merging, not one-event sessions): the
-    //     session-window state merge path, append mode
+    // 11. streamingSessions — 1M events over 2k users hash-jittered
+    //     across a 600k-second horizon (mean per-user gap 20 min vs the
+    //     30-min close ⇒ real multi-event sessions that MERGE across
+    //     micro-batches, not 1M singletons): the session-window state
+    //     merge path, append mode
     val nSess = 1000000L
     val (sessP, sessSch) = writeIn("sess-in",
       spark.range(nSess).select(
         pmod(col("id"), lit(2000L)).as("user_id"),
-        tsOf(col("id"), horizon).as("ts"),
+        tsOf(col("id"), 600000L).as("ts"),
         (pmod(col("id"), lit(1000L))).cast("double").as("value")))
     record("sessions", nSess,
       drain("sess", sessP, sessSch,

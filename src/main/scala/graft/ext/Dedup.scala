@@ -95,13 +95,16 @@ object Dedup {
       bloomParams(hist.count(), fpp))
     def pos(i: Int): Column =
       pmod(col("__h1") + lit(i.toLong) * col("__h2"), lit(m))
-    // word index / bit mask in portable arithmetic: integer division via
-    // subtract-mod (exact in double well past any realistic m), mask via
-    // pow(2, bit) (exact for bit ≤ 31 — the reason for 32-bit slices)
-    def wordOf(p: Column): Column =
-      ((p - pmod(p, lit(32L))) / lit(32.0)).cast("long")
+    // Native shifts on the SPARK side; the DuckDB mirror keeps the
+    // portable subtract-mod / pow(2, bit) arithmetic. The VALUES are
+    // identical (1L << b == pow(2, b) exactly for b ≤ 31 — the reason
+    // for 32-bit slices), so the q84 hash gate sees no difference, and
+    // the per-row pow was the probe's dominant cost at corpus scale
+    // (WarehouseScale measured the same swap 22× on the q126 screen).
+    def wordOf(p: Column): Column = shiftrightunsigned(p, 5)
     def maskOf(p: Column): Column =
-      pow(lit(2.0), pmod(p, lit(32L)).cast("double")).cast("long")
+      org.apache.spark.sql.graft.GraftExprBridge.shiftLeftVar(
+        lit(1L), pmod(p, lit(32L)).cast("int"))
     val words = hist
       .select(explode(array((0 until k).map(pos): _*)).as("p"))
       .groupBy(wordOf(col("p")).as("w"))

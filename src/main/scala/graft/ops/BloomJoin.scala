@@ -38,25 +38,36 @@ object BloomJoin {
     val dimKeys = dim.select(col(dimKey)).distinct()
       .filter(col(dimKey).isNotNull)
     val (m, k) = graft.ext.Dedup.bloomParams(dimKeys.count(), fpp)
-    def h1(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 7), 16, 10).cast("long")
-    def h2(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 8, 7), 16, 10).cast("long")
-    def pos(c: Column, i: Int): Column =
-      pmod(h1(c) + lit(i.toLong) * h2(c), lit(m))
-    def wordOf(p: Column): Column =
-      ((p - pmod(p, lit(32L))) / lit(32.0)).cast("long")
+    // ONE native md5 per row (the q84 Md5HalvesExpr idiom), h1/h2 as
+    // materialized columns — every per-function position is then plain
+    // integer arithmetic. The first draft recomputed the full
+    // hex-substring md5 for every one of the k probes' word AND mask
+    // sides (~6k digests/row); at 50M fact rows that was the whole cost
+    // of the operator (WarehouseScale: 486 s → the md5 was the join).
+    def packedHalves(c: Column): Column =
+      org.apache.spark.sql.graft.GraftExprBridge.md5Halves(c.cast("string"))
+    def withHalves(df: DataFrame, c: Column): DataFrame = {
+      val p = packedHalves(c)
+      df.withColumn("__h1", shiftrightunsigned(p, 28))
+        .withColumn("__h2", p.bitwiseAND(lit((1L << 28) - 1)))
+    }
+    def pos(i: Int): Column =
+      pmod(col("__h1") + lit(i.toLong) * col("__h2"), lit(m))
+    // native shifts, not the pow(2,·)/divide arithmetic q84 uses — that
+    // form exists for DuckDB-mirror parity, which this operator doesn't
+    // need (the oracle checks the exact semi join, not the screen)
+    def wordOf(p: Column): Column = shiftrightunsigned(p, 5)
     def maskOf(p: Column): Column =
-      pow(lit(2.0), pmod(p, lit(32L)).cast("double")).cast("long")
-    val words = dimKeys
-      .select(explode(array((0 until k).map(i =>
-        pos(col(dimKey), i)): _*)).as("p"))
+      org.apache.spark.sql.graft.GraftExprBridge.shiftLeftVar(
+        lit(1L), pmod(p, lit(32L)).cast("int"))
+    val words = withHalves(dimKeys, col(dimKey))
+      .select(explode(array((0 until k).map(pos): _*)).as("p"))
       .groupBy(wordOf(col("p")).as("w"))
       .agg(bit_or(maskOf(col("p"))).as("bits"))
     val bw = broadcast(words)
-    var cur = fact
+    var cur = withHalves(fact, col(factKey))
     val seen = (0 until k).map { i =>
-      val p = pos(col(factKey), i)
+      val p = pos(i)
       cur = cur.join(
         bw.select(col("w").as(s"__w$i"), col("bits").as(s"__bits$i")),
         wordOf(p) === col(s"__w$i"), "left")
@@ -64,7 +75,8 @@ object BloomJoin {
         .bitwiseAND(maskOf(p)) =!= lit(0L)
     }.reduce(_ && _)
     cur.filter(coalesce(seen, lit(false)))
-      .drop((0 until k).flatMap(i => Seq(s"__w$i", s"__bits$i")): _*)
+      .drop(Seq("__h1", "__h2") ++
+        (0 until k).flatMap(i => Seq(s"__w$i", s"__bits$i")): _*)
   }
 
   /** Exact semi join of `fact` against `dim` keys, Bloom-prescreened. */

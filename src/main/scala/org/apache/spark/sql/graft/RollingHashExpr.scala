@@ -78,4 +78,14 @@ object GraftExprBridge {
 
   def md5Ppm(c: Column): Column =
     ExpressionUtils.column(Md5PpmExpr(ExpressionUtils.expression(c)))
+
+  /** Variable-distance shift left (Catalyst ShiftLeft) — the
+    * `functions.shiftleft` API only takes a constant distance; the Bloom
+    * probe's bit masks need `1L << (pos mod 32)` per row.
+    */
+  def shiftLeftVar(base: Column, bits: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        ExpressionUtils.expression(base),
+        ExpressionUtils.expression(bits)))
 }

@@ -247,6 +247,25 @@ class MainSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("compact CLI mode shrinks a fragmented partitioned table in " +
+      "place") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val tbl = s"$tmp/t"
+    (1 to 2000).map(i => (i.toLong, i % 2, i * 1.0))
+      .toDF("id", "part", "v")
+      .repartition(6, col("id"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = graft.ops.Compact.listPartitions(spark, tbl, "part")
+    assert(before.forall(_._2 >= 3))
+    val (touched, total, filesBefore) =
+      Main.runCompact(spark, tbl, "part", "id", 1L << 30)
+    assert(touched == 2 && total == 2 && filesBefore >= 6)
+    val after = graft.ops.Compact.listPartitions(spark, tbl, "part")
+    assert(after.forall(_._2 == 1), s"still fragmented: $after")
+    assert(spark.read.parquet(tbl).count() == 2000L)
+  }
+
   test("stream-interval CLI mode pairs points with covering intervals") {
     val tmp = Files.createTempDirectory("graft-main").toString
     def write(sub: String, header: String, lines: Seq[String]): Unit = {

@@ -537,6 +537,23 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty, s"q124 planned a nested-loop join: $p")
   }
 
+  test("rollup (q135): ONE scan through Expand; transition matrix " +
+      "(q134) and last-touch (q136) keep their windows key-partitioned") {
+    val p5 = staticPlan(
+      SparkEntry.queries("q135_rollup_hierarchy")(spark, dir))
+    assert(scans(p5).size == 1, s"q135 re-scanned: $p5")
+    assert(p5.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.size == 1, s"q135 expected one Expand: $p5")
+    Seq("q134_event_transitions", "q136_last_touch").foreach { q =>
+      val p = staticPlan(SparkEntry.queries(q)(spark, dir))
+      val wins = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$q window lost its key partitioning: $p")
+    }
+  }
+
   test("bloom semijoin (q126): the word-table probes are broadcast " +
       "joins; the fact scan is pruned") {
     val p = staticPlan(
