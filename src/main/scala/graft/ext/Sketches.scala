@@ -368,6 +368,7 @@ object Sketches {
       s" + CAST(('0x' || substr(md5($s), 8, 7)) AS BIGINT)"
     s"""WITH dh AS (
        |  SELECT DISTINCT $groupCol AS g, $h AS h FROM $table
+       |  WHERE ($keyExpr) IS NOT NULL
        |),
        |ranked AS (
        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn

@@ -48,11 +48,11 @@ object BloomJoin {
       org.apache.spark.sql.graft.GraftExprBridge.md5Halves(c.cast("string"))
     def withHalves(df: DataFrame, c: Column): DataFrame = {
       val p = packedHalves(c)
-      df.withColumn("__h1", shiftrightunsigned(p, 28))
-        .withColumn("__h2", p.bitwiseAND(lit((1L << 28) - 1)))
+      df.withColumn("__gbj_h1", shiftrightunsigned(p, 28))
+        .withColumn("__gbj_h2", p.bitwiseAND(lit((1L << 28) - 1)))
     }
     def pos(i: Int): Column =
-      pmod(col("__h1") + lit(i.toLong) * col("__h2"), lit(m))
+      pmod(col("__gbj_h1") + lit(i.toLong) * col("__gbj_h2"), lit(m))
     // native shifts, not the pow(2,·)/divide arithmetic q84 uses — that
     // form exists for DuckDB-mirror parity, which this operator doesn't
     // need (the oracle checks the exact semi join, not the screen)
@@ -69,14 +69,14 @@ object BloomJoin {
     val seen = (0 until k).map { i =>
       val p = pos(i)
       cur = cur.join(
-        bw.select(col("w").as(s"__w$i"), col("bits").as(s"__bits$i")),
-        wordOf(p) === col(s"__w$i"), "left")
-      coalesce(col(s"__bits$i"), lit(0L))
+        bw.select(col("w").as(s"__gbj_w$i"), col("bits").as(s"__gbj_bits$i")),
+        wordOf(p) === col(s"__gbj_w$i"), "left")
+      coalesce(col(s"__gbj_bits$i"), lit(0L))
         .bitwiseAND(maskOf(p)) =!= lit(0L)
     }.reduce(_ && _)
     cur.filter(coalesce(seen, lit(false)))
-      .drop(Seq("__h1", "__h2") ++
-        (0 until k).flatMap(i => Seq(s"__w$i", s"__bits$i")): _*)
+      .drop(Seq("__gbj_h1", "__gbj_h2") ++
+        (0 until k).flatMap(i => Seq(s"__gbj_w$i", s"__gbj_bits$i")): _*)
   }
 
   /** Exact semi join of `fact` against `dim` keys, Bloom-prescreened. */

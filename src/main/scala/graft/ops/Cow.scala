@@ -94,12 +94,20 @@ object Cow {
       .partitionBy(partCol)
       .parquet(basePath)
     // fully-emptied partitions never reach the dynamic overwrite —
-    // drop their directories outright
+    // drop their directories outright. The directory name uses Spark's
+    // own partition-path escaping (a raw string interpolation would
+    // miss 'a b' → 'a%20b' and silently leave the files — resurrecting
+    // every "deleted" row); a missing directory is a loud error, since
+    // the touched list came from data that was just read.
     touched.filterNot(stillThere).foreach { v =>
-      val dir = new org.apache.hadoop.fs.Path(s"$basePath/$partCol=$v")
+      val esc = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/$partCol=$esc")
       val fs = dir.getFileSystem(
         spark.sessionState.newHadoopConf())
-      fs.delete(dir, true); ()
+      if (!fs.delete(dir, true))
+        throw new IllegalStateException(
+          s"deleteCow: emptied partition dir $dir was not deleted")
     }
     touched
   }

@@ -103,8 +103,13 @@ object Layout {
     */
   def bucketStats(df: DataFrame, a: String, b: String, nFiles: Int,
       order: Column*): DataFrame = {
-    val ranked = GraphOps.withPosition(df, "__pos", order: _*)
-    val n = broadcast(df.groupBy().agg(count(lit(1)).as("__n")))
+    // pin the ranked table and take n from its own max position — the
+    // first draft re-scanned `df` with a separate count aggregate, a
+    // second full pass of the source per layout (q112 runs two layouts)
+    val ranked = graft.util.Pins.pin(
+      GraphOps.withPosition(df, "__pos", order: _*))
+    val n = broadcast(ranked.groupBy()
+      .agg((max(col("__pos")) + 1L).as("__n")))
     ranked.crossJoin(n)
       .withColumn("bucket",
         expr(s"CAST((__pos * $nFiles) div __n AS BIGINT)"))

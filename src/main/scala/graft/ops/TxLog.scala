@@ -43,16 +43,21 @@ object TxLog {
   private def manifestPath(table: String, version: Int) =
     Paths.get(s"$table/_vlog/v$version.json")
 
-  /** Newest committed version, or -1 for an empty log. */
-  def currentVersion(table: String): Int = {
+  private def manifestVersions(table: String): Seq[Int] = {
     val dir = Paths.get(s"$table/_vlog")
-    if (!Files.isDirectory(dir)) return -1
-    Files.list(dir).iterator().asScala
+    if (!Files.isDirectory(dir)) return Nil
+    val stream = Files.list(dir) // close it — each call leaks an fd otherwise
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
-      .foldLeft(-1)(math.max)
+      .toSeq
+    finally stream.close()
   }
+
+  /** Newest committed version, or -1 for an empty log. */
+  def currentVersion(table: String): Int =
+    manifestVersions(table).foldLeft(-1)(math.max)
 
   /** Files (relative to `table`) making up `version`'s snapshot. */
   def filesOf(table: String, version: Int): Seq[String] = {
@@ -125,8 +130,13 @@ object TxLog {
     val cur = currentVersion(table)
     require(cur >= 0, "commitInitial first")
     val next = cur + 1
+    // manifest fragments carry Spark's partition-path ESCAPING
+    // ('a b' → 'a%20b'); compare against the escaped batch values, or a
+    // special-char partition would land in keptFiles AND be rewritten —
+    // duplicating every upserted row in the new snapshot
     val touched = batch.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(r.getString(0))).toSet
     val (touchedFiles, keptFiles) = filesOf(table, cur)
       .partition(f => partOf(f).exists(touched.contains))
     val dataCols = batch.columns.filterNot(_ == PartDir)
@@ -165,8 +175,12 @@ object TxLog {
     require(retainVersions >= 1, "must retain at least the newest version")
     val cur = currentVersion(table)
     require(cur >= 0, "empty log")
+    // a version whose manifest an EARLIER vacuum already removed cannot
+    // be retained — clamp to what still exists, or growing the retention
+    // after a tighter vacuum would crash on the missing manifest
+    val existing = manifestVersions(table).toSet
     val keepFrom = math.max(0, cur - retainVersions + 1)
-    val referenced = (keepFrom to cur)
+    val referenced = (keepFrom to cur).filter(existing.contains)
       .flatMap(v => filesOf(table, v)).toSet
     val all = (0 to cur)
       .map(v => s"$table/v$v")

@@ -95,6 +95,27 @@ class CowSpec extends SparkSpec {
     assert(got == (1L to 30L).toSet -- Set(3L, 7L))
   }
 
+  test("deleteCow removes an emptied partition whose value needs " +
+      "path escaping") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow5")
+    val tbl = root.resolve("t").toString
+    // 'a b' is written by Spark as part=a%20b — a raw interpolation of
+    // the value would target a nonexistent dir and silently leave the
+    // files (resurrecting the deleted rows)
+    Seq((1L, "a b", 1.0), (2L, "a b", 2.0), (3L, "plain", 3.0))
+      .toDF("id", "part", "v")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    graft.ops.Cow.deleteCow(spark, tbl, Seq(1L, 2L).toDF("id"), "id",
+      "part")
+    assert(!Files.exists(Paths.get(s"$tbl/part=a%20b")),
+      "escaped emptied partition directory survived")
+    val got = spark.read.parquet(tbl).select(col("id")).as[Long]
+      .collect().toSet
+    assert(got == Set(3L), s"deleted rows resurrected: $got")
+  }
+
   test("deleteCow with no matching keys touches nothing") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cow4")

@@ -99,6 +99,39 @@ class TxLogSpec extends SparkSpec {
     assert(graft.ops.TxLog.currentVersion(tbl) == 2)
   }
 
+  test("commitUpsert handles partition values that need path escaping " +
+      "without duplicating rows") {
+    val root = Files.createTempDirectory("graft-txlog4")
+    val tbl = root.resolve("t").toString
+    // 'a b' lands in the manifest as __part=a%20b; matching against the
+    // UNESCAPED batch value would keep the old file AND write the merge
+    val base = Seq((1L, "a b", 1.0), (2L, "a b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part")
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((1L, "a b", 100.0)).toDF("id", "part", "v"), "id", "part")
+    val got = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSeq
+      .sorted
+    assert(got == Seq((1L, 100.0), (2L, 2.0), (3L, 3.0)),
+      s"duplicated or lost rows: $got")
+  }
+
+  test("vacuum with retention grown past an earlier vacuum clamps to " +
+      "surviving manifests") {
+    val root = Files.createTempDirectory("graft-txlog5")
+    val tbl = root.resolve("t").toString
+    val base = Seq((1L, 1, 1.0), (2L, 2, 2.0)).toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part")
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((1L, 1, 10.0)).toDF("id", "part", "v"), "id", "part")
+    graft.ops.TxLog.vacuum(spark, tbl, 1) // v0's manifest removed
+    // retention grown afterwards: must not crash on the missing v0
+    val (f2, m2) = graft.ops.TxLog.vacuum(spark, tbl, 3)
+    assert(f2 == 0 && m2 == 0)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 1).count() == 2L)
+  }
+
   test("a batch with a brand-new partition commits cleanly") {
     val root = Files.createTempDirectory("graft-txlog2")
     val tbl = root.resolve("t").toString
