@@ -1977,6 +1977,9 @@ object SparkEntry {
             round(sum(col("value")), 6).as("sum_value"))
       val a0 = agg(base)
       // the q111/q116 CDC batch: corrections, backfills, deletes
+      // string-compare day window: equivalent to the siblings'
+      // dayofmonth(ts) <= 5 (q111/q116/q130) on the Jan-2024-only
+      // events fixture; `base` here only carries the derived day string
       val fw = base.filter(col("day") <= lit("2024-01-05"))
       val updates = fw.filter(col("event_id") % 17 === 0)
         .withColumn("value", col("value") + 1000.0)
