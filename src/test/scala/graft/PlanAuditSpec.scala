@@ -554,6 +554,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ingest faces stay map-only: WAP quarantine (q137) and " +
+      "pseudonymization (q138) plan ZERO shuffles") {
+    Seq("q137_wap_quarantine", "q138_pseudonymize").foreach { q =>
+      val p = staticPlan(SparkEntry.queries(q)(spark, dir))
+      assert(shuffles(p).isEmpty, s"$q grew a shuffle: $p")
+    }
+  }
+
+  test("histogram (q133) is one aggregation pair; unpivot (q123) melts " +
+      "through Expand; neither plans a join") {
+    val p3 = staticPlan(
+      SparkEntry.queries("q133_value_histogram")(spark, dir))
+    assert(shuffles(p3).size == 1, s"q133 grew shuffles: $p3")
+    val p2 = staticPlan(
+      SparkEntry.queries("q123_source_unpivot")(spark, dir))
+    assert(p2.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.size == 1, s"q123 expected one Expand: $p2")
+    Seq(p3, p2).foreach { p =>
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+      assert(p.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"unexpected join: $p")
+    }
+  }
+
+  test("anomalies (q132), cohorts (q125), skew profile (q129): " +
+      "equi-joins only, never a cartesian or nested loop") {
+    Seq("q132_rate_anomalies", "q125_retention_cohorts",
+      "q129_skew_profile").foreach { q =>
+      val p = staticPlan(SparkEntry.queries(q)(spark, dir))
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q planned a cartesian: $p")
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"$q planned a nested loop: $p")
+    }
+  }
+
   test("bloom semijoin (q126): the word-table probes are broadcast " +
       "joins; the fact scan is pruned") {
     val p = staticPlan(
