@@ -1536,6 +1536,56 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // mixed CDC changelog apply — the Debezium-shaped batch q111 (merge)
+    // and q121 (delete) don't compose into: ONE batch carries I/U/D op
+    // codes with a per-key sequence, applied last-writer-wins per key in
+    // ONE partition-pruned pass (ops/Cow.applyChangelog; CowSpec pins
+    // the same-key I+U+D case and the emptied-partition edge). The log
+    // plants every interaction: plain updates, update-then-delete
+    // (%221), insert-then-update on a fresh key, and insert-then-delete
+    // netting to nothing. Face = the full post-apply snapshot,
+    // hash-checked against a DuckDB window last-per-key + anti replay.
+    "q139_cdc_changelog_apply" -> ((s, dir) => {
+      val wh = scratch("q139", dir)
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      base.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$wh/events")
+      val fw = base.filter(dayofmonth(col("ts")) <= 5)
+      // D rows carry only the key — day is NULLed so the apply has to
+      // DISCOVER the victim's partition from base (the deleteCow prune)
+      def dRows(pred: Column, key: Column) = fw.filter(pred)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+        .withColumn("event_id", key)
+        .withColumn("day", lit(null).cast("int"))
+      val log = fw.filter(col("event_id") % 23 === 0)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        .withColumn("event_id", col("event_id") + 2000000000L)
+        .withColumn("event_type", lit("ins"))
+        .withColumn("value", lit(2.5))
+        .unionByName(fw.filter(col("event_id") % 46 === 0)
+          .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+          .withColumn("event_id", col("event_id") + 2000000000L)
+          .withColumn("event_type", lit("ins"))
+          .withColumn("value", lit(3.5)))
+        .unionByName(fw.filter(col("event_id") % 17 === 0)
+          .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+          .withColumn("event_type", lit("corrected"))
+          .withColumn("value", col("value") + 1000.0))
+        .unionByName(dRows(col("event_id") % 13 === 0, col("event_id")))
+        .unionByName(dRows(col("event_id") % 69 === 0,
+          col("event_id") + 2000000000L))
+      graft.ops.Cow.applyChangelog(s, s"$wh/events", log,
+        "event_id", "day")
+      s.read.parquet(s"$wh/events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // PIVOT — the analyst's month × status crosstab, compiled by Spark
     // into ONE grouped aggregate over conditional sums (explicit value
     // list ⇒ no extra distinct pass; one shuffle total). Totals in
@@ -2829,6 +2879,47 @@ object SparkEntry {
         |  user_id, event_type, round(value, 6) AS value
         |FROM events
         |WHERE user_id % 37 <> 0""".stripMargin,
+
+    // global replay of the partition-scoped changelog apply: finalize
+    // the log last-writer-wins per key (window), then surviving upserts
+    // ∪ base rows whose key the log never finalized — equal to the
+    // touched-partition rewrite because a key's partition never changes
+    "q139_cdc_changelog_apply" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |fw AS (SELECT * FROM base WHERE date_part('day', ts) <= 5),
+        |log AS (
+        |  SELECT 'I' AS op, 1 AS seq, event_id + 2000000000 AS event_id,
+        |    ts, user_id, 'ins' AS event_type, CAST(2.5 AS DOUBLE) AS value
+        |  FROM fw WHERE event_id % 23 = 0
+        |  UNION ALL
+        |  SELECT 'U', 2, event_id + 2000000000, ts, user_id, 'ins',
+        |    CAST(3.5 AS DOUBLE)
+        |  FROM fw WHERE event_id % 46 = 0
+        |  UNION ALL
+        |  SELECT 'U', 2, event_id, ts, user_id, 'corrected', value + 1000
+        |  FROM fw WHERE event_id % 17 = 0
+        |  UNION ALL
+        |  SELECT 'D', 3, event_id, NULL, NULL, NULL, NULL
+        |  FROM fw WHERE event_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 'D', 3, event_id + 2000000000, NULL, NULL, NULL, NULL
+        |  FROM fw WHERE event_id % 69 = 0),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT l.*, row_number() OVER
+        |      (PARTITION BY event_id ORDER BY seq DESC, op DESC) AS rn
+        |    FROM log l) q WHERE rn = 1),
+        |merged AS (
+        |  SELECT event_id, ts, user_id, event_type, value
+        |  FROM last WHERE op <> 'D'
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE event_id NOT IN (SELECT event_id FROM last))
+        |SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  user_id, event_type, round(value, 6) AS value
+        |FROM merged""".stripMargin,
 
     "q122_order_pivot" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -35,6 +35,12 @@ object BloomJoin {
     */
   def bloomScreen(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, fpp: Double = 0.001): DataFrame = {
+    // the screen stitches __gbj_-prefixed temp columns onto the caller's
+    // fact frame — fail fast rather than silently corrupt the probe if
+    // the input already carries one
+    val clash = (fact.columns ++ dim.columns).filter(_.startsWith("__gbj_"))
+    require(clash.isEmpty,
+      s"input carries reserved __gbj_ columns: ${clash.mkString(",")}")
     val dimKeys = dim.select(col(dimKey)).distinct()
       .filter(col(dimKey).isNotNull)
     val (m, k) = graft.ext.Dedup.bloomParams(dimKeys.count(), fpp)

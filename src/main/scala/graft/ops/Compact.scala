@@ -44,7 +44,10 @@ object Compact {
 
   /** List `basePath`'s `partCol=v` leaf directories with their data-file
     * counts and byte totals (committed files only — `_SUCCESS`, hidden
-    * and staging entries excluded).
+    * and staging entries excluded). Values are returned UNESCAPED (the
+    * directory name carries Spark's partition-path escaping: 'a b' is
+    * stored as 'a%20b'); a null partition appears as the literal
+    * `__HIVE_DEFAULT_PARTITION__` sentinel.
     */
   def listPartitions(spark: SparkSession, basePath: String,
       partCol: String): Seq[(String, Int, Long)] = {
@@ -57,7 +60,8 @@ object Compact {
         val files = fs.listStatus(d.getPath).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
-        (d.getPath.getName.stripPrefix(s"$partCol="),
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.getPath.getName.stripPrefix(s"$partCol=")),
           files.size, files.map(_.getLen).sum)
       }
       .sortBy(_._1)
@@ -70,6 +74,8 @@ object Compact {
     */
   def compactPartitions(spark: SparkSession, basePath: String,
       partCol: String, keyCol: String, targetBytes: Long): Seq[PartPlan] = {
+    val NullPart = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     val parts = listPartitions(spark, basePath, partCol)
     val plans = parts.map { case (v, n, bytes) =>
       val out = math.max(1L,
@@ -79,6 +85,13 @@ object Compact {
     val touched = plans.filter(_.touched)
     if (touched.isEmpty) return plans
     val base = spark.read.parquet(basePath)
+    val clash = base.columns.filter(Set("__pv", "__n_out", "__bin"))
+    require(clash.isEmpty,
+      s"table carries reserved temp columns: ${clash.mkString(",")}")
+    // the null-partition directory (__HIVE_DEFAULT_PARTITION__) can't go
+    // through the typed IN-list — prune it with isNull and join the plan
+    // row via the same sentinel
+    val (nullTouched, valTouched) = touched.partition(_.value == NullPart)
     // partition-directory values are strings; type the IN-list literals
     // to the inferred partition-column type so pruning stays static
     val typedVal: String => Any = base.schema(partCol).dataType match {
@@ -86,17 +99,22 @@ object Compact {
       case org.apache.spark.sql.types.LongType    => _.toLong
       case _                                      => identity[String]
     }
+    val valueMatch =
+      if (valTouched.isEmpty) lit(false)
+      else col(partCol).isin(valTouched.map(p => typedVal(p.value)): _*)
     val pruned = base.filter(
-      col(partCol).isin(touched.map(p => typedVal(p.value)): _*))
+      if (nullTouched.isEmpty) valueMatch
+      else valueMatch || col(partCol).isNull)
     val planDf = broadcast(spark.createDataFrame(
-      touched.map(p => (typedVal(p.value).toString, p.plannedOut)))
+      touched.map(p => (p.value, p.plannedOut)))
       .toDF("__pv", "__n_out"))
     val bin: Column = pmod(
       conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10)
         .cast("long"),
       col("__n_out").cast("long"))
     val binned = pruned
-      .join(planDf, col(partCol).cast("string") === col("__pv"))
+      .join(planDf,
+        coalesce(col(partCol).cast("string"), lit(NullPart)) === col("__pv"))
       .withColumn("__bin", bin)
       .repartition(col(partCol), col("__bin"))
       .drop("__pv", "__n_out", "__bin")

@@ -62,6 +62,82 @@ object Cow {
     touched
   }
 
+  /** Mixed CDC changelog apply — the Debezium-shaped batch the separate
+    * merge/delete ops don't compose into: ONE batch carries inserts,
+    * updates, AND deletes (`opCol` ∈ I/U/D) with a per-key sequence
+    * (`seqCol`), applied last-writer-wins per key in ONE partition-pruned
+    * pass. An I or U whose key exists replaces it (the standard CDC
+    * reconcile), a D removes it, and only the key's NEWEST op counts —
+    * an I+U+D on the same key in one batch nets to the delete.
+    *
+    * Scale shape (everything bounded by the batch, never the table):
+    *  - last-writer-wins is one window over the changelog, partitioned
+    *    by key (batch-sized shuffle);
+    *  - upsert-touched partitions come from the batch rows; delete-
+    *    touched partitions from ONE semi join of base against the
+    *    delete keys (the same prune [[deleteCow]] pays — a D row needs
+    *    no partition value, its location is discovered);
+    *  - the rewrite reads ONLY the touched partitions, anti-joins ALL
+    *    finalized keys once, unions the surviving upserts, and lands via
+    *    dynamic partition overwrite;
+    *  - a partition fully emptied by deletes never reaches the staged
+    *    swap — its directory is removed explicitly (escaped path, the
+    *    [[deleteCow]] pitfall).
+    *
+    * Same batch contract as [[mergeCow]]: a key's partition never
+    * changes between base and batch. Returns the touched partitions.
+    */
+  def applyChangelog(spark: SparkSession, basePath: String,
+      changelog: DataFrame, keyCol: String, partCol: String,
+      opCol: String = "op", seqCol: String = "seq"): Seq[Any] = {
+    require(!changelog.columns.contains("__cl_rn"),
+      "changelog carries the reserved temp column __cl_rn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    // localCheckpoint: the finalized batch feeds three consumers (touched
+    // lists, anti-join keys, upsert rows) — materialize it once
+    val last = changelog
+      .withColumn("__cl_rn", row_number().over(w))
+      .filter(col("__cl_rn") === 1).drop("__cl_rn")
+      .localCheckpoint()
+    val base = spark.read.parquet(basePath)
+    val dataCols = base.columns.toSeq
+    val upserts = last.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+    val delKeys = last.filter(col(opCol) === "D")
+      .select(col(keyCol)).distinct()
+    val touched = upserts.select(col(partCol))
+      .unionByName(base.join(delKeys, Seq(keyCol), "left_semi")
+        .select(col(partCol)))
+      .distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Nil
+    val survivors = base.filter(col(partCol).isin(touched: _*))
+      .join(last.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    val merged = upserts
+      .unionByName(survivors.select(dataCols.map(col): _*))
+      .localCheckpoint()
+    val stillThere = merged.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(basePath)
+    // an upsert-touched partition always has output rows (the upserts
+    // themselves), so a missing one here was emptied purely by deletes —
+    // it existed in base and its directory must go (escaped, loud)
+    touched.filterNot(stillThere).foreach { v =>
+      val esc = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/$partCol=$esc")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.delete(dir, true))
+        throw new IllegalStateException(
+          s"applyChangelog: emptied partition dir $dir was not deleted")
+    }
+    touched
+  }
+
   /** Copy-on-write DELETE — the GDPR/right-to-be-forgotten job: remove
     * every row whose `keyCol` appears in `keys`, rewriting only the
     * partitions that actually hold such rows. Touched list = one

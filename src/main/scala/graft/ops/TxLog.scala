@@ -131,12 +131,18 @@ object TxLog {
     require(cur >= 0, "commitInitial first")
     val next = cur + 1
     // manifest fragments carry Spark's partition-path ESCAPING
-    // ('a b' → 'a%20b'); compare against the escaped batch values, or a
-    // special-char partition would land in keptFiles AND be rewritten —
-    // duplicating every upserted row in the new snapshot
+    // ('a b' → 'a%20b') and render a null partition as the
+    // __HIVE_DEFAULT_PARTITION__ sentinel; compare against those exact
+    // forms, or a special-char (or null) partition would land in
+    // keptFiles AND be rewritten — duplicating every upserted row in the
+    // new snapshot
     val touched = batch.select(col(partCol).cast("string")).distinct()
-      .collect().map(r => org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName(r.getString(0))).toSet
+      .collect().map { r =>
+        val catalog = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils
+        if (r.isNullAt(0)) catalog.DEFAULT_PARTITION_NAME
+        else catalog.escapePathName(r.getString(0))
+      }.toSet
     val (touchedFiles, keptFiles) = filesOf(table, cur)
       .partition(f => partOf(f).exists(touched.contains))
     val dataCols = batch.columns.filterNot(_ == PartDir)

@@ -42,4 +42,14 @@ class BloomJoinSpec extends SparkSpec {
       .as[Option[Long]].collect().toSet
     assert(got === Set(Some(1L)))
   }
+
+  test("inputs already carrying a reserved __gbj_ column fail fast " +
+      "instead of silently corrupting the screen") {
+    val fact = Seq((1L, 0L)).toDF("k", "__gbj_h1")
+    val dim = Seq(1L).toDF("dk")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.BloomJoin.bloomScreen(fact, "k", dim, "dk")
+    }
+    assert(e.getMessage.contains("__gbj_h1"))
+  }
 }

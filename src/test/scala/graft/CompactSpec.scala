@@ -99,4 +99,55 @@ class CompactSpec extends SparkSpec {
     // fidelity
     assert(spark.read.parquet(tbl).count() == 20000L)
   }
+
+  test("compactPartitions handles escaped and null partition values") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact3")
+    val tbl = root.resolve("t").toString
+    // 'a b' is stored as the ESCAPED directory part=a%20b; a null value
+    // lands under the __HIVE_DEFAULT_PARTITION__ sentinel directory —
+    // both must still be pruned, binned, and rewritten correctly
+    val data = (1 to 600).map { i =>
+      val p: String = (i % 3) match {
+        case 0 => "a b"
+        case 1 => null
+        case _ => "plain"
+      }
+      (i.toLong, p, i * 1.0)
+    }
+    val rows = data.toDF("id", "part", "v")
+    rows.repartition(8, col("id"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = graft.ops.Compact.listPartitions(spark, tbl, "part")
+    assert(before.map(_._1).toSet ==
+      Set("a b", "__HIVE_DEFAULT_PARTITION__", "plain"),
+      s"listPartitions must return UNESCAPED values: $before")
+    assert(before.forall(_._2 >= 4))
+    val plans = graft.ops.Compact.compactPartitions(spark, tbl, "part",
+      "id", 1L << 30)
+    assert(plans.forall(p => p.touched && p.plannedOut == 1))
+    val after = graft.ops.Compact.listPartitions(spark, tbl, "part")
+    after.foreach { case (v, n, _) =>
+      assert(n == 1, s"partition '$v' has $n files after compaction")
+    }
+    // row fidelity, null partition included
+    val got = spark.read.parquet(tbl)
+      .select(col("id"), col("part"), col("v"))
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(got == data.map { case (i, p, v) => (i, Option(p), v) }.toSet)
+  }
+
+  test("a table already carrying a reserved temp column fails fast") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact4")
+    val tbl = root.resolve("t").toString
+    (1 to 100).map(i => (i.toLong, 1, i.toLong)).toDF("id", "part", "__bin")
+      .repartition(8, col("id"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Compact.compactPartitions(spark, tbl, "part", "id",
+        1L << 30)
+    }
+    assert(e.getMessage.contains("__bin"))
+  }
 }

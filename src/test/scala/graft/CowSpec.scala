@@ -130,6 +130,75 @@ class CowSpec extends SparkSpec {
     assert(md5OfFiles(Paths.get(tbl)) == before)
   }
 
+  test("applyChangelog applies I/U/D last-writer-wins in one pass, " +
+      "including an I+U+D landing on the SAME key in one batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow5")
+    val tbl = root.resolve("t").toString
+    // 4 partitions × 10 keys
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    base.repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = md5OfFiles(Paths.get(tbl))
+
+    // one Debezium-shaped batch:
+    //  - key 3 (part 1): U             → updated
+    //  - key 14 (part 2): U then D     → deleted (last writer wins)
+    //  - key 99 (part 1): I, U, D      → net delete of a key base never
+    //    had — must be a no-op on base rows
+    //  - key 77 (part 2): I then U     → inserted with the U payload
+    //  - key 25 (part 3): D            → deleted (a D row carries no
+    //    partition value — its location is discovered from base)
+    val log = Seq(
+      ("U", 2L, 3L, Some(1), 300.0),
+      ("U", 1L, 14L, Some(2), 9999.0),
+      ("D", 2L, 14L, None, 0.0),
+      ("I", 1L, 99L, Some(1), 1.0),
+      ("U", 2L, 99L, Some(1), 2.0),
+      ("D", 3L, 99L, None, 0.0),
+      ("I", 1L, 77L, Some(2), 7.0),
+      ("U", 2L, 77L, Some(2), 77.0),
+      ("D", 1L, 25L, None, 0.0)
+    ).toDF("op", "seq", "id", "part", "v")
+    val touched = graft.ops.Cow.applyChangelog(spark, tbl, log,
+      "id", "part", "op", "seq")
+    assert(touched.toSet == Set(1, 2, 3))
+
+    val got = spark.read.parquet(tbl)
+      .select(col("id"), col("part").cast("int").as("part"), col("v"))
+      .as[(Long, Int, Double)].collect().toSet
+    val want = (1 to 40).filterNot(i => i == 3 || i == 14 || i == 25)
+      .map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0)).toSet ++
+      Set((3L, 1, 300.0), (77L, 2, 77.0))
+    assert(got == want)
+
+    // part=4 saw no op — its files must come through byte-identical
+    val b4 = before.filter(_._1.startsWith("part=4"))
+    val a4 = md5OfFiles(Paths.get(tbl)).filter(_._1.startsWith("part=4"))
+    assert(b4 == a4, "untouched partition's files changed")
+  }
+
+  test("applyChangelog removes a partition emptied purely by deletes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow6")
+    val tbl = root.resolve("t").toString
+    Seq((1L, 1, 1.0), (2L, 1, 2.0), (3L, 2, 3.0))
+      .toDF("id", "part", "v")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val log = Seq(("D", 1L, 1L, Option.empty[Int], 0.0),
+      ("D", 1L, 2L, Option.empty[Int], 0.0))
+      .toDF("op", "seq", "id", "part", "v")
+    val touched = graft.ops.Cow.applyChangelog(spark, tbl, log,
+      "id", "part", "op", "seq")
+    assert(touched.toSet == Set(1))
+    assert(!Files.exists(Paths.get(tbl, "part=1")),
+      "emptied partition directory survived — rows would resurrect")
+    assert(spark.read.parquet(tbl).select(col("id")).as[Long]
+      .collect().toSeq == Seq(3L))
+  }
+
   test("mergeCow prunes the base read to the touched partitions") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cow2")

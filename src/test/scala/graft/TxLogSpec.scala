@@ -117,6 +117,29 @@ class TxLogSpec extends SparkSpec {
       s"duplicated or lost rows: $got")
   }
 
+  test("commitUpsert on a null partition value neither duplicates nor " +
+      "loses its rows") {
+    val root = Files.createTempDirectory("graft-txlog6")
+    val tbl = root.resolve("t").toString
+    // a null partition lands under __HIVE_DEFAULT_PARTITION__; matching
+    // the touched set against the string "null" would keep the old file
+    // by reference AND rewrite its rows — duplicating them
+    val base = Seq((1L, Option.empty[String], 1.0), (2L, Some("x"), 2.0),
+      (3L, Option.empty[String], 3.0)).toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part")
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((1L, Option.empty[String], 100.0)).toDF("id", "part", "v"),
+      "id", "part")
+    val got = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSeq
+      .sorted
+    assert(got == Seq((1L, 100.0), (2L, 2.0), (3L, 3.0)),
+      s"duplicated or lost null-partition rows: $got")
+    // the untouched 'x' partition came through by reference
+    assert(graft.ops.TxLog.filesOf(tbl, 1)
+      .exists(f => f.startsWith("v0/") && f.contains("__part=x")))
+  }
+
   test("vacuum with retention grown past an earlier vacuum clamps to " +
       "surviving manifests") {
     val root = Files.createTempDirectory("graft-txlog5")
