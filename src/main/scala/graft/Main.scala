@@ -34,6 +34,7 @@ object Main {
       |  graft.Main stream-interval --f <dir with points/ intervals/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main stream-overlap --f <dir with left/ right/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main stream-snapshot --f <dir with events/> [--o <outdir>]
+      |  graft.Main stream-changelog --f <dir with changelog/> [--o <outdir>]
       |  graft.Main stream-sessions --f <dir with events/> [--o <outdir>] [--g "30 minutes"] [--m "2 hours"]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
@@ -129,6 +130,12 @@ object Main {
           val n = runStreamSnapshot(spark, in, opt("--o", "results"))
           println(s"stream-snapshot: $n upsert changelog rows -> " +
             s"${opt("--o", "results")}/stream_snapshot")
+        case "stream-changelog" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamChangelog(spark, in, opt("--o", "results"))
+          println(s"stream-changelog: $n apply rows -> " +
+            s"${opt("--o", "results")}/stream_changelog")
         case "stream-sessions" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -472,6 +479,41 @@ object Main {
     else spark.read.schema("userId BIGINT, lastTs TIMESTAMP, " +
         "lastEventId BIGINT, lastEventType STRING, lastValue DOUBLE")
       .parquet(s"$out/stream_snapshot").count()
+  }
+
+  /** Streaming CDC changelog apply end-to-end — q139's streaming twin
+    * ([[StreamOps.streamingChangelog]]), user-reachable: an
+    * `in/changelog` CSV directory (op, seq, event_id, ts, user_id,
+    * event_type, value) drained as a file stream, the per-key
+    * upsert/tombstone apply rows appended to parquet via foreachBatch.
+    * The latest row per key IS the apply: U rows carry the payload to
+    * upsert, D rows tombstone the key.
+    */
+  def runStreamChangelog(spark: SparkSession, in: String,
+                         out: String): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val cl = spark.readStream
+      .schema(StructType.fromDDL("op STRING, seq BIGINT, " +
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE"))
+      .option("header", "true").csv(s"$in/changelog")
+    val q = StreamOps.streamingChangelog(cl).toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(s"$out/stream_changelog"); ()
+      }
+      .option("checkpointLocation", s"$out/_changelog_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_changelog"))) 0L
+    else spark.read.schema("eventId BIGINT, op STRING, seq BIGINT, " +
+        "ts TIMESTAMP, userId BIGINT, eventType STRING, value DOUBLE")
+      .parquet(s"$out/stream_changelog").count()
   }
 
   /** In-place small-file compaction of a partitioned table (q127's

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf≈1.0 spot-bench: the ten most expensive bench queries run against a
+  * 10× replication of the sf0.1 tables (dev tool, run manually; results
+  * recorded in README, like the other scale harnesses).
+  *
+  * The driver ships no sf1.0 fixtures, so the harness builds an
+  * sf1.0-shaped one from sf0.1:
+  *  - fact tables (orders, lineitem, events) become `factor` key-shifted
+  *    copies — each id column shifts by copy·(max+1), so key spaces are
+  *    disjoint per copy, joins stay consistent within a copy, the
+  *    transaction graph grows ~10× nodes at constant density, and group
+  *    cardinality scales the way a bigger corpus's would (TPC-H sf
+  *    scaling keeps the date range constant the same way);
+  *  - documents is synthesized fresh at 10× with TextScale's Zipf
+  *    generator (verbatim replication would plant every doc as a 10-way
+  *    duplicate family and blow the LSH pair count quadratically — a
+  *    pathological corpus, not a bigger one);
+  *  - dim tables pass through unchanged (their scaling is irrelevant to
+  *    the ten queries, which never aggregate over dims).
+  *
+  * Purpose (VERDICT r12 #7): catch any super-linear surprise the
+  * fixed-SF gate can't see — each query's sf0.1→sf1.0 wall-clock ratio
+  * prints next to its time; a healthy ratio is ≲ 12× (10× data plus
+  * shuffle/log overhead), and anything beyond says the plan does not
+  * scale linearly in this regime.
+  */
+object SfScale {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = args.drop(1).headOption.getOrElse("/tmp/graft_sfscale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t0() = System.nanoTime()
+    def secs(t: Long) = (System.nanoTime() - t) / 1e9
+
+    val tGen = t0()
+    def shifted(name: String, keys: Seq[String]): Unit = {
+      val t = spark.read.parquet(s"$src/$name.parquet")
+      val shift = keys.map { k =>
+        k -> (t.agg(max(col(k))).head.getAs[Number](0).longValue + 1L)
+      }.toMap
+      (0 until factor).map { i =>
+        keys.foldLeft(t) { (df, k) =>
+          df.withColumn(k, col(k) + lit(i * shift(k)))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/$name.parquet")
+    }
+    shifted("orders", Seq("o_orderkey", "o_custkey"))
+    shifted("lineitem", Seq("l_orderkey", "l_suppkey", "l_partkey"))
+    shifted("events", Seq("event_id", "user_id"))
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach { name =>
+        spark.read.parquet(s"$src/$name.parquet")
+          .write.mode("overwrite").parquet(s"$work/$name.parquet")
+      }
+    // documents: TextScale's deterministic Zipf corpus at factor× size,
+    // in the testdata schema (doc_id, text, lang, source, n_chars)
+    val nDocs = spark.read.parquet(s"$src/documents.parquet").count() * factor
+    def u(a: Column, b: Column, c: Double): Column = {
+      val s = sin(a * 12.9898 + b * 78.233 + c * 37.719) * 43758.5453
+      s - floor(s)
+    }
+    def word(cid: Column, p: Column, salt: Double): Column =
+      concat(lit("w"), floor(pow(lit(50000.0), u(cid, p, salt))).cast("long"))
+    val id = col("id")
+    val len = (lit(50) + floor(u(id, lit(-1.0), 1.0) * 150)).cast("int")
+    spark.range(nDocs).select(id.as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), len - 1),
+          p => word(id, p.cast("double"), 0.0))).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(id, lit(5L))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val genSec = secs(tGen)
+
+    // VERDICT r12's top-10 by quiet-bench cost
+    val names = Seq("q109_triangle_counts", "q45_attention_routing",
+      "q130_time_travel", "q51_mdl_block_costs", "q121_gdpr_delete",
+      "q127_compaction", "q126_bloom_semijoin", "q52_permute_degree",
+      "q23_minhash_pairs", "q110_dpp_prune")
+    val times = names.map { name =>
+      val t = t0()
+      val n = util.Pins.scoped {
+        SparkEntry.queries(name)(spark, work).count()
+      }
+      val dt = secs(t)
+      println(f"[sfscale] $name%-24s $dt%8.1f s  ($n rows)")
+      name -> dt
+    }
+    val qj = times.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"harness":"sfscale","factor":$factor,"gen_sec":$genSec,""" +
+      s""""queries":{$qj},"total_sec":${times.map(_._2).sum}}""")
+    spark.stop()
+  }
+}

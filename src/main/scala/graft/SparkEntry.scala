@@ -2008,6 +2008,27 @@ object SparkEntry {
           "events.user_id"))
     }),
 
+    // skew MITIGATION as a demonstrated plan — q129's cure: 70% of
+    // lineitem collapses onto one planted hub key, and the aggregation
+    // runs as the two-phase salted shape (ops/Skew.scala): exchange 1
+    // distributes each key over 16 salted reducers so no task owns the
+    // hub, exchange 2 merges ≤16 exact integer partials per key —
+    // identical to the direct groupBy for ANY distribution. The JOIN
+    // side of the skew story is pinned in ScaleTechniquesSpec (AQE
+    // OptimizeSkewedJoin splitting a planted hub partition at runtime,
+    // plus the salted-join equivalence) — SURVEY §7.4's J1 hub answer
+    // as executed plans, not scaladoc.
+    "q140_salted_hub_agg" -> ((s, dir) => {
+      val hub = Tables.table(s, dir, "lineitem")
+        .select(
+          when(pmod(col("l_orderkey"), lit(10)) < 7, lit(0L))
+            .otherwise(col("l_partkey")).as("hub_key"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
+            .as("price_cents"))
+      graft.ops.Skew.saltedSumCount(hub, Seq("hub_key"), "price_cents",
+        salts = 16, sumAs = "sum_cents", cntAs = "n_rows")
+    }),
+
     // incremental aggregate maintenance — the materialized-view delta
     // update every warehouse pays instead of nightly full recompute:
     // the per-(user, day) rollup is refreshed by recomputing ONLY the
@@ -2213,6 +2234,44 @@ object SparkEntry {
           sum(col("l_quantity").cast("bigint")).as("sum_qty"),
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"))
             .as("revenue_cents"))
+    }),
+
+    // hierarchical y/m/d layout + MULTI-level pruning — q110's nested
+    // sibling, the production date layout: orders land under
+    // y=…/m=…/d=… and the read prunes across ALL three levels at once
+    // (static y = 1996, static d ≤ 7, and m dynamically via the same
+    // quarter-dim DPP join as q110 — the optimizer cannot statically
+    // invert quarter(mm) = 2 into a month IN-list). PlanAuditSpec pins
+    // the scan's partitions-read RUNTIME metric against the exact
+    // matching (y,m,d) count computed from the data. The write is
+    // bounded to two years to keep leaf-directory count (~700) sane at
+    // test SFs; at 100 TB the same layout prunes harder, not worse.
+    "q141_hier_prune" -> ((s, dir) => {
+      val wh = scratch("q141", dir)
+      Tables.table(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint")
+            .as("total_cents"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"))
+        .repartition(col("y"), col("m"), col("d"))
+        .write.mode("overwrite").partitionBy("y", "m", "d")
+        .parquet(s"$wh/fact")
+      val fact = s.read.parquet(s"$wh/fact")
+      val dim = s.range(1)
+        .select(explode(sequence(to_date(lit("2000-01-01")),
+          to_date(lit("2000-12-01")),
+          expr("interval 1 month"))).as("mm"))
+        .select(month(col("mm")).as("month_num"),
+          quarter(col("mm")).as("qtr"))
+      fact.filter(col("y") === 1996 && col("d") <= 7)
+        .join(dim.filter(col("qtr") === 2),
+          col("m") === col("month_num"))
+        .groupBy(col("y"), col("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total_cents")).as("revenue_cents"))
     }),
 
     // copy-on-write MERGE compaction — q104's write-side sibling: a CDC
@@ -4201,6 +4260,31 @@ object SparkEntry {
         |    AS BIGINT) AS revenue_cents
         |FROM fact f JOIN dim d ON f.ship_month = d.month_key
         |WHERE d.qtr = 2
+        |GROUP BY 1""".stripMargin,
+
+    // pruning never changes semantics: the oracle is the same filter +
+    // quarter-dim join + agg over the flat orders table
+    "q141_hier_prune" ->
+      """WITH dim AS (
+        |  SELECT month(m) AS month_num, quarter(m) AS qtr
+        |  FROM (SELECT unnest(generate_series(DATE '2000-01-01',
+        |          DATE '2000-12-01', INTERVAL 1 MONTH)) AS m))
+        |SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders o JOIN dim d ON month(o.o_orderdate) = d.month_num
+        |WHERE year(o_orderdate) = 1996 AND day(o_orderdate) <= 7
+        |  AND d.qtr = 2
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q140_salted_hub_agg" ->
+      """SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |  ELSE l_partkey END AS hub_key,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
         |GROUP BY 1""".stripMargin,
 
     // global replay of the partition-scoped copy-on-write upsert: batch

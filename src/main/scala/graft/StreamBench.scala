@@ -235,6 +235,26 @@ object StreamBench {
         in => StreamOps.streamingSnapshot(in).toDF,
         mode = "update"))
 
+    // 11b. streamingChangelog — 1M I/U/D records over 50k keys (20
+    //     versions per key; every 7th a delete) in update mode: the
+    //     per-key last-writer-wins apply path, q139's streaming twin
+    val nClog = 1000000L
+    val (clogP, clogSch) = writeIn("clog-in",
+      spark.range(nClog).select(
+        when(pmod(col("id"), lit(7L)) === 0, lit("D"))
+          .when(pmod(col("id"), lit(7L)) === 1, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        (col("id") / 50000L).cast("long").as("seq"),
+        pmod(col("id"), lit(50000L)).as("event_id"),
+        tsOf(col("id"), 3000L).as("ts"),
+        pmod(col("id"), lit(1000L)).as("user_id"),
+        lit("t").as("event_type"),
+        (pmod(col("id"), lit(1000L))).cast("double").as("value")))
+    record("changelog", nClog,
+      drain("clog", clogP, clogSch,
+        in => StreamOps.streamingChangelog(in).toDF,
+        mode = "update"))
+
     // 11. streamingSessions — 1M events over 2k users hash-jittered
     //     across a 600k-second horizon (mean per-user gap 20 min vs the
     //     30-min close ⇒ real multi-event sessions that MERGE across

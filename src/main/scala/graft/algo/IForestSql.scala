@@ -90,6 +90,34 @@ object IForestSql {
   /** Forest fit + score chain over `fl`, ending in
     * `fs(wid, pid, account, x, y, score)` — the exact AaAr.focusScores
     * table. `tagPfx` must equal the Spark side's `"if|" + seed`.
+    *
+    * Replay-cost engineering (round 13 — the driver gate's wall time is
+    * a reliability property, not a nicety; r12's gate died under load):
+    * the fit routes ~17M slot rows and the walk ~17M point rows through
+    * ≤9 levels, so the joins/group-bys ARE the oracle's cost — and
+    * DuckDB 1.0 executes MATERIALIZED-CTE chains near-serially (measured
+    * thread-insensitive), so the number and width of materialized
+    * passes is the whole game (dropping MATERIALIZED is not an option:
+    * the multiply-referenced chain then inlines ~2^levels times —
+    * re-measured this round as parquet-handle exhaustion). Three
+    * structural changes cut the measured sf0.01 replay 3-4× with
+    * bit-equal output (q31 416 s → 114 s, q34 → ~150 s, q45 → ~110 s,
+    * quiet box, fresh connection):
+    *   - (wid, pid, t, p) packs into ONE BIGINT key
+    *     `((wid·128 + pid)·32 + t)·1024 + p` (pid < 128, t < 32, p < 1024
+    *     by construction: 12-feature pairs ⇒ pid ≤ 65, heap position at
+    *     the depth-8 cap ⇒ p ≤ 511) — every per-level hash join and
+    *     group-by keys on one BIGINT instead of four; the md5 tags
+    *     decode the components arithmetically (`k >> 22`, …) so the
+    *     hashed strings are byte-identical to the unpacked form;
+    *   - the walk's two per-level probes (leaf capture + advance) fuse
+    *     into ONE materialized join against a combined node table —
+    *     total because a live position always holds a node: internal
+    *     nodes have both children slot-occupied (the "split empties a
+    *     side ⇒ leaf" rule), and points route by the same comparison;
+    *   - routed frames carry (k, x, y[, account]) only — heap advance is
+    *     `k + (k & 1023) + bit`, group identity is `k >> 15`, so wid/
+    *     pid/t never travel through the hot materializations.
     */
   private def focusCtes(trees: Int, sampleSize: Int, tagPfx: String)
       : String = {
@@ -110,12 +138,13 @@ object IForestSql {
        |    ON a.wid = b.wid AND a.account = b.account AND a.fidx < b.fidx
        |  WHERE a.val <> 0 AND b.val <> 0),
        |fpi AS MATERIALIZED (
-       |  SELECT fp.*, CAST(row_number() OVER
+       |  SELECT fp.wid * 128 + fp.pid AS gk, fp.x, fp.y,
+       |    CAST(row_number() OVER
        |    (PARTITION BY wid, pid ORDER BY account) AS BIGINT) - 1 AS ridx
        |  FROM fp),
        |cpt AS (SELECT $cpLit AS cp),
        |gm AS MATERIALIZED (
-       |  SELECT wid, pid, count(*) AS n,
+       |  SELECT wid * 128 + pid AS gk, wid, pid, count(*) AS n,
        |    CAST(least(count(*), $sampleSize) AS INTEGER) AS psi,
        |    CASE WHEN least(count(*), $sampleSize) <= 2 THEN 1
        |         WHEN least(count(*), $sampleSize) <= 4 THEN 2
@@ -125,103 +154,102 @@ object IForestSql {
        |         WHEN least(count(*), $sampleSize) <= 64 THEN 6
        |         WHEN least(count(*), $sampleSize) <= 128 THEN 7
        |         ELSE 8 END AS maxd
-       |  FROM fp GROUP BY 1, 2),
+       |  FROM fp GROUP BY 1, 2, 3),
        |gm2 AS (SELECT gm.*, cp[psi + 1] AS cpsi FROM gm, cpt),
-       |sl AS (SELECT g.wid, g.pid, CAST(t AS INTEGER) AS t,
+       |sl AS (SELECT g.gk, CAST(t AS INTEGER) AS t,
        |    ${h28(s"'$tagPfx|' || g.wid || '|' || g.pid || '|' || t || '|s|' || j")} % g.n AS ridx
        |  FROM gm2 g, unnest(range(0, $trees)) ut(t),
        |       unnest(range(0, g.psi)) uj(j)),
        |a0 AS MATERIALIZED (
-       |  SELECT s.wid, s.pid, s.t, f.x, f.y, CAST(1 AS BIGINT) AS p
-       |  FROM sl s JOIN fpi f USING (wid, pid, ridx)),
+       |  SELECT (s.gk * 32 + s.t) * 1024 + 1 AS k, f.x, f.y
+       |  FROM sl s JOIN fpi f ON f.gk = s.gk AND f.ridx = s.ridx),
        |""".stripMargin
-    // Unrolled levels 0..7, ONE node table + ONE routing join per level.
-    // Leaf classification is closed-form from the node stats: besides the
-    // size-1 / depth-cap / no-spread rules, the reference implementation's
-    // "a split that empties one side is a leaf" is EXACTLY
-    // `split <= min` (left empty: no x < split) or `split > max` (right
-    // empty: no x >= split — reachable only through fp rounding of
+    // Unrolled levels 0..7, ONE node table per level keyed on the packed
+    // BIGINT k. Leaf classification is closed-form from the node stats:
+    // besides the size-1 / depth-cap / no-spread rules, the reference
+    // implementation's "a split that empties one side is a leaf" is
+    // EXACTLY `split <= min` (left empty: no x < split) or `split > max`
+    // (right empty: no x >= split — reachable only through fp rounding of
     // lo + u·(hi−lo) past hi), so no child-count aggregation or anti join
-    // is needed — this halves the per-level passes over the slot table.
+    // is needed. The leaf's path-length value v is computed inline so the
+    // walk needs no separate leaf table.
     for (d <- 0 to 7) {
       sb ++= s"""nd$d AS MATERIALIZED (
-         |  SELECT wid, pid, t, p, s, dim, split,
-         |    (isleaf OR split <= (CASE WHEN dim = 0 THEN mn0 ELSE mn1 END)
-         |            OR split > (CASE WHEN dim = 0 THEN mx0 ELSE mx1 END))
-         |      AS isleaf
-         |  FROM (SELECT *,
-         |      CASE WHEN isleaf THEN NULL ELSE
-         |        (CASE WHEN dim = 0 THEN mn0 ELSE mn1 END)
-         |        + (CAST(('0x' || substr(hx, 9, 15)) AS BIGINT) % 1000000)
-         |          / 1000000.0
-         |          * ((CASE WHEN dim = 0 THEN mx0 ELSE mx1 END)
-         |             - (CASE WHEN dim = 0 THEN mn0 ELSE mn1 END)) END AS split
+         |  SELECT k, dim, split, isleaf,
+         |    CASE WHEN isleaf
+         |         THEN CAST($d AS BIGINT) * 1000000 + cp[s + 1] END AS v
+         |  FROM (SELECT k, s, dim, split, mn0, mx0, mn1, mx1,
+         |      (isleaf OR split <= (CASE WHEN dim = 0 THEN mn0 ELSE mn1 END)
+         |              OR split > (CASE WHEN dim = 0 THEN mx0 ELSE mx1 END))
+         |        AS isleaf
          |    FROM (SELECT *,
-         |        CASE WHEN isleaf THEN NULL
-         |             WHEN CAST(('0x' || substr(hx, 1, 7)) AS BIGINT) % 2 = 0
-         |               THEN (CASE WHEN mx0 > mn0 THEN 0 ELSE 1 END)
-         |             ELSE (CASE WHEN mx1 > mn1 THEN 1 ELSE 0 END) END AS dim
-         |      FROM (SELECT ns.*, g.maxd,
-         |          (ns.s <= 1 OR $d >= g.maxd
-         |            OR (ns.mn0 = ns.mx0 AND ns.mn1 = ns.mx1)) AS isleaf,
-         |          md5('$tagPfx|' || ns.wid || '|' || ns.pid || '|' ||
-         |              ns.t || '|n|' || ns.p) AS hx
-         |        FROM (SELECT wid, pid, t, p, count(*) AS s,
-         |            min(x) AS mn0, max(x) AS mx0,
-         |            min(y) AS mn1, max(y) AS mx1
-         |          FROM a$d GROUP BY 1, 2, 3, 4) ns
-         |        JOIN gm2 g USING (wid, pid)) q1$d) q2$d) q3$d),
-         |lv$d AS (SELECT wid, pid, t, p,
-         |    CAST($d AS BIGINT) * 1000000 + cp[s + 1] AS v
-         |  FROM nd$d, cpt WHERE isleaf),
-         |il$d AS (SELECT wid, pid, t, p, dim, split FROM nd$d
-         |  WHERE NOT isleaf),
+         |        CASE WHEN isleaf THEN NULL ELSE
+         |          (CASE WHEN dim = 0 THEN mn0 ELSE mn1 END)
+         |          + (CAST(('0x' || substr(hx, 9, 15)) AS BIGINT) % 1000000)
+         |            / 1000000.0
+         |            * ((CASE WHEN dim = 0 THEN mx0 ELSE mx1 END)
+         |               - (CASE WHEN dim = 0 THEN mn0 ELSE mn1 END)) END AS split
+         |      FROM (SELECT *,
+         |          CASE WHEN isleaf THEN NULL
+         |               WHEN CAST(('0x' || substr(hx, 1, 7)) AS BIGINT) % 2 = 0
+         |                 THEN (CASE WHEN mx0 > mn0 THEN 0 ELSE 1 END)
+         |               ELSE (CASE WHEN mx1 > mn1 THEN 1 ELSE 0 END) END AS dim
+         |        FROM (SELECT ns.*, g.maxd,
+         |            (ns.s <= 1 OR $d >= g.maxd
+         |              OR (ns.mn0 = ns.mx0 AND ns.mn1 = ns.mx1)) AS isleaf,
+         |            md5('$tagPfx|' || (ns.k >> 22) || '|' ||
+         |                ((ns.k >> 15) & 127) || '|' ||
+         |                ((ns.k >> 10) & 31) || '|n|' || (ns.k & 1023)) AS hx
+         |          FROM (SELECT k, count(*) AS s,
+         |              min(x) AS mn0, max(x) AS mx0,
+         |              min(y) AS mn1, max(y) AS mx1
+         |            FROM a$d GROUP BY 1) ns
+         |          JOIN gm2 g ON g.gk = (ns.k >> 15)) q1$d) q2$d) q3$d)
+         |    q4$d, cpt),
          |a${d + 1} AS MATERIALIZED (
-         |  SELECT a.wid, a.pid, a.t, a.x, a.y,
-         |    CASE WHEN (CASE WHEN n.dim = 0 THEN a.x ELSE a.y END) < n.split
-         |         THEN 2 * a.p ELSE 2 * a.p + 1 END AS p
-         |  FROM a$d a JOIN nd$d n
-         |    ON n.wid = a.wid AND n.pid = a.pid AND n.t = a.t AND n.p = a.p
+         |  SELECT a.k + (a.k & 1023) +
+         |    (CASE WHEN (CASE WHEN n.dim = 0 THEN a.x ELSE a.y END) < n.split
+         |          THEN 0 ELSE 1 END) AS k, a.x, a.y
+         |  FROM a$d a JOIN nd$d n USING (k)
          |  WHERE NOT n.isleaf),
          |""".stripMargin
     }
     // level 8: the global depth cap — everything still alive is a leaf
-    sb ++= s"""lv8 AS (SELECT a.wid, a.pid, a.t, a.p,
+    sb ++= s"""lv8 AS (SELECT k,
        |    CAST(8 AS BIGINT) * 1000000 + cp[count(*) + 1] AS v
-       |  FROM a8 a, cpt GROUP BY 1, 2, 3, 4, cp),
-       |lvs AS MATERIALIZED (
-       |  ${(0 to 8).map(d => s"SELECT wid, pid, t, p, v FROM lv$d").mkString("\n  UNION ALL ")}),
-       |ils AS MATERIALIZED (
-       |  ${(0 to 7).map(d => s"SELECT wid, pid, t, p, dim, split FROM il$d").mkString("\n  UNION ALL ")}),
-       |wa0 AS (SELECT wid, pid, account, x, y, CAST(t AS INTEGER) AS t,
-       |    CAST(1 AS BIGINT) AS p
+       |  FROM a8, cpt GROUP BY 1, cp),
+       |wa0 AS (SELECT ((fp.wid * 128 + fp.pid) * 32 + t) * 1024 + 1 AS k,
+       |    fp.account, fp.x, fp.y
        |  FROM fp, unnest(range(0, $trees)) ut(t)),
        |""".stripMargin
-    // walk: every (point, tree) pair descends one level per CTE — a row is
-    // either captured by a leaf (ht$d) or advanced by an internal node
-    // (wa${d+1}); both joins are PURE equi joins (a residual `v IS NULL`
-    // on the probe side planned as a nested loop — found the hard way)
-    for (d <- 0 to 8) {
-      sb ++= s"""ht$d AS (SELECT w.wid, w.pid, w.account, w.x, w.y, l.v
-         |  FROM wa$d w JOIN lvs l
-         |    ON l.wid = w.wid AND l.pid = w.pid AND l.t = w.t AND l.p = w.p),
-         |wa${d + 1} AS MATERIALIZED (
-         |  SELECT w.wid, w.pid, w.account, w.x, w.y, w.t,
-         |    CASE WHEN (CASE WHEN n.dim = 0 THEN w.x ELSE w.y END) < n.split
-         |         THEN 2 * w.p ELSE 2 * w.p + 1 END AS p
-         |  FROM wa$d w JOIN ils n
-         |    ON n.wid = w.wid AND n.pid = w.pid AND n.t = w.t AND n.p = w.p),
+    // walk: every (point, tree) pair descends one level per CTE with ONE
+    // equi join per level — the level's node table is total over live
+    // positions (see scaladoc), so the join both captures leaves (ht$d)
+    // and advances internal rows (wa${d+1}) from the same materialized
+    // result. A heap advance is k + (k & 1023) + routing-bit.
+    for (d <- 0 to 7) {
+      sb ++= s"""j$d AS MATERIALIZED (
+         |  SELECT w.k, w.account, w.x, w.y, n.isleaf, n.dim, n.split, n.v
+         |  FROM wa$d w JOIN nd$d n USING (k)),
+         |ht$d AS (SELECT k, account, x, y, v FROM j$d WHERE isleaf),
+         |wa${d + 1} AS (SELECT k + (k & 1023) +
+         |    (CASE WHEN (CASE WHEN dim = 0 THEN x ELSE y END) < split
+         |          THEN 0 ELSE 1 END) AS k, account, x, y
+         |  FROM j$d WHERE NOT isleaf),
          |""".stripMargin
     }
-    sb ++= s"""hts AS (${(0 to 8).map(d => s"SELECT wid, pid, account, x, y, v FROM ht$d").mkString("\n  UNION ALL ")}),
-       |esc AS (SELECT wid, pid, account, x, y, CAST(sum(v) AS BIGINT) AS e
-       |  FROM hts GROUP BY 1, 2, 3, 4, 5),
+    sb ++= s"""ht8 AS (SELECT w.k, w.account, w.x, w.y, l.v
+       |  FROM wa8 w JOIN lv8 l USING (k)),
+       |hts AS (${(0 to 8).map(d => s"SELECT k, account, x, y, v FROM ht$d").mkString("\n  UNION ALL ")}),
+       |esc AS (SELECT k >> 15 AS gk, account, min(x) AS x, min(y) AS y,
+       |    CAST(sum(v) AS BIGINT) AS e
+       |  FROM hts GROUP BY 1, 2),
        |fs AS MATERIALIZED (
-       |  SELECT e.wid, e.pid, e.account, e.x, e.y,
+       |  SELECT g.wid, g.pid, e.account, e.x, e.y,
        |    CASE WHEN g.cpsi = 0 THEN 0.5
        |         ELSE pow(2.0, -CAST(e.e AS DOUBLE)
        |                / ($trees.0 * CAST(g.cpsi AS DOUBLE))) END AS score
-       |  FROM esc e JOIN gm2 g USING (wid, pid))""".stripMargin
+       |  FROM esc e JOIN gm2 g USING (gk))""".stripMargin
     sb.toString
   }
 

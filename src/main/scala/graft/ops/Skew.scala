@@ -28,6 +28,24 @@ object Skew {
     partial.groupBy(k: _*).agg(sum(col("__partial")).as(as))
   }
 
+  /** Salted sum + count per key in ONE two-phase pass (one scan, two
+    * exchanges) — the shape q140 demonstrates: the hub key's rows are
+    * spread over `salts` first-phase reducers, so no single task owns
+    * the hub; the second exchange merges ≤ `salts` exact partial rows
+    * per key. Integer-typed `valueCol` keeps the merge bit-exact.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salts: Int = 16, sumAs: String = "sum",
+                     cntAs: String = "cnt"): DataFrame = {
+    val k = keys.map(col)
+    df.withColumn("__salt", pmod(spark_partition_id() +
+        xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(k :+ col("__salt"): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(k: _*)
+      .agg(sum(col("__psum")).as(sumAs), sum(col("__pcnt")).as(cntAs))
+  }
+
   /** Salted count per key — same two-phase shape. */
   def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16,
                   as: String = "cnt"): DataFrame = {

@@ -655,4 +655,78 @@ object StreamOps {
       width: Int = graft.ext.Sketches.DcmWidth): DataFrame =
     graft.ext.Sketches.dcmGrid(
       graft.ext.Sketches.dcmClamp(values, valueCol), width)
+
+  /** One changelog record (Debezium shape: op ∈ {I,U,D}, a per-key
+    * sequence, the payload; D rows may carry a bare key).
+    */
+  final case class ClogEvent(eventId: Long, op: String, seq: Long,
+      ts: Option[java.sql.Timestamp], userId: Option[Long],
+      eventType: Option[String], value: Option[Double])
+  /** Per-key winner state: the (seq, op)-max record seen so far. */
+  final case class ClogState(seq: Long, op: String, tsMs: Option[Long],
+      userId: Option[Long], eventType: Option[String],
+      value: Option[Double])
+  /** One emitted apply row: `op` is normalized to U (upsert the
+    * payload) or D (tombstone the key).
+    */
+  final case class ClogOut(eventId: Long, op: String, seq: Long,
+      ts: Option[java.sql.Timestamp], userId: Option[Long],
+      eventType: Option[String], value: Option[Double])
+
+  /** Streaming CDC changelog apply — the streaming twin of
+    * [[graft.ops.Cow.applyChangelog]] (q139), completing the
+    * batch/stream pairing for the write-side family: a Debezium-shaped
+    * I/U/D stream reduced last-writer-wins per key, emitted as an
+    * upsert/tombstone changelog. Applying the latest emitted row per
+    * key to a base table gives exactly the batch apply of the
+    * accumulated log (StreamOpsSpec pins it).
+    *
+    * Ordering contract is the batch operator's window verbatim
+    * (`ORDER BY seq DESC, op DESC`): a record replaces the state iff
+    * its (seq, op) is strictly greater lexicographically — a stale
+    * late record (lower seq) neither emits nor disturbs the state,
+    * and a D tombstone REMEMBERS its seq so an older upsert arriving
+    * after it cannot resurrect the key. Records tying on (seq, op)
+    * with different payloads are caller error in both engines (the
+    * batch row_number breaks such ties arbitrarily).
+    *
+    * State is one record per live key plus one tombstone per deleted
+    * key — the compacted changelog itself, the same bound a compacted
+    * topic pays (a production deployment expires tombstones after a
+    * retention horizon; no watermark is used here since arbitrarily
+    * late WINNING records are the point of CDC). Update output mode.
+    */
+  def streamingChangelog(changelog: DataFrame): Dataset[ClogOut] = {
+    val spark = changelog.sparkSession
+    import spark.implicits._
+    changelog
+      .select(col("event_id").as("eventId"), col("op"), col("seq"),
+        col("ts"), col("user_id").as("userId"),
+        col("event_type").as("eventType"),
+        col("value").cast("double").as("value"))
+      .as[ClogEvent]
+      .groupByKey(_.eventId)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, evs: Iterator[ClogEvent],
+         state: GroupState[ClogState]) =>
+          val prev = state.getOption
+          var best = prev
+          evs.foreach { e =>
+            val wins = best.forall(b =>
+              e.seq > b.seq || (e.seq == b.seq && e.op > b.op))
+            if (wins)
+              best = Some(ClogState(e.seq, e.op, e.ts.map(_.getTime),
+                e.userId, e.eventType, e.value))
+          }
+          if (best != prev) {
+            val b = best.get
+            state.update(b)
+            val outOp = if (b.op == "D") "D" else "U"
+            Iterator.single(ClogOut(key, outOp, b.seq,
+              b.tsMs.map(new java.sql.Timestamp(_)), b.userId,
+              b.eventType, b.value))
+          } else Iterator.empty
+      }
+  }
 }

@@ -224,6 +224,33 @@ class MainSpec extends SparkSpec {
     assert(got(2L) == ((11L, "c", 3.0)))
   }
 
+  test("stream-changelog CLI mode lands the I/U/D apply rows; latest " +
+      "row per key is the upsert/tombstone to apply") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    val d = new java.io.File(s"$tmp/in/changelog"); d.mkdirs()
+    def t(min: Int) =
+      java.time.Instant.ofEpochSecond(1700000000L + min * 60L).toString
+    val w = new java.io.PrintWriter(s"$d/part-0.csv")
+    w.println("op,seq,event_id,ts,user_id,event_type,value")
+    // key 1: I then U (U wins); key 2: D; key 3: D then a STALE lower-
+    // seq U that must not resurrect it
+    Seq(s"I,1,1,${t(10)},100,ins,1.0", s"U,2,1,${t(20)},100,upd,2.0",
+      s"D,3,2,,,,", s"D,3,3,,,,", s"U,2,3,${t(30)},300,zombie,9.0")
+      .foreach(w.println)
+    w.close()
+    val n = Main.runStreamChangelog(spark, s"$tmp/in", s"$tmp/out")
+    // one micro-batch: one winner per key → 3 apply rows
+    assert(n == 3, s"expected 3 apply rows, got $n")
+    val got = spark.read.parquet(s"$tmp/out/stream_changelog")
+      .collect().map(r => r.getAs[Long]("eventId") ->
+        (r.getAs[String]("op"), r.getAs[Long]("seq"),
+          Option(r.get(r.fieldIndex("value")))
+            .map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == (("U", 2L, Some(2.0))))
+    assert(got(2L) == (("D", 3L, None)))
+    assert(got(3L) == (("D", 3L, None)))
+  }
+
   test("stream-sessions CLI mode lands watermark-finalized sessions " +
       "only") {
     val tmp = Files.createTempDirectory("graft-main").toString

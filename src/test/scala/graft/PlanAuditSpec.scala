@@ -398,6 +398,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("hierarchical layout (q141): static y/d pruning composes with " +
+      "dynamic m pruning — partitions read == matching (y,m,d) leaves") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q141_hier_prune")(spark, dir)
+      val p = df.queryExecution.executedPlan
+      val factScan = scans(p).filter(_.relation.partitionSchema.nonEmpty)
+      assert(factScan.size == 1, s"expected one partitioned scan: $p")
+      assert(factScan.head.partitionFilters.exists(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+          .expressions.DynamicPruningExpression])),
+        s"no dynamic pruning on the m level: " +
+          s"${factScan.head.partitionFilters}")
+      df.collect()
+      // the exact leaf counts, from the same data the fact was cut from
+      val ymd = model.Tables.table(spark, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"))
+        .distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      val total = ymd.length
+      val expected = ymd.count { case (y, m, d) =>
+        y == 1996 && Seq(4, 5, 6).contains(m) && d <= 7 }
+      val partsRead = factScan.head.metrics("numPartitions").value
+      assert(expected > 0 && expected < total,
+        s"degenerate fixture: $expected of $total")
+      assert(partsRead == expected,
+        s"multi-level pruning read $partsRead of $total leaf " +
+          s"partitions, wanted $expected")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("scd2 (q115) keeps its window partitioned; snapshot diff (q116) " +
       "is an equi full-outer join, never a cartesian") {
     val p5 = staticPlan(

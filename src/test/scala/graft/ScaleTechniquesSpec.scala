@@ -30,9 +30,12 @@ class ScaleTechniquesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sc = Skew.saltedCount(skewed, Seq("key"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ssc = Skew.saltedSumCount(skewed, Seq("key"), "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
     assert(ss.keySet == direct.keySet)
     direct.foreach { case (k, (s, c)) =>
-      assert(ss(k) == s && sc(k) == c)
+      assert(ss(k) == s && sc(k) == c && ssc(k) == ((s, c)))
     }
   }
 
@@ -45,6 +48,70 @@ class ScaleTechniquesSpec extends SparkSpec {
       .groupBy($"key").agg(count(lit(1)).as("n"), min($"name").as("nm"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(salted == direct)
+  }
+
+  test("AQE OptimizeSkewedJoin splits a planted hub partition at " +
+      "runtime — the J1 hub answer as an executed plan") {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, AQEShuffleReadExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 90% of 200k fact rows land on hub key 7; v is hash-valued so
+      // the hub's shuffle blocks can't compress away below threshold
+      val fact = spark.range(200000L).select(
+        when(pmod($"id", lit(100)) < 90, lit(7L))
+          .otherwise(pmod($"id", lit(1000))).as("k"),
+        pmod(xxhash64($"id"), lit(1000000)).as("v"))
+      val dim = spark.range(1000L).select($"id".as("k"),
+        ($"id" % 7).as("w"))
+      val df = fact.join(dim, "k").agg(sum($"v" + $"w").as("s"))
+      val got = df.collect().head.getLong(0)
+      // cross-check the answer against the salted join (both skew cures
+      // agree with each other and with plain arithmetic)
+      val viaSalt = Skew.saltedJoin(fact, dim, Seq("k"))
+        .agg(sum($"v" + $"w")).collect().head.getLong(0)
+      assert(got == viaSalt)
+      val adaptive = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a }
+      assert(adaptive.nonEmpty, "no adaptive root")
+      // collect() does not descend into finished query stages (their
+      // plan is a field, not a child) — flatten through them explicitly
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val fin = flatten(adaptive.head.executedPlan)
+      val skewJoins = fin.collect {
+        case j: SortMergeJoinExec if j.isSkewJoin => j }
+      assert(skewJoins.nonEmpty,
+        s"OptimizeSkewedJoin did not fire:\n${adaptive.head.executedPlan}")
+      // the hub partition was actually SPLIT: the fact-side skew reader
+      // carries more partition specs than the shuffle had partitions
+      val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val readers = fin.collect { case r: AQEShuffleReadExec => r }
+      assert(readers.exists(_.partitionSpecs.size > nShuffle),
+        s"no reader split the hub: " +
+          s"${readers.map(_.partitionSpecs.size)} vs $nShuffle")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _)) }
   }
 
   test("2-hop hub cap bounds pair fan-out on a planted hub") {

@@ -354,6 +354,82 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming changelog apply: latest emit per key applied to a " +
+      "base equals the batch last-writer-wins apply; stale records " +
+      "never emit; a tombstone's seq blocks older resurrections") {
+    implicit val sq = spark.sqlContext
+    // (event_id, op, seq, ts, user_id, event_type, value)
+    val mem = MemoryStream[(Long, String, Long, Option[Timestamp],
+      Option[Long], Option[String], Option[Double])]
+    val rows = mem.toDF.toDF("event_id", "op", "seq", "ts", "user_id",
+      "event_type", "value")
+    val q = StreamOps.streamingChangelog(rows)
+      .writeStream.format("memory").queryName("clog_out")
+      .outputMode("update").start()
+    val b1 = Seq(
+      (1L, "U", 2L, Some(ts(10)), Some(100L), Some("corrected"),
+        Some(1.5)),                                    // update key 1
+      (2L, "I", 1L, Some(ts(11)), Some(200L), Some("ins"), Some(2.5)),
+      (3L, "D", 3L, None, None, None, None))           // delete key 3
+    val b2 = Seq(
+      (2L, "U", 2L, Some(ts(20)), Some(200L), Some("ins"),
+        Some(3.5)),                         // key 2: I then U wins
+      (2L, "I", 1L, Some(ts(11)), Some(200L), Some("stale"),
+        Some(9.9)),                         // replay of the I: no-op
+      (1L, "D", 3L, None, None, None, None), // key 1: now deleted
+      (3L, "U", 2L, Some(ts(22)), Some(300L), Some("zombie"),
+        Some(7.7)))                          // older than 3's D
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.table("clog_out").count() == 3L)
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // batch 2 re-emits keys 1 and 2; the stale I and the zombie U
+      // (both lower (seq, op) than the state) must NOT emit
+      val emits = spark.table("clog_out").collect()
+      assert(emits.length == 5L, s"got ${emits.toSeq}")
+      // apply the latest emit per key to a base; compare with the batch
+      // operator's window (seq DESC, op DESC) over the FULL log
+      val base = Seq(
+        (1L, ts(1), 100L, "orig", 1.0), (3L, ts(3), 300L, "orig", 3.0),
+        (4L, ts(4), 400L, "orig", 4.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val log = (b1 ++ b2).toDF("event_id", "op", "seq", "ts",
+        "user_id", "event_type", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id"))
+        .orderBy(col("seq").desc, col("op").desc)
+      val last = log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val expected = base.join(last, Seq("event_id"), "left_anti")
+        .unionByName(last.filter(col("op") =!= "D")
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getTimestamp(1), r.getLong(2), r.getString(3),
+            r.getDouble(4))).toMap
+      val latest = spark.table("clog_out")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("eventId"))
+            .orderBy(col("seq").desc, col("op").desc)))
+        .filter(col("rn") === 1)
+      val applied = base
+        .join(latest.select(col("eventId").as("event_id")),
+          Seq("event_id"), "left_anti")
+        .unionByName(latest.filter(col("op") =!= "D")
+          .select(col("eventId").as("event_id"), col("ts"),
+            col("userId").as("user_id"),
+            col("eventType").as("event_type"), col("value")))
+        .collect().map(r => r.getLong(0) ->
+          (r.getTimestamp(1), r.getLong(2), r.getString(3),
+            r.getDouble(4))).toMap
+      assert(applied === expected)
+      // keys surviving: 2 (inserted+updated), 4 (untouched); 1, 3 deleted
+      assert(applied.keySet == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming moving average equals the batch RANGE frame on " +
       "in-order input; state prunes to the horizon") {
     implicit val sq = spark.sqlContext

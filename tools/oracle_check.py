@@ -94,15 +94,25 @@ def canon(v):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # optional third arg: write the per-query verdicts in the driver's
+    # CORRECTNESS_r{N}.json format (rows/schema/hash match + row counts)
+    verdict_path = sys.argv[3] if len(sys.argv) > 3 else None
+    verdicts = {}
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
-    con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sfdir}/{t}.parquet')")
+    def connect():
+        """Fresh connection per query: a connection that has replayed many
+        queries measurably degrades (the q34 forest replay ran 2-3× slower
+        on a 70-query-old connection than on a fresh one — round 13), and
+        the heavy oracles are exactly where that hurts."""
+        c = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sfdir}/{t}.parquet')")
+        return c
 
     def error_marker(name):
         """Verify writes <out>/<name>/_ERROR when a query throws — surface
@@ -114,23 +124,41 @@ def main():
             return lines[1] if len(lines) > 1 else "(no message)"
         return None
 
+    import time as _time
     n_pass = n_fail = 0
+    t_total = 0.0
     for name in sorted(oracles):
         sql = oracles[name]
         err = error_marker(name)
+
+        def verdict(rows=False, schema=False, hsh=False, sr=-1, orr=-1,
+                    e=None):
+            verdicts[name] = {
+                "rows_match": rows, "schema_match": schema,
+                "hash_match": hsh, "spark_rows": sr, "oracle_rows": orr,
+                "err": e}
+
         if err is not None:
             print(f"FAIL {name}: query threw: {err}")
+            verdict(e=err)
             n_fail += 1
             continue
         spark_tbl = load_spark(outdir, name)
         if spark_tbl is None:
             print(f"FAIL {name}: no spark output")
+            verdict(e="no spark output")
             n_fail += 1
             continue
         try:
+            con = connect()
+            t0 = _time.time()
             ora = con.execute(sql).fetch_arrow_table()
+            dt = _time.time() - t0
+            t_total += dt
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            verdict(e=f"oracle sql error: {e}")
             n_fail += 1
             continue
         s_names, s_types, s_rows = norm_rows(spark_tbl)
@@ -147,15 +175,20 @@ def main():
             continue
         if s_names != o_names:
             print(f"FAIL {name}: schema {s_names} vs {o_names}")
+            verdict(rows=len(s_rows) == len(o_rows), sr=len(s_rows),
+                    orr=len(o_rows))
             n_fail += 1
             continue
         if s_types != o_types:
             print(f"FAIL {name}: types {list(zip(s_names, s_types))} "
                   f"vs {list(zip(o_names, o_types))}")
+            verdict(rows=len(s_rows) == len(o_rows), sr=len(s_rows),
+                    orr=len(o_rows))
             n_fail += 1
             continue
         if len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rows {len(s_rows)} vs {len(o_rows)}")
+            verdict(schema=True, sr=len(s_rows), orr=len(o_rows))
             n_fail += 1
             continue
         bad = None
@@ -167,9 +200,13 @@ def main():
             print(f"FAIL {name}: first diff row {bad[0]}:")
             print(f"     spark : {bad[1]}")
             print(f"     oracle: {bad[2]}")
+            verdict(rows=True, schema=True, sr=len(s_rows),
+                    orr=len(o_rows))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_rows)} rows, {dt:.1f}s oracle)")
+            verdict(rows=True, schema=True, hsh=True, sr=len(s_rows),
+                    orr=len(o_rows))
             n_pass += 1
 
     # rows-only queries (no oracle): just report counts
@@ -187,7 +224,12 @@ def main():
         status = "ok" if n > 0 else "EMPTY"
         print(f"INFO {name}: rows-only, {n} rows [{status}]")
 
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    if verdict_path:
+        with open(verdict_path, "w") as f:
+            json.dump(verdicts, f, indent=1)
+        print(f"verdicts -> {verdict_path}")
+    print(f"\n{n_pass} pass / {n_fail} fail "
+          f"({t_total:.0f}s total DuckDB replay)")
     sys.exit(1 if n_fail else 0)
 
 
