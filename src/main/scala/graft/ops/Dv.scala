@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors — merge-on-read DELETE (the Delta/Iceberg-v2 row
+  * tombstone, minimally): a delete appends the victim KEYS to a
+  * side-table under `_dv/` and touches ZERO base files; readers apply
+  * the tombstones as an anti join; a purge job folds accumulated
+  * tombstones into a copy-on-write rewrite (reusing [[Cow.deleteCow]]'s
+  * partition-pruned path) when the read-side tax is no longer worth the
+  * deferred write.
+  *
+  * Scale shape — the inverse trade of q121's eager delete:
+  *  - delete cost is O(batch): one appended parquet slab, no base
+  *    partition rewritten (a small GDPR batch against a 100 TB table
+  *    stops costing a partition rewrite per day);
+  *  - read cost is one anti join against the accumulated tombstones
+  *    (broadcast while small — the normal regime between purges);
+  *  - purge restores zero-tax reads and is amortized: it runs when
+  *    tombstones exceed a fraction of the table, rewrites only
+  *    key-bearing partitions, and clears `_dv/`.
+  *
+  * DvSpec pins: a DV delete leaves every base file byte-identical; the
+  * MoR read equals the eager [[Cow.deleteCow]] result; purge folds the
+  * tombstones (zero DV rows after) and the post-purge plain read equals
+  * the pre-purge MoR read.
+  */
+object Dv {
+
+  private def dvPath(basePath: String) = s"$basePath/_dv"
+
+  /** Append `keys` to the table's deletion-vector side-table. O(batch):
+    * no base file is opened, let alone rewritten.
+    */
+  def delete(spark: SparkSession, basePath: String, keys: DataFrame,
+      keyCol: String): Unit = {
+    keys.select(col(keyCol)).distinct()
+      .write.mode("append").parquet(dvPath(basePath))
+  }
+
+  /** Merge-on-read snapshot: the base scan minus tombstoned keys.
+    * `_dv/` is read only if it exists (a table with no deletes pays
+    * nothing). The anti join broadcasts while the DV is small — the
+    * designed regime; past the purge threshold it should be folded.
+    */
+  def read(spark: SparkSession, basePath: String,
+      keyCol: String): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    val dvDir = new org.apache.hadoop.fs.Path(dvPath(basePath))
+    val fs = dvDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dvDir)) base
+    else {
+      val dv = spark.read.parquet(dvPath(basePath))
+        .select(col(keyCol).as("__dv_key"))
+      base.join(broadcast(dv), base(keyCol) === dv("__dv_key"),
+        "left_anti")
+    }
+  }
+
+  /** Tombstone count vs base count — the purge trigger's inputs. */
+  def stats(spark: SparkSession, basePath: String,
+      keyCol: String): (Long, Long) = {
+    val dvDir = new org.apache.hadoop.fs.Path(dvPath(basePath))
+    val fs = dvDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val nDv = if (!fs.exists(dvDir)) 0L
+      else spark.read.parquet(dvPath(basePath)).count()
+    (nDv, spark.read.parquet(basePath).count())
+  }
+
+  /** Fold the accumulated tombstones into the base copy-on-write
+    * (partition-pruned, [[Cow.deleteCow]]) and clear `_dv/`. Returns
+    * the touched partition values (empty when there was nothing to
+    * fold). After purge, a plain read equals the prior MoR read.
+    */
+  def purge(spark: SparkSession, basePath: String, keyCol: String,
+      partCol: String): Seq[Any] = {
+    val dvDir = new org.apache.hadoop.fs.Path(dvPath(basePath))
+    val fs = dvDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dvDir)) return Nil
+    // materialize the keys BEFORE touching base files: deleteCow prunes
+    // with a read over basePath, and _dv/ lives underneath it — the
+    // checkpoint severs that self-read (and recursive parquet discovery
+    // never sees _dv anyway: underscore paths are hidden from listing)
+    val keys = spark.read.parquet(dvPath(basePath)).localCheckpoint()
+    val touched = Cow.deleteCow(spark, basePath, keys, keyCol, partCol)
+    if (!fs.delete(dvDir, true))
+      throw new IllegalStateException(s"purge: $dvDir not deleted")
+    touched
+  }
+}

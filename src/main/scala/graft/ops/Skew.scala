@@ -4,10 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation utilities. AQE's skew-join handles the join case at
-  * runtime; for AGGREGATIONS over power-law keys (hub accounts — exactly
-  * the smurf shape), pre-splitting a hot key across `salts` reducers
-  * needs to be explicit: one shuffle sees (key, salt) so no single task
-  * owns a hub, the second shuffle merges `salts` partial rows per key.
+  * runtime (ScaleTechniquesSpec pins OptimizeSkewedJoin actually firing
+  * on a planted hub); for AGGREGATIONS the honest scope note: Spark's
+  * hash aggregate already does map-side partial aggregation, so for
+  * algebraic aggs (sum/count/min/max) a hub key reaches its reducer as
+  * ≤ #map-tasks partial rows and salting is belt-and-braces. The salted
+  * two-phase shape below is the one that MATTERS when partial
+  * aggregation is unavailable — a non-combinable aggregate buffer
+  * (collect_list/exact-median-style), an RDD-path reduce, or a first
+  * shuffle reused by a downstream per-(key,salt) stage — and q140 keeps
+  * the shape hash-green so it is a verified building block, not a
+  * sketch: one shuffle sees (key, salt) so no single task owns a hub,
+  * the second merges `salts` exact partials per key.
   */
 object Skew {
 

@@ -73,4 +73,36 @@ object TimeSeries {
       count(lit(1)).over(w).as("n_frame"),
       round(avg(col(valueCol)).over(w), 6).as("avg_1h"))
   }
+
+  /** CDC changelog EXTRACTION — q139's inverse, the change-data-feed
+    * export every lakehouse offers: given two snapshots of a keyed
+    * table, emit the MINIMAL I/U/D changelog that turns v0 into v1
+    * (I = key only in v1, D = key only in v0, U = key in both with any
+    * payload column differing — null-safe compare, so NULL→value and
+    * value→NULL both register). One full-outer key join, nothing else;
+    * at 100 TB both sides shuffle once on the key (or co-locate via
+    * bucketing) and unchanged rows — the overwhelming majority of a
+    * real feed — are filtered before anything downstream sees them.
+    * D rows carry the key with NULL payload (the q139 shape, so
+    * extract ∘ apply round-trips — TimeSeriesSpec pins
+    * `applyChangelog(v0, cdcExtract(v0, v1)) == v1`).
+    */
+  def cdcExtract(v0: DataFrame, v1: DataFrame, keyCol: String,
+      payload: Seq[String]): DataFrame = {
+    val a = payload.foldLeft(v0.select(col(keyCol) +: payload.map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"__a_$c") }
+      .withColumn("__in_a", lit(true))
+    val b = v1.select(col(keyCol) +: payload.map(col): _*)
+      .withColumn("__in_b", lit(true))
+    val changed = payload.map(c => !(col(s"__a_$c") <=> col(c)))
+      .reduce(_ || _)
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__in_a").isNull, lit("I"))
+          .when(col("__in_b").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: col(keyCol) +:
+        payload.map(c => when(col("op") =!= "D", col(c)).as(c)): _*)
+  }
 }

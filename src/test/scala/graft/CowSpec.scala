@@ -199,6 +199,42 @@ class CowSpec extends SparkSpec {
       .collect().toSeq == Seq(3L))
   }
 
+  test("extract ∘ apply round-trips: applyChangelog(v0, cdcExtract" +
+      "(v0, v1)) == v1") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdc-rt")
+    val tbl = root.resolve("t").toString
+    val v0 = (1 to 30).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    v0.repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    // v1: delete ids % 7 == 0, update ids % 5 == 0, insert 100..102
+    val v1 = v0.filter(col("id") % 7 =!= 0)
+      .withColumn("v", when(col("id") % 5 === 0, col("v") + 1000.0)
+        .otherwise(col("v")))
+      .unionByName(Seq((100L, 1, 1.5), (101L, 2, 2.5), (102L, 9, 3.5))
+        .toDF("id", "part", "v")) // part 9: an insert creates a NEW dir
+    val feed = graft.ops.TimeSeries.cdcExtract(v0, v1, "id",
+      Seq("part", "v"))
+    // the extracted feed is MINIMAL: unchanged keys never appear
+    val ops = feed.groupBy(col("op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops("D") == 4L && ops("I") == 3L,
+      s"unexpected feed shape $ops") // 7,14,21,28 deleted; 3 inserts
+    assert(!feed.filter(col("op") === "U")
+      .join(v0.withColumnRenamed("v", "v0"), Seq("id"))
+      .filter(col("v") === col("v0")).limit(1).collect().nonEmpty,
+      "a no-op row leaked into the feed")
+    graft.ops.Cow.applyChangelog(spark, tbl,
+      feed.withColumn("seq", lit(1L)), "id", "part", "op", "seq")
+    val got = spark.read.parquet(tbl).select("id", "part", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSet
+    val want = v1.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want, "round trip diverged")
+  }
+
   test("mergeCow prunes the base read to the touched partitions") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cow2")

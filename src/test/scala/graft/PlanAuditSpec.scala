@@ -398,6 +398,30 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("cdc extract (q142): ONE full-outer key join, never a nested " +
+      "loop — unchanged keys die in the post-join filter") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+    val p = staticPlan(SparkEntry.queries("q142_cdc_extract")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q142 planned a cartesian: $p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"q142 planned a nested loop: $p")
+    val fo = p.collect {
+      case j: SortMergeJoinExec if j.joinType.toString == "FullOuter" => j }
+    assert(fo.size == 1, s"wanted exactly one full-outer join: $p")
+  }
+
+  test("deletion vectors (q143): the MoR read applies tombstones as " +
+      "ONE broadcast anti join") {
+    val p = staticPlan(
+      SparkEntry.queries("q143_deletion_vectors")(spark, dir))
+    val anti = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j }
+    assert(anti.size == 1, s"wanted one broadcast anti join: $p")
+  }
+
   test("hierarchical layout (q141): static y/d pruning composes with " +
       "dynamic m pruning — partitions read == matching (y,m,d) leaves") {
     import org.apache.spark.sql.functions._
