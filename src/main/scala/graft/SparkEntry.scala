@@ -1645,6 +1645,68 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // schema-EVOLVING copy-on-write merge — q111 meets q120: the batch
+    // arrives with a column the table has never seen
+    // (correction_reason); touched partitions rewrite with the union
+    // schema, untouched partitions keep their old files AND old schema
+    // byte-identical (CowSpec), and the mergeSchema read NULL-backfills
+    // every pre-evolution row — the additive evolution every long-lived
+    // 100 TB table hits, without rewriting history.
+    "q144_schema_merge" -> ((s, dir) => {
+      val wh = scratch("q144", dir)
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      base.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$wh/events")
+      val batch = base.filter(dayofmonth(col("ts")) <= 5)
+        .filter(col("event_id") % 17 === 0)
+        .withColumn("event_type", lit("corrected"))
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("correction_reason",
+          concat(lit("rule-"), col("event_id") % 7))
+      graft.ops.Cow.mergeCowEvolve(s, s"$wh/events", batch,
+        "event_id", "day")
+      s.read.option("mergeSchema", "true").parquet(s"$wh/events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          col("correction_reason"))
+    }),
+
+    // incremental JOIN-view maintenance — q118's join sibling: the
+    // materialized order-enrichment view (orders ⋈ customer) is
+    // refreshed from a CDC batch by touching ONLY the affected keys —
+    // MV' = (MV ⟕anti batch keys) ∪ (batch ⋈ customer) — instead of
+    // re-joining the whole fact. At 100 TB the anti join is
+    // partition-prunable by the same CDC layout as q111 and the batch
+    // side broadcasts; the oracle hash-checks the maintenance IDENTITY:
+    // the incremental result must equal the full recompute of the
+    // merged fact against the dim.
+    "q145_incremental_join" -> ((s, dir) => {
+      val orders = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint")
+            .as("total_cents"))
+      val cust = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      def enrich(o: DataFrame): DataFrame =
+        o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("c_mktsegment"), col("total_cents"))
+      val mv = enrich(orders) // the standing materialized view
+      val batch = orders.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("total_cents", col("total_cents") + 999L)
+        .unionByName(orders.filter(col("o_orderkey") % 23 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 5000000000L))
+      // the refresh: only batch keys leave/enter the view
+      mv.join(batch.select(col("o_orderkey")).distinct(),
+          Seq("o_orderkey"), "left_anti")
+        .unionByName(enrich(batch))
+    }),
+
     // PIVOT — the analyst's month × status crosstab, compiled by Spark
     // into ONE grouped aggregate over conditional sums (explicit value
     // list ⇒ no extra distinct pass; one shuffle total). Totals in
@@ -3087,6 +3149,57 @@ object SparkEntry {
         |  user_id, event_type, round(value, 6) AS value
         |FROM events
         |WHERE event_id % 13 <> 0 AND event_id % 29 <> 0""".stripMargin,
+
+    // evolution never rewrites history: batch rows carry the new
+    // column, every other row NULL-backfills it
+    "q144_schema_merge" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |batch AS (
+        |  SELECT event_id, ts, user_id, 'corrected' AS event_type,
+        |    value + 1000 AS value,
+        |    'rule-' || (event_id % 7) AS correction_reason
+        |  FROM base
+        |  WHERE date_part('day', ts) <= 5 AND event_id % 17 = 0),
+        |merged AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    correction_reason
+        |  FROM batch
+        |  UNION ALL
+        |  SELECT b.event_id, b.ts, b.user_id, b.event_type, b.value,
+        |    NULL
+        |  FROM base b
+        |  WHERE b.event_id NOT IN (SELECT event_id FROM batch))
+        |SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  user_id, event_type, round(value, 6) AS value,
+        |  correction_reason
+        |FROM merged""".stripMargin,
+
+    // the maintenance identity: incremental refresh == full recompute
+    // of the merged fact against the dim
+    "q145_incremental_join" ->
+      """WITH orders0 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS total_cents
+        |  FROM orders),
+        |batch AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    total_cents + 999 AS total_cents
+        |  FROM orders0 WHERE o_orderkey % 17 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000000, o_custkey, total_cents
+        |  FROM orders0 WHERE o_orderkey % 23 = 0),
+        |merged AS (
+        |  SELECT * FROM batch
+        |  UNION ALL
+        |  SELECT * FROM orders0
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+        |SELECT m.o_orderkey, m.o_custkey, c.c_name, c.c_mktsegment,
+        |  CAST(m.total_cents AS BIGINT) AS total_cents
+        |FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey"""
+        .stripMargin,
 
     "q122_order_pivot" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -62,6 +62,44 @@ object Cow {
     touched
   }
 
+  /** Schema-EVOLVING copy-on-write merge — [[mergeCow]] when the batch
+    * carries columns the base has never seen (the additive schema
+    * evolution every long-lived table hits: a new enrichment field
+    * arrives with this batch's rows). Output schema in the touched
+    * partitions = base ∪ batch columns; surviving base rows NULL-fill
+    * the new columns. UNTOUCHED partitions keep their old files (and
+    * old schema) byte-identical — readers see the union schema via
+    * `mergeSchema` and the old partitions' rows NULL-backfill, exactly
+    * the q120 read contract. The batch must carry every base column
+    * (it is an upsert); additions are the delta.
+    *
+    * Returns the touched partition values.
+    */
+  def mergeCowEvolve(spark: SparkSession, basePath: String,
+      batch: DataFrame, keyCol: String, partCol: String): Seq[Any] = {
+    val touched = batch.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val base = spark.read.parquet(basePath)
+      .filter(col(partCol).isin(touched: _*))
+    val baseCols = base.columns.toSeq
+    require(baseCols.forall(batch.columns.contains),
+      s"evolving batch must carry every base column; missing " +
+        s"${baseCols.filterNot(batch.columns.contains).mkString(",")}")
+    val allCols = baseCols ++
+      batch.columns.filterNot(baseCols.contains).toSeq
+    val survivors = base.join(
+      batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    val merged = batch.select(allCols.map(col): _*)
+      .unionByName(survivors, allowMissingColumns = true)
+      .select(allCols.map(col): _*)
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(basePath)
+    touched
+  }
+
   /** Mixed CDC changelog apply — the Debezium-shaped batch the separate
     * merge/delete ops don't compose into: ONE batch carries inserts,
     * updates, AND deletes (`opCol` ∈ I/U/D) with a per-key sequence

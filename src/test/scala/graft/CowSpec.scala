@@ -199,6 +199,42 @@ class CowSpec extends SparkSpec {
       .collect().toSeq == Seq(3L))
   }
 
+  test("mergeCowEvolve: untouched partitions keep old files AND old " +
+      "schema byte-identical; mergeSchema read NULL-backfills") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow-ev")
+    val tbl = root.resolve("t").toString
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    base.repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = md5OfFiles(Paths.get(tbl))
+    // the batch carries a NEW column; touches parts 1 and 2
+    val batch = Seq((3L, 1, 300.0, "late"), (99L, 2, 9900.0, "backfill"))
+      .toDF("id", "part", "v", "reason")
+    val touched = graft.ops.Cow.mergeCowEvolve(spark, tbl, batch,
+      "id", "part")
+    assert(touched.toSet == Set(1, 2))
+    val after = md5OfFiles(Paths.get(tbl))
+    val untouchedBefore = before.filter(p =>
+      p._1.startsWith("part=3") || p._1.startsWith("part=4"))
+    assert(untouchedBefore.nonEmpty &&
+      untouchedBefore.forall { case (k, h) => after.get(k).contains(h) },
+      "untouched partition files changed")
+    // old-schema files in untouched partitions: reading one directly
+    // must NOT know the new column
+    assert(!spark.read.parquet(s"$tbl/part=3").columns.contains("reason"))
+    val all = spark.read.option("mergeSchema", "true").parquet(tbl)
+    val got = all.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      (r.getDouble(r.fieldIndex("v")),
+        Option(r.get(r.fieldIndex("reason"))))).toMap
+    assert(got(3L) == ((300.0, Some("late"))))   // upserted
+    assert(got(99L) == ((9900.0, Some("backfill")))) // inserted
+    assert(got(14L) == ((14.0, None)))  // touched-partition survivor
+    assert(got(35L) == ((35.0, None)))  // untouched partition
+    assert(got.size == 41)
+  }
+
   test("extract ∘ apply round-trips: applyChangelog(v0, cdcExtract" +
       "(v0, v1)) == v1") {
     import spark.implicits._

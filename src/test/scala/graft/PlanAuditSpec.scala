@@ -422,6 +422,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(anti.size == 1, s"wanted one broadcast anti join: $p")
   }
 
+  test("incremental join view (q145): dim sides broadcast, refresh is " +
+      "key-equi — no cartesian, no shuffled dim") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = staticPlan(
+      SparkEntry.queries("q145_incremental_join")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q145 planned a cartesian: $p")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"q145 planned a nested loop: $p")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"customer dim not broadcast on both sides: $p")
+  }
+
   test("hierarchical layout (q141): static y/d pruning composes with " +
       "dynamic m pruning — partitions read == matching (y,m,d) leaves") {
     import org.apache.spark.sql.functions._
