@@ -10,8 +10,12 @@ object QProbe {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q31_aa_ar_change_scores", "q34_focus_scores")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // decoupled override: at a fixed core count, more (smaller) shuffle
+    // partitions is the knob a real cluster turns as data grows — used
+    // to attribute super-linear scale-harness results to per-task size
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- names) {

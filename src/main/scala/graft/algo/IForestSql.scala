@@ -271,69 +271,78 @@ object IForestSql {
   /** Sketch-stage chain over `fs`, ending in `sk(wid, ski, value)` — the
     * exact AaAr.sketches table (ppm-integer values, md5 ppm coins, the
     * three greedy steps unrolled). Parameters mirror the Spark call.
+    *
+    * Same replay-cost discipline as the forest chain: the hot ~7M-row
+    * cell table `cl` and every probe against it key on ONE packed
+    * BIGINT — `sak = account·64 + ski`, `spk = pid·64 + ski` (ski < 64
+    * by the sketchNum contract) — instead of two-column composites; the
+    * md5 selection tags keep the raw account/pid/ski rendering, so the
+    * drawn coins are byte-identical to the unpacked form.
     */
   private def sketchCtes(sketchNum: Int, numDst: Int, srcKeep: Long,
                          dstKeep: Long, seed: Long): String = {
     require(numDst == 3, "oracle unrolls exactly numDst = 3 greedy steps")
+    require(sketchNum <= 64, "packed keys reserve 6 bits for ski")
     s"""sp AS MATERIALIZED (SELECT wid, pid, account,
        |    CAST(round(score * 1000000.0, 0) AS BIGINT) AS s FROM fs),
        |ski AS (SELECT CAST(unnest(generate_series(0, ${sketchNum - 1}))
        |    AS INTEGER) AS ski),
-       |asel AS MATERIALIZED (SELECT k.ski, a.account
+       |asel AS MATERIALIZED (SELECT k.ski, a.account,
+       |    a.account * 64 + k.ski AS sak
        |  FROM (SELECT DISTINCT account FROM sp) a CROSS JOIN ski k
        |  WHERE ${hPpm(s"a.account || '|' || k.ski || '|afs$seed'")} < $srcKeep),
-       |dsel AS (SELECT k.ski, p.pid
+       |dsel AS (SELECT k.ski, p.pid, p.pid * 64 + k.ski AS spk
        |  FROM (SELECT DISTINCT pid FROM sp) p CROSS JOIN ski k
        |  WHERE ${hPpm(s"p.pid || '|' || k.ski || '|afd$seed'")} < $dstKeep),
        |sg AS (SELECT account, pid, CAST(sum(s) AS BIGINT) AS s
        |  FROM sp GROUP BY 1, 2),
-       |cl AS MATERIALIZED (SELECT a.ski, a.account, g.pid, g.s
+       |cl AS MATERIALIZED (SELECT a.sak, d.spk, g.s
        |  FROM asel a JOIN sg g USING (account)
-       |  JOIN dsel d ON d.ski = a.ski AND d.pid = g.pid),
-       |st1 AS (SELECT ski, pid, CAST(sum(s) AS BIGINT) AS tot
-       |  FROM cl GROUP BY 1, 2),
-       |p1 AS (SELECT ski, pid, tot FROM (
-       |    SELECT ski, pid, tot, row_number() OVER
-       |      (PARTITION BY ski ORDER BY tot DESC, pid ASC) AS rn
+       |  JOIN dsel d ON d.spk = g.pid * 64 + a.ski),
+       |st1 AS (SELECT spk, CAST(sum(s) AS BIGINT) AS tot
+       |  FROM cl GROUP BY 1),
+       |p1 AS (SELECT ski, spk, tot FROM (
+       |    SELECT spk % 64 AS ski, spk, tot, row_number() OVER
+       |      (PARTITION BY spk % 64 ORDER BY tot DESC, spk // 64 ASC)
+       |      AS rn
        |    FROM st1 WHERE tot > 0) q1 WHERE rn = 1),
-       |b1 AS (SELECT c.ski, c.account, c.s
-       |  FROM cl c JOIN p1 ON p1.ski = c.ski AND p1.pid = c.pid),
+       |b1 AS (SELECT c.sak, c.s
+       |  FROM cl c JOIN p1 ON p1.spk = c.spk),
        |g2 AS (SELECT d.ski, d.pid,
        |    CAST(coalesce(sum(CASE WHEN c.s > coalesce(b.s, 0)
        |      THEN c.s - coalesce(b.s, 0) ELSE 0 END), 0) AS BIGINT) AS gain
-       |  FROM dsel d JOIN p1 ON p1.ski = d.ski AND p1.pid <> d.pid
-       |  LEFT JOIN cl c ON c.ski = d.ski AND c.pid = d.pid
-       |  LEFT JOIN b1 b ON b.ski = c.ski AND b.account = c.account
+       |  FROM dsel d JOIN p1 ON p1.ski = d.ski AND p1.spk <> d.spk
+       |  LEFT JOIN cl c ON c.spk = d.spk
+       |  LEFT JOIN b1 b ON b.sak = c.sak
        |  GROUP BY 1, 2),
-       |p2 AS (SELECT ski, pid FROM (
+       |p2 AS (SELECT ski, pid * 64 + ski AS spk FROM (
        |    SELECT ski, pid, row_number() OVER
        |      (PARTITION BY ski ORDER BY gain DESC, pid ASC) AS rn
        |    FROM g2) q2 WHERE rn = 1),
-       |b2 AS (SELECT coalesce(b.ski, c.ski) AS ski,
-       |    coalesce(b.account, c.account) AS account,
+       |b2 AS (SELECT coalesce(b.sak, c.sak) AS sak,
        |    greatest(coalesce(b.s, 0), coalesce(c.s, 0)) AS s
        |  FROM b1 b FULL JOIN
-       |    (SELECT c.ski, c.account, c.s FROM cl c
-       |     JOIN p2 ON p2.ski = c.ski AND p2.pid = c.pid) c
-       |    ON b.ski = c.ski AND b.account = c.account),
+       |    (SELECT c.sak, c.s FROM cl c
+       |     JOIN p2 ON p2.spk = c.spk) c
+       |    ON b.sak = c.sak),
        |g3 AS (SELECT d.ski, d.pid,
        |    CAST(coalesce(sum(CASE WHEN c.s > coalesce(b.s, 0)
        |      THEN c.s - coalesce(b.s, 0) ELSE 0 END), 0) AS BIGINT) AS gain
-       |  FROM dsel d JOIN p1 ON p1.ski = d.ski AND p1.pid <> d.pid
-       |  JOIN p2 ON p2.ski = d.ski AND p2.pid <> d.pid
-       |  LEFT JOIN cl c ON c.ski = d.ski AND c.pid = d.pid
-       |  LEFT JOIN b2 b ON b.ski = c.ski AND b.account = c.account
+       |  FROM dsel d JOIN p1 ON p1.ski = d.ski AND p1.spk <> d.spk
+       |  JOIN p2 ON p2.ski = d.ski AND p2.spk <> d.spk
+       |  LEFT JOIN cl c ON c.spk = d.spk
+       |  LEFT JOIN b2 b ON b.sak = c.sak
        |  GROUP BY 1, 2),
-       |p3 AS (SELECT ski, pid FROM (
+       |p3 AS (SELECT ski, pid * 64 + ski AS spk FROM (
        |    SELECT ski, pid, row_number() OVER
        |      (PARTITION BY ski ORDER BY gain DESC, pid ASC) AS rn
        |    FROM g3) q3 WHERE rn = 1),
-       |chosen AS (SELECT ski, pid FROM p1
-       |  UNION ALL SELECT ski, pid FROM p2
-       |  UNION ALL SELECT ski, pid FROM p3),
+       |chosen AS (SELECT spk FROM p1
+       |  UNION ALL SELECT spk FROM p2
+       |  UNION ALL SELECT spk FROM p3),
        |skv AS (SELECT s.wid, a.ski, CAST(sum(s.s) AS BIGINT) AS v
        |  FROM sp s JOIN asel a USING (account)
-       |  JOIN chosen ch ON ch.ski = a.ski AND ch.pid = s.pid
+       |  JOIN chosen ch ON ch.spk = s.pid * 64 + a.ski
        |  GROUP BY 1, 2),
        |sk AS (SELECT g.wid, g.ski, coalesce(v, CAST(0 AS BIGINT)) AS value
        |  FROM (SELECT w.wid, k.ski
