@@ -1711,6 +1711,36 @@ object SparkEntry {
     // into ONE grouped aggregate over conditional sums (explicit value
     // list ⇒ no extra distinct pass; one shuffle total). Totals in
     // integer cents (the q99 idiom) so the sums are order-independent.
+    // k-column z-order — the q112 model generalized to THREE clustering
+    // dims (production OPTIMIZE ZORDER arity; round 14): the same
+    // 256-bucket logical layout under (a) the 3-column Morton key, (b)
+    // the 2-column key (third dim unclustered), (c) the linear layout.
+    // The 3-D box query's buckets_touched ranks z3 < z2 < linear — the
+    // win whose physical twin (Compact.compactPartitionsZ) LayoutSpec
+    // measures on real files. All integer arithmetic, hash-exact.
+    "q146_zorder3_skipping" -> ((s, dir) => {
+      val base = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").bitwiseAND(lit(65535L)).as("p16"),
+          col("l_suppkey").bitwiseAND(lit(65535L)).as("s16"),
+          col("l_quantity").cast("long").bitwiseAND(lit(65535L))
+            .as("q16"))
+        .withColumn("z3", graft.ops.Layout.zValueK(
+          Seq(col("p16"), col("s16"), col("q16"))))
+        .withColumn("z2",
+          graft.ops.Layout.zValue(col("p16"), col("s16")))
+      val bounds = Seq("p16" -> ((400L, 1600L)),
+        "s16" -> ((10L, 30L)), "q16" -> ((5L, 15L)))
+      graft.ops.Layout.bucketsTouchedK(base, "zorder3", bounds, 256,
+          col("z3"), col("l_orderkey"), col("l_linenumber"))
+        .unionByName(graft.ops.Layout.bucketsTouchedK(base, "zorder2",
+          bounds, 256,
+          col("z2"), col("l_orderkey"), col("l_linenumber")))
+        .unionByName(graft.ops.Layout.bucketsTouchedK(base, "linear",
+          bounds, 256,
+          col("p16"), col("l_orderkey"), col("l_linenumber")))
+    }),
+
     "q122_order_pivot" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       Tables.table(s, dir, "orders")
@@ -2377,8 +2407,23 @@ object SparkEntry {
       // q111 keep paying their writes every pass because there the write
       // IS the operator; here a rebuild would just re-time ~700 local-FS
       // directory commits at ~13 ms each, which no 100 TB read pays)
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$wh/fact/_SUCCESS"))) {
+      // cache key = a fingerprint of the SOURCE (orders file sizes +
+      // mtimes), not just _SUCCESS: if the dataset under the same sfDir
+      // ever changes, a stale fact table would silently feed the gate
+      // (round-14 advice)
+      val srcFp = {
+        val f = new java.io.File(s"$dir/orders.parquet")
+        val parts =
+          if (f.isDirectory) f.listFiles.sortBy(_.getName) else Array(f)
+        parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+          .mkString("\n")
+      }
+      val marker = java.nio.file.Paths.get(s"$wh/fact_src_fingerprint")
+      val fresh = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$wh/fact/_SUCCESS")) &&
+        java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == srcFp
+      if (!fresh) {
         Tables.table(s, dir, "orders")
           .filter(year(col("o_orderdate")).isin(1996, 1997))
           .select(col("o_orderkey"),
@@ -2390,6 +2435,7 @@ object SparkEntry {
           .repartition(col("y"), col("m"), col("d"))
           .write.mode("overwrite").partitionBy("y", "m", "d")
           .parquet(s"$wh/fact")
+        java.nio.file.Files.write(marker, srcFp.getBytes("UTF-8"))
       }
       val fact = s.read.parquet(s"$wh/fact")
       val dim = s.range(1)
@@ -3200,6 +3246,49 @@ object SparkEntry {
         |  CAST(m.total_cents AS BIGINT) AS total_cents
         |FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey"""
         .stripMargin,
+
+    "q146_zorder3_skipping" -> {
+      val z3 = graft.ops.Layout.zValueKSql(Seq("p16", "s16", "q16"))
+      val pz = graft.ops.Layout.spread16Sql("p16")
+      val sz = graft.ops.Layout.spread16Sql("s16")
+      def side(tag: String, orderBy: String) =
+        s"""${tag}r AS (
+           |  SELECT p16, s16, q16,
+           |    (row_number() OVER (ORDER BY $orderBy) - 1) AS pos,
+           |    count(*) OVER () AS n
+           |  FROM zb),
+           |${tag}s AS (
+           |  SELECT (pos * 256) // n AS bucket,
+           |    min(p16) AS mn_a, max(p16) AS mx_a,
+           |    min(s16) AS mn_b, max(s16) AS mx_b,
+           |    min(q16) AS mn_c, max(q16) AS mx_c
+           |  FROM ${tag}r GROUP BY 1),
+           |${tag}c AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS buckets_total,
+           |    CAST(sum(CASE WHEN mx_a >= 400 AND mn_a <= 1600
+           |          AND mx_b >= 10 AND mn_b <= 30
+           |          AND mx_c >= 5 AND mn_c <= 15
+           |        THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched
+           |  FROM ${tag}s)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey & 65535 AS p16, l_suppkey & 65535 AS s16,
+         |    CAST(l_quantity AS BIGINT) & 65535 AS q16
+         |  FROM lineitem),
+         |zb AS (
+         |  SELECT *, $z3 AS z3, ($pz) | (($sz) << 1) AS z2 FROM base),
+         |${side("z3", "z3, l_orderkey, l_linenumber")},
+         |${side("z2", "z2, l_orderkey, l_linenumber")},
+         |${side("l", "p16, l_orderkey, l_linenumber")}
+         |SELECT 'zorder3' AS layout, buckets_total, buckets_touched
+         |FROM z3c
+         |UNION ALL
+         |SELECT 'zorder2' AS layout, buckets_total, buckets_touched
+         |FROM z2c
+         |UNION ALL
+         |SELECT 'linear' AS layout, buckets_total, buckets_touched FROM lc
+         |""".stripMargin
+    },
 
     "q122_order_pivot" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -91,44 +91,52 @@ object IForestSql {
     * `fs(wid, pid, account, x, y, score)` — the exact AaAr.focusScores
     * table. `tagPfx` must equal the Spark side's `"if|" + seed`.
     *
-    * Replay-cost engineering (round 13 — the driver gate's wall time is
-    * a reliability property, not a nicety; r12's gate died under load):
-    * the fit routes ~17M slot rows and the walk ~17M point rows through
-    * ≤9 levels, so the joins/group-bys ARE the oracle's cost — and
-    * DuckDB 1.0 executes MATERIALIZED-CTE chains near-serially (measured
-    * thread-insensitive), so the number and width of materialized
-    * passes is the whole game (dropping MATERIALIZED is not an option:
-    * the multiply-referenced chain then inlines ~2^levels times —
-    * re-measured this round as parquet-handle exhaustion). Three
-    * structural changes cut the measured sf0.01 replay 3-4× with
-    * bit-equal output (q31 416 s → 114 s, q34 → ~150 s, q45 → ~110 s,
-    * quiet box, fresh connection):
-    *   - (wid, pid, t, p) packs into ONE BIGINT key
-    *     `((wid·128 + pid)·32 + t)·1024 + p` (pid < 128, t < 32, p < 1024
-    *     by construction: 12-feature pairs ⇒ pid ≤ 65, heap position at
-    *     the depth-8 cap ⇒ p ≤ 511) — every per-level hash join and
-    *     group-by keys on one BIGINT instead of four; the md5 tags
-    *     decode the components arithmetically (`k >> 22`, …) so the
-    *     hashed strings are byte-identical to the unpacked form;
-    *   - the walk's two per-level probes (leaf capture + advance) fuse
-    *     into ONE materialized join against a combined node table —
-    *     total because a live position always holds a node: internal
-    *     nodes have both children slot-occupied (the "split empties a
-    *     side ⇒ leaf" rule), and points route by the same comparison;
-    *   - routed frames carry (k, x, y[, account]) only — heap advance is
-    *     `k + (k & 1023) + bit`, group identity is `k >> 15`, so wid/
-    *     pid/t never travel through the hot materializations.
+    * Replay-cost engineering (rounds 13-14 — the driver gate's wall
+    * time is a reliability property, not a nicety; r12/r13's gate died
+    * under load). Round 13 packed (wid, pid, t, p) into ONE BIGINT key
+    * `((wid·128 + pid)·32 + t)·1024 + p` (pid < 128, t < 32, p < 1024
+    * by construction: 12-feature pairs ⇒ pid ≤ 65, heap position at
+    * the depth-8 cap ⇒ p ≤ 511) — every per-level hash join and
+    * group-by keys on one BIGINT; the md5 tags decode the components
+    * arithmetically (`k >> 22`, …) so the hashed strings are
+    * byte-identical to the unpacked form. Round 14 adds two structural
+    * cuts, measured ~5× together on the sf0.01 replay:
+    *   - the fit's slot frame and the scoring walk's point frame FUSE
+    *     into one routed frame per level: one row per DISTINCT
+    *     (group, tree, heap position, x, y) with m = the subsample-slot
+    *     multiplicity on that point (0 = unsampled, walk-only). Node
+    *     stats use the slot mass only (s = sum(m), bounds FILTER
+    *     (m > 0)) — bit-equal to per-slot-row stats — and unsampled
+    *     rows can never escape the slot-occupied subtree because an
+    *     internal node has both children slot-occupied (the "split
+    *     empties a side ⇒ leaf" rule), so one node table serves both
+    *     leaf capture and advance;
+    *   - the frames live in `CREATE OR REPLACE TEMP TABLE` statements,
+    *     not MATERIALIZED CTEs: DuckDB 1.0 scans a materialized CTE
+    *     near-serially (measured: identical group-by 8× slower from a
+    *     materialized CTE than from a temp table), so the whole chain
+    *     ran effectively single-threaded; temp-table scans parallelize.
+    *     The oracle is therefore a multi-STATEMENT script (DuckDB's
+    *     execute/sql/cursor APIs all run it and return the last
+    *     SELECT); `CREATE OR REPLACE` keeps it idempotent on a shared
+    *     connection. Plain (inlined) CTEs stay single-statement where
+    *     they are referenced once or are tiny.
     */
-  private def focusCtes(trees: Int, sampleSize: Int, tagPfx: String)
-      : String = {
+  private def focusStmts(w: Int, stride: Int, trees: Int,
+                         sampleSize: Int, seed: Long): String = {
+    require(trees <= 32, "packed keys reserve 5 bits for t")
+    val tagPfx = s"if|$seed"
     val sb = new StringBuilder
-    // melt → pair points (P6 raw non-zero filter, quantized log coords);
-    // pid = i·(23−i)/2 + (j−i−1), the strict-upper-triangle enumeration
-    sb ++= s"""mel AS (SELECT wid, account, CAST(i AS INTEGER) AS fidx,
+    sb ++= s"CREATE OR REPLACE TEMP TABLE __if_cpt AS SELECT $cpLit AS cp;\n"
+    // melt -> pair points (P6 raw non-zero filter, quantized log coords);
+    // pid = i*(23-i)/2 + (j-i-1), the strict-upper-triangle enumeration
+    sb ++= s"""CREATE OR REPLACE TEMP TABLE __if_fp AS
+       |WITH $E,
+       |${featureCtes(w, stride)},
+       |mel AS (SELECT wid, account, CAST(i AS INTEGER) AS fidx,
        |         l[i + 1] AS val
-       |       FROM fl, unnest(range(0, 12)) u(i)),
-       |fp AS MATERIALIZED (
-       |  SELECT a.wid,
+       |       FROM fl, unnest(range(0, 12)) u(i))
+       |SELECT a.wid,
        |    CAST(a.fidx * (23 - a.fidx) // 2 + (b.fidx - a.fidx - 1)
        |      AS INTEGER) AS pid,
        |    a.account,
@@ -136,15 +144,10 @@ object IForestSql {
        |    round(log10(b.val + 1), 6) AS y
        |  FROM mel a JOIN mel b
        |    ON a.wid = b.wid AND a.account = b.account AND a.fidx < b.fidx
-       |  WHERE a.val <> 0 AND b.val <> 0),
-       |fpi AS MATERIALIZED (
-       |  SELECT fp.wid * 128 + fp.pid AS gk, fp.x, fp.y,
-       |    CAST(row_number() OVER
-       |    (PARTITION BY wid, pid ORDER BY account) AS BIGINT) - 1 AS ridx
-       |  FROM fp),
-       |cpt AS (SELECT $cpLit AS cp),
-       |gm AS MATERIALIZED (
-       |  SELECT wid * 128 + pid AS gk, wid, pid, count(*) AS n,
+       |  WHERE a.val <> 0 AND b.val <> 0;
+       |CREATE OR REPLACE TEMP TABLE __if_gm AS
+       |SELECT q.*, cp[psi + 1] AS cpsi
+       |FROM (SELECT wid * 128 + pid AS gk, wid, pid, count(*) AS n,
        |    CAST(least(count(*), $sampleSize) AS INTEGER) AS psi,
        |    CASE WHEN least(count(*), $sampleSize) <= 2 THEN 1
        |         WHEN least(count(*), $sampleSize) <= 4 THEN 2
@@ -154,28 +157,43 @@ object IForestSql {
        |         WHEN least(count(*), $sampleSize) <= 64 THEN 6
        |         WHEN least(count(*), $sampleSize) <= 128 THEN 7
        |         ELSE 8 END AS maxd
-       |  FROM fp GROUP BY 1, 2, 3),
-       |gm2 AS (SELECT gm.*, cp[psi + 1] AS cpsi FROM gm, cpt),
-       |sl AS (SELECT g.gk, CAST(t AS INTEGER) AS t,
+       |  FROM __if_fp GROUP BY 1, 2, 3) q, __if_cpt;
+       |CREATE OR REPLACE TEMP TABLE __if_fpi AS
+       |SELECT wid * 128 + pid AS gk, x, y,
+       |    CAST(row_number() OVER
+       |    (PARTITION BY wid, pid ORDER BY account) AS BIGINT) - 1 AS ridx
+       |  FROM __if_fp;
+       |CREATE OR REPLACE TEMP TABLE __if_a0 AS
+       |WITH sl AS (SELECT g.gk, CAST(t AS INTEGER) AS t,
        |    ${h28(s"'$tagPfx|' || g.wid || '|' || g.pid || '|' || t || '|s|' || j")} % g.n AS ridx
-       |  FROM gm2 g, unnest(range(0, $trees)) ut(t),
+       |  FROM __if_gm g, unnest(range(0, $trees)) ut(t),
        |       unnest(range(0, g.psi)) uj(j)),
-       |a0 AS MATERIALIZED (
-       |  SELECT (s.gk * 32 + s.t) * 1024 + 1 AS k, f.x, f.y
-       |  FROM sl s JOIN fpi f ON f.gk = s.gk AND f.ridx = s.ridx),
+       |sm AS (SELECT (s.gk * 32 + s.t) * 1024 + 1 AS k, f.x, f.y,
+       |    CAST(count(*) AS BIGINT) AS m
+       |  FROM sl s JOIN __if_fpi f ON f.gk = s.gk AND f.ridx = s.ridx
+       |  GROUP BY 1, 2, 3),
+       |pd AS (SELECT gk, x, y FROM __if_fpi GROUP BY 1, 2, 3)
+       |SELECT q.k, q.x, q.y, coalesce(sm.m, CAST(0 AS BIGINT)) AS m
+       |  FROM (SELECT (p.gk * 32 + t) * 1024 + 1 AS k, p.x, p.y
+       |        FROM pd p CROSS JOIN unnest(range(0, $trees)) ut(t)) q
+       |  LEFT JOIN sm ON sm.k = q.k AND sm.x = q.x AND sm.y = q.y;
        |""".stripMargin
-    // Unrolled levels 0..7, ONE node table per level keyed on the packed
-    // BIGINT k. Leaf classification is closed-form from the node stats:
-    // besides the size-1 / depth-cap / no-spread rules, the reference
-    // implementation's "a split that empties one side is a leaf" is
-    // EXACTLY `split <= min` (left empty: no x < split) or `split > max`
-    // (right empty: no x >= split — reachable only through fp rounding of
-    // lo + u·(hi−lo) past hi), so no child-count aggregation or anti join
-    // is needed. The leaf's path-length value v is computed inline so the
-    // walk needs no separate leaf table.
+    // Unrolled levels 0..7: one node temp table + one advanced-frame
+    // temp table per level. Leaf classification is closed-form from the
+    // node stats: besides the size-1 / depth-cap / no-spread rules, the
+    // reference implementation's "a split that empties one side is a
+    // leaf" is EXACTLY `split <= min` (left empty: no x < split) or
+    // `split > max` (right empty: no x >= split — reachable only
+    // through fp rounding of lo + u*(hi-lo) past hi), so no child-count
+    // aggregation or anti join is needed. The leaf's path-length value
+    // v is computed inline; leaf capture happens in the final
+    // statement's hts union (a parallel re-join of each level's two
+    // temp tables). A heap advance is k + (k & 1023) + routing-bit;
+    // group identity is k >> 15, so wid/pid/t never travel through the
+    // hot tables.
     for (d <- 0 to 7) {
-      sb ++= s"""nd$d AS MATERIALIZED (
-         |  SELECT k, dim, split, isleaf,
+      sb ++= s"""CREATE OR REPLACE TEMP TABLE __if_nd$d AS
+         |SELECT k, dim, split, isleaf,
          |    CASE WHEN isleaf
          |         THEN CAST($d AS BIGINT) * 1000000 + cp[s + 1] END AS v
          |  FROM (SELECT k, s, dim, split, mn0, mx0, mn1, mx1,
@@ -200,119 +218,129 @@ object IForestSql {
          |            md5('$tagPfx|' || (ns.k >> 22) || '|' ||
          |                ((ns.k >> 15) & 127) || '|' ||
          |                ((ns.k >> 10) & 31) || '|n|' || (ns.k & 1023)) AS hx
-         |          FROM (SELECT k, count(*) AS s,
-         |              min(x) AS mn0, max(x) AS mx0,
-         |              min(y) AS mn1, max(y) AS mx1
-         |            FROM a$d GROUP BY 1) ns
-         |          JOIN gm2 g ON g.gk = (ns.k >> 15)) q1$d) q2$d) q3$d)
-         |    q4$d, cpt),
-         |a${d + 1} AS MATERIALIZED (
-         |  SELECT a.k + (a.k & 1023) +
+         |          FROM (SELECT k, CAST(sum(m) AS BIGINT) AS s,
+         |              min(x) FILTER (WHERE m > 0) AS mn0,
+         |              max(x) FILTER (WHERE m > 0) AS mx0,
+         |              min(y) FILTER (WHERE m > 0) AS mn1,
+         |              max(y) FILTER (WHERE m > 0) AS mx1
+         |            FROM __if_a$d GROUP BY 1) ns
+         |          JOIN __if_gm g ON g.gk = (ns.k >> 15)) q1$d) q2$d) q3$d)
+         |    q4$d, __if_cpt;
+         |CREATE OR REPLACE TEMP TABLE __if_a${d + 1} AS
+         |SELECT a.k + (a.k & 1023) +
          |    (CASE WHEN (CASE WHEN n.dim = 0 THEN a.x ELSE a.y END) < n.split
-         |          THEN 0 ELSE 1 END) AS k, a.x, a.y
-         |  FROM a$d a JOIN nd$d n USING (k)
-         |  WHERE NOT n.isleaf),
+         |          THEN 0 ELSE 1 END) AS k, a.x, a.y, a.m
+         |  FROM __if_a$d a JOIN __if_nd$d n USING (k)
+         |  WHERE NOT n.isleaf;
          |""".stripMargin
     }
-    // level 8: the global depth cap — everything still alive is a leaf
-    sb ++= s"""lv8 AS (SELECT k,
-       |    CAST(8 AS BIGINT) * 1000000 + cp[count(*) + 1] AS v
-       |  FROM a8, cpt GROUP BY 1, cp),
-       |wa0 AS (SELECT ((fp.wid * 128 + fp.pid) * 32 + t) * 1024 + 1 AS k,
-       |    fp.account, fp.x, fp.y
-       |  FROM fp, unnest(range(0, $trees)) ut(t)),
-       |""".stripMargin
-    // walk: every (point, tree) pair descends one level per CTE with ONE
-    // equi join per level — the level's node table is total over live
-    // positions (see scaladoc), so the join both captures leaves (ht$d)
-    // and advances internal rows (wa${d+1}) from the same materialized
-    // result. A heap advance is k + (k & 1023) + routing-bit.
-    for (d <- 0 to 7) {
-      sb ++= s"""j$d AS MATERIALIZED (
-         |  SELECT w.k, w.account, w.x, w.y, n.isleaf, n.dim, n.split, n.v
-         |  FROM wa$d w JOIN nd$d n USING (k)),
-         |ht$d AS (SELECT k, account, x, y, v FROM j$d WHERE isleaf),
-         |wa${d + 1} AS (SELECT k + (k & 1023) +
-         |    (CASE WHEN (CASE WHEN dim = 0 THEN x ELSE y END) < split
-         |          THEN 0 ELSE 1 END) AS k, account, x, y
-         |  FROM j$d WHERE NOT isleaf),
-         |""".stripMargin
-    }
-    sb ++= s"""ht8 AS (SELECT w.k, w.account, w.x, w.y, l.v
-       |  FROM wa8 w JOIN lv8 l USING (k)),
-       |hts AS (${(0 to 8).map(d => s"SELECT k, account, x, y, v FROM ht$d").mkString("\n  UNION ALL ")}),
-       |esc AS (SELECT k >> 15 AS gk, account, min(x) AS x, min(y) AS y,
-       |    CAST(sum(v) AS BIGINT) AS e
-       |  FROM hts GROUP BY 1, 2),
-       |fs AS MATERIALIZED (
+    sb.toString
+  }
+
+  /** CTE text over [[focusStmts]]'s temp tables ending in `fs(wid, pid,
+    * account, x, y, score)` — the exact AaAr.focusScores table. The hts
+    * union re-joins each level's frame/node temp tables for leaf
+    * capture (level 8 is the global depth cap: everything still alive
+    * is a leaf of its surviving slot mass); per-point path sums attach
+    * back to accounts by (group, x, y) equality — exact, both sides are
+    * the same round()-ed doubles from __if_fp.
+    */
+  private def fsCte(trees: Int): String =
+    s"""hts AS (${(0 to 7).map(d => s"SELECT a.k, a.x, a.y, n.v FROM __if_a$d a JOIN __if_nd$d n USING (k) WHERE n.isleaf").mkString("\n  UNION ALL ")}
+       |  UNION ALL
+       |  SELECT w.k, w.x, w.y, l.v FROM __if_a8 w JOIN
+       |    (SELECT k, CAST(8 AS BIGINT) * 1000000
+       |        + cp[CAST(sum(m) AS BIGINT) + 1] AS v
+       |     FROM __if_a8, __if_cpt GROUP BY 1, cp) l USING (k)),
+       |pe AS (SELECT k >> 15 AS gk, x, y, CAST(sum(v) AS BIGINT) AS e
+       |  FROM hts GROUP BY 1, 2, 3),
+       |esc AS (SELECT p.gk, f.account, f.x, f.y, p.e
+       |  FROM __if_fp f JOIN pe p ON p.gk = f.wid * 128 + f.pid
+       |    AND p.x = f.x AND p.y = f.y),
+       |fs AS (
        |  SELECT g.wid, g.pid, e.account, e.x, e.y,
        |    CASE WHEN g.cpsi = 0 THEN 0.5
        |         ELSE pow(2.0, -CAST(e.e AS DOUBLE)
        |                / ($trees.0 * CAST(g.cpsi AS DOUBLE))) END AS score
-       |  FROM esc e JOIN gm2 g USING (gk))""".stripMargin
-    sb.toString
-  }
-
-  /** Full prelude: edges → windows → features → forest → `fs`. */
-  private def fsCtes(w: Int, stride: Int, trees: Int, sampleSize: Int,
-                     seed: Long): String =
-    s"$E,\n${featureCtes(w, stride)},\n${focusCtes(trees, sampleSize, s"if|$seed")}"
+       |  FROM esc e JOIN __if_gm g USING (gk))""".stripMargin
 
   /** q34's oracle: the per-(window, pair) face over the regenerated
-    * forest scores.
+    * forest scores. A multi-statement script (see [[focusStmts]]); the
+    * last statement is the face SELECT.
     */
   def q34Sql(w: Int = 28, stride: Int = 14, trees: Int, sampleSize: Int = 256,
              seed: Long = 0L): String =
-    s"""WITH ${fsCtes(w, stride, trees, sampleSize, seed)}
+    s"""${focusStmts(w, stride, trees, sampleSize, seed)}
+       |WITH ${fsCte(trees)}
        |SELECT wid, pid AS pair_id, count(*) AS n_scored,
        |  round(avg(score), 2) AS avg_score
        |FROM fs GROUP BY 1, 2""".stripMargin
 
-  /** Sketch-stage chain over `fs`, ending in `sk(wid, ski, value)` — the
-    * exact AaAr.sketches table (ppm-integer values, md5 ppm coins, the
-    * three greedy steps unrolled). Parameters mirror the Spark call.
-    *
-    * Same replay-cost discipline as the forest chain: the hot ~7M-row
-    * cell table `cl` and every probe against it key on ONE packed
-    * BIGINT — `sak = account·64 + ski`, `spk = pid·64 + ski` (ski < 64
-    * by the sketchNum contract) — instead of two-column composites; the
-    * md5 selection tags keep the raw account/pid/ski rendering, so the
+  /** Statements materializing the sketch-stage hot tables over
+    * `__if_fs`: the ppm-integer score table `__if_sp`, the kept-source
+    * selection `__if_asel` (packed sak = account*64 + ski), and the
+    * ~7M-row cell table `__if_cl` (packed spk = pid*64 + ski; ski < 64
+    * by the sketchNum contract) — the r13 packed-key discipline, now as
+    * temp tables so their many consumers scan them in parallel. The md5
+    * selection tags keep the raw account/pid/ski rendering, so the
     * drawn coins are byte-identical to the unpacked form.
     */
-  private def sketchCtes(sketchNum: Int, numDst: Int, srcKeep: Long,
-                         dstKeep: Long, seed: Long): String = {
-    require(numDst == 3, "oracle unrolls exactly numDst = 3 greedy steps")
+  private def sketchStmts(sketchNum: Int, srcKeep: Long, dstKeep: Long,
+                          seed: Long): String = {
     require(sketchNum <= 64, "packed keys reserve 6 bits for ski")
-    s"""sp AS MATERIALIZED (SELECT wid, pid, account,
-       |    CAST(round(score * 1000000.0, 0) AS BIGINT) AS s FROM fs),
-       |ski AS (SELECT CAST(unnest(generate_series(0, ${sketchNum - 1}))
-       |    AS INTEGER) AS ski),
-       |asel AS MATERIALIZED (SELECT k.ski, a.account,
-       |    a.account * 64 + k.ski AS sak
-       |  FROM (SELECT DISTINCT account FROM sp) a CROSS JOIN ski k
-       |  WHERE ${hPpm(s"a.account || '|' || k.ski || '|afs$seed'")} < $srcKeep),
-       |dsel AS (SELECT k.ski, p.pid, p.pid * 64 + k.ski AS spk
-       |  FROM (SELECT DISTINCT pid FROM sp) p CROSS JOIN ski k
-       |  WHERE ${hPpm(s"p.pid || '|' || k.ski || '|afd$seed'")} < $dstKeep),
+    s"""CREATE OR REPLACE TEMP TABLE __if_sp AS
+       |SELECT wid, pid, account,
+       |    CAST(round(score * 1000000.0, 0) AS BIGINT) AS s FROM __if_fs;
+       |CREATE OR REPLACE TEMP TABLE __if_asel AS
+       |WITH ski AS (SELECT CAST(unnest(generate_series(0, ${sketchNum - 1}))
+       |    AS INTEGER) AS ski)
+       |SELECT k.ski, a.account, a.account * 64 + k.ski AS sak
+       |  FROM (SELECT DISTINCT account FROM __if_sp) a CROSS JOIN ski k
+       |  WHERE ${hPpm(s"a.account || '|' || k.ski || '|afs$seed'")} < $srcKeep;
+       |CREATE OR REPLACE TEMP TABLE __if_cl AS
+       |WITH ${dselCte(sketchNum, dstKeep, seed)},
        |sg AS (SELECT account, pid, CAST(sum(s) AS BIGINT) AS s
-       |  FROM sp GROUP BY 1, 2),
-       |cl AS MATERIALIZED (SELECT a.sak, d.spk, g.s
-       |  FROM asel a JOIN sg g USING (account)
-       |  JOIN dsel d ON d.spk = g.pid * 64 + a.ski),
+       |  FROM __if_sp GROUP BY 1, 2)
+       |SELECT a.sak, d.spk, g.s
+       |  FROM __if_asel a JOIN sg g USING (account)
+       |  JOIN dsel d ON d.spk = g.pid * 64 + a.ski;
+       |""".stripMargin
+  }
+
+  /** The kept-destination selection `dsel` — tiny (pairs x sketches),
+    * recomputed verbatim in each statement that needs it (deterministic
+    * md5 coins, so the copies agree).
+    */
+  private def dselCte(sketchNum: Int, dstKeep: Long, seed: Long): String =
+    s"""ski AS (SELECT CAST(unnest(generate_series(0, ${sketchNum - 1}))
+       |    AS INTEGER) AS ski),
+       |dsel AS (SELECT k.ski, p.pid, p.pid * 64 + k.ski AS spk
+       |  FROM (SELECT DISTINCT pid FROM __if_sp) p CROSS JOIN ski k
+       |  WHERE ${hPpm(s"p.pid || '|' || k.ski || '|afd$seed'")} < $dstKeep)""".stripMargin
+
+  /** Final-statement CTE chain over the sketch temp tables, ending in
+    * `sk(wid, ski, value)` — the exact AaAr.sketches table (ppm-integer
+    * values, md5 ppm coins, the three greedy steps unrolled; numDst = 3
+    * is the only unrolled arity).
+    */
+  private def sketchCte(sketchNum: Int, numDst: Int, dstKeep: Long,
+                        seed: Long): String = {
+    require(numDst == 3, "oracle unrolls exactly numDst = 3 greedy steps")
+    s"""${dselCte(sketchNum, dstKeep, seed)},
        |st1 AS (SELECT spk, CAST(sum(s) AS BIGINT) AS tot
-       |  FROM cl GROUP BY 1),
+       |  FROM __if_cl GROUP BY 1),
        |p1 AS (SELECT ski, spk, tot FROM (
        |    SELECT spk % 64 AS ski, spk, tot, row_number() OVER
        |      (PARTITION BY spk % 64 ORDER BY tot DESC, spk // 64 ASC)
        |      AS rn
        |    FROM st1 WHERE tot > 0) q1 WHERE rn = 1),
        |b1 AS (SELECT c.sak, c.s
-       |  FROM cl c JOIN p1 ON p1.spk = c.spk),
+       |  FROM __if_cl c JOIN p1 ON p1.spk = c.spk),
        |g2 AS (SELECT d.ski, d.pid,
        |    CAST(coalesce(sum(CASE WHEN c.s > coalesce(b.s, 0)
        |      THEN c.s - coalesce(b.s, 0) ELSE 0 END), 0) AS BIGINT) AS gain
        |  FROM dsel d JOIN p1 ON p1.ski = d.ski AND p1.spk <> d.spk
-       |  LEFT JOIN cl c ON c.spk = d.spk
+       |  LEFT JOIN __if_cl c ON c.spk = d.spk
        |  LEFT JOIN b1 b ON b.sak = c.sak
        |  GROUP BY 1, 2),
        |p2 AS (SELECT ski, pid * 64 + ski AS spk FROM (
@@ -322,7 +350,7 @@ object IForestSql {
        |b2 AS (SELECT coalesce(b.sak, c.sak) AS sak,
        |    greatest(coalesce(b.s, 0), coalesce(c.s, 0)) AS s
        |  FROM b1 b FULL JOIN
-       |    (SELECT c.sak, c.s FROM cl c
+       |    (SELECT c.sak, c.s FROM __if_cl c
        |     JOIN p2 ON p2.spk = c.spk) c
        |    ON b.sak = c.sak),
        |g3 AS (SELECT d.ski, d.pid,
@@ -330,7 +358,7 @@ object IForestSql {
        |      THEN c.s - coalesce(b.s, 0) ELSE 0 END), 0) AS BIGINT) AS gain
        |  FROM dsel d JOIN p1 ON p1.ski = d.ski AND p1.spk <> d.spk
        |  JOIN p2 ON p2.ski = d.ski AND p2.spk <> d.spk
-       |  LEFT JOIN cl c ON c.spk = d.spk
+       |  LEFT JOIN __if_cl c ON c.spk = d.spk
        |  LEFT JOIN b2 b ON b.sak = c.sak
        |  GROUP BY 1, 2),
        |p3 AS (SELECT ski, pid * 64 + ski AS spk FROM (
@@ -341,12 +369,12 @@ object IForestSql {
        |  UNION ALL SELECT spk FROM p2
        |  UNION ALL SELECT spk FROM p3),
        |skv AS (SELECT s.wid, a.ski, CAST(sum(s.s) AS BIGINT) AS v
-       |  FROM sp s JOIN asel a USING (account)
+       |  FROM __if_sp s JOIN __if_asel a USING (account)
        |  JOIN chosen ch ON ch.spk = s.pid * 64 + a.ski
        |  GROUP BY 1, 2),
        |sk AS (SELECT g.wid, g.ski, coalesce(v, CAST(0 AS BIGINT)) AS value
        |  FROM (SELECT w.wid, k.ski
-       |        FROM (SELECT DISTINCT wid FROM sp) w CROSS JOIN ski k) g
+       |        FROM (SELECT DISTINCT wid FROM __if_sp) w CROSS JOIN ski k) g
        |  LEFT JOIN skv ON skv.wid = g.wid AND skv.ski = g.ski)""".stripMargin
   }
 
@@ -433,13 +461,24 @@ object IForestSql {
        |        FROM rl) q)""".stripMargin
   }
 
+  /** Shared statement prelude for q31/q45: forest temp tables, the
+    * materialized `__if_fs`, and the sketch-stage temp tables.
+    */
+  private def fsSketchStmts(w: Int, stride: Int, trees: Int,
+                            sketchNum: Int, seed: Long): String =
+    s"""${focusStmts(w, stride, trees, 256, seed)}
+       |CREATE OR REPLACE TEMP TABLE __if_fs AS
+       |WITH ${fsCte(trees)}
+       |SELECT * FROM fs;
+       |${sketchStmts(sketchNum, AaAr.keepPpm(0.995), AaAr.keepPpm(0.8), seed)}""".stripMargin
+
   /** q31's oracle: the change-score series over the regenerated forest +
     * sketches. Parameters mirror SparkEntry.sharedChanges.
     */
   def q31Sql(w: Int = 28, stride: Int = 14, trees: Int,
              sketchNum: Int = 64, seed: Long = 0L): String =
-    s"""WITH ${fsCtes(w, stride, trees, 256, seed)},
-       |${sketchCtes(sketchNum, 3, AaAr.keepPpm(0.995), AaAr.keepPpm(0.8), seed)},
+    s"""${fsSketchStmts(w, stride, trees, sketchNum, seed)}
+       |WITH ${sketchCte(sketchNum, 3, AaAr.keepPpm(0.8), seed)},
        |${changeCtes(4, sketchNum)}
        |SELECT wid, change_score, max_coord FROM cs""".stripMargin
 
@@ -449,11 +488,11 @@ object IForestSql {
     */
   def q45Sql(w: Int = 28, stride: Int = 14, trees: Int,
              sketchNum: Int = 64, seed: Long = 0L): String =
-    s"""WITH ${fsCtes(w, stride, trees, 256, seed)},
-       |${sketchCtes(sketchNum, 3, AaAr.keepPpm(0.995), AaAr.keepPpm(0.8), seed)},
+    s"""${fsSketchStmts(w, stride, trees, sketchNum, seed)}
+       |WITH ${sketchCte(sketchNum, 3, AaAr.keepPpm(0.8), seed)},
        |${changeCtes(4, sketchNum)},
        |tw AS (SELECT wid FROM cs ORDER BY change_score DESC, wid ASC LIMIT 1),
-       |f45 AS (SELECT f.* FROM fs f JOIN tw USING (wid)),
+       |f45 AS (SELECT f.* FROM __if_fs f JOIN tw USING (wid)),
        |tp AS (SELECT wid, pid, sum(score) AS pair_score,
        |    CASE WHEN var_pop(x) = 0 THEN NULL
        |         ELSE covar_pop(x, y) / var_pop(x) END AS fit_slope,
@@ -478,7 +517,7 @@ object IForestSql {
        |  round(ta3.fit_slope, 6) AS fit_slope,
        |  round(ta3.fit_intercept, 6) AS fit_intercept,
        |  round(ta3.fit_r2, 6) AS fit_r2
-       |FROM ta3 LEFT JOIN fs p
+       |FROM ta3 LEFT JOIN __if_fs p
        |  ON p.pid = ta3.pid AND p.account = ta3.account
        |     AND p.wid >= ta3.wid - 4 AND p.wid < ta3.wid
        |GROUP BY ta3.wid, ta3.pid, ta3.prank, ta3.rnk, ta3.account,

@@ -48,7 +48,12 @@ object Cow {
       keyCol: String, partCol: String): Seq[Any] = {
     val touched = batch.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    val base = spark.read.parquet(basePath)
+    // mergeSchema: after a mergeCowEvolve the table's partitions have
+    // heterogeneous schemas — an inferred-schema read can miss a
+    // previously-evolved column and silently drop survivors' values for
+    // it; the union read makes the batch contract loud instead (the
+    // batch must carry every base column, evolved ones included)
+    val base = spark.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col(partCol).isin(touched: _*))
     val survivors = base.join(
       batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
@@ -79,7 +84,12 @@ object Cow {
       batch: DataFrame, keyCol: String, partCol: String): Seq[Any] = {
     val touched = batch.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    val base = spark.read.parquet(basePath)
+    // mergeSchema: a SECOND evolution must see the first one's column in
+    // the base schema even when the touched partitions' files predate it
+    // — otherwise survivors in touched partitions silently lose that
+    // column and the base-column require validates against an incomplete
+    // schema (round-14 advice; CowSpec pins the double-evolve)
+    val base = spark.read.option("mergeSchema", "true").parquet(basePath)
       .filter(col(partCol).isin(touched: _*))
     val baseCols = base.columns.toSeq
     require(baseCols.forall(batch.columns.contains),
@@ -139,7 +149,8 @@ object Cow {
       .withColumn("__cl_rn", row_number().over(w))
       .filter(col("__cl_rn") === 1).drop("__cl_rn")
       .localCheckpoint()
-    val base = spark.read.parquet(basePath)
+    // mergeSchema: see mergeCow — keeps evolved columns visible
+    val base = spark.read.option("mergeSchema", "true").parquet(basePath)
     val dataCols = base.columns.toSeq
     val upserts = last.filter(col(opCol) =!= "D")
       .select(dataCols.map(col): _*)
@@ -193,7 +204,9 @@ object Cow {
     */
   def deleteCow(spark: SparkSession, basePath: String, keys: DataFrame,
       keyCol: String, partCol: String): Seq[Any] = {
-    val base = spark.read.parquet(basePath)
+    // mergeSchema: see mergeCow — survivors keep evolved columns
+    // (NULL-backfilled where their files predate the evolution)
+    val base = spark.read.option("mergeSchema", "true").parquet(basePath)
     val k = keys.select(col(keyCol)).distinct()
     val touched = base.join(k, Seq(keyCol), "left_semi")
       .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq

@@ -41,20 +41,34 @@ object Dv {
 
   /** Merge-on-read snapshot: the base scan minus tombstoned keys.
     * `_dv/` is read only if it exists (a table with no deletes pays
-    * nothing). The anti join broadcasts while the DV is small — the
-    * designed regime; past the purge threshold it should be folded.
+    * nothing). The anti join is SIZE-GATED (round 14 — an unconditional
+    * broadcast is a driver OOM once a neglected DV outgrows the purge
+    * threshold): the `_dv/` byte size comes free from the same
+    * filesystem listing that proved the directory exists, so a DV at or
+    * below `broadcastMaxBytes` broadcasts (the normal between-purge
+    * regime, map-only probe) and a larger one falls back to a shuffle
+    * anti join — slower, correct, and a signal [[needsPurge]] is
+    * overdue. DvSpec pins the two paths equal.
     */
-  def read(spark: SparkSession, basePath: String,
-      keyCol: String): DataFrame = {
+  def read(spark: SparkSession, basePath: String, keyCol: String,
+      broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val base = spark.read.parquet(basePath)
     val dvDir = new org.apache.hadoop.fs.Path(dvPath(basePath))
     val fs = dvDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dvDir)) base
     else {
+      val dvBytes = fs.getContentSummary(dvDir).getLength
       val dv = spark.read.parquet(dvPath(basePath))
         .select(col(keyCol).as("__dv_key"))
-      base.join(broadcast(dv), base(keyCol) === dv("__dv_key"),
-        "left_anti")
+      if (dvBytes <= broadcastMaxBytes)
+        base.join(broadcast(dv), base(keyCol) === dv("__dv_key"),
+          "left_anti")
+      else
+        // hint AGAINST auto-broadcast too: Spark's own size estimate of
+        // a parquet scan can undershoot the threshold even when the
+        // listing said otherwise
+        base.join(dv.hint("shuffle_hash"),
+          base(keyCol) === dv("__dv_key"), "left_anti")
     }
   }
 
@@ -66,6 +80,17 @@ object Dv {
     val nDv = if (!fs.exists(dvDir)) 0L
       else spark.read.parquet(dvPath(basePath)).count()
     (nDv, spark.read.parquet(basePath).count())
+  }
+
+  /** The stats-driven purge trigger: fold once tombstones exceed
+    * `maxRatio` of the base row count (or any tombstones over an empty
+    * base). The ratio tracks the read-side tax — a MoR read pays the
+    * anti join on every scan, the purge pays one pruned rewrite.
+    */
+  def needsPurge(spark: SparkSession, basePath: String, keyCol: String,
+      maxRatio: Double = 0.05): Boolean = {
+    val (nDv, nBase) = stats(spark, basePath, keyCol)
+    nDv > 0 && (nBase == 0 || nDv.toDouble / nBase > maxRatio)
   }
 
   /** Fold the accumulated tombstones into the base copy-on-write

@@ -35,13 +35,62 @@ import org.apache.spark.sql.functions._
   * Reference context: the reference has no storage layer; this belongs
   * to the warehouse extension surface (SURVEY §2.12) — the
   * version-isolation sibling of q111 (CoW) and q116 (snapshot diff).
+  *
+  * Multi-writer safety (round 14): commits are OPTIMISTIC — prepare
+  * against a snapshot, conflict-check against every commit that landed
+  * since, atomically claim the next version number, land. Disjoint
+  * writers race safely; overlapping writers lose exactly one commit to
+  * a loud retryable [[TxLog.CommitConflictException]], never silently
+  * (see [[TxLog.commitUpsertFrom]]).
   */
 object TxLog {
+
+  /** A concurrent commit touched an overlapping partition set — the
+    * Delta/Iceberg conflict contract: the snapshot this commit merged
+    * against is no longer the truth for its partitions, so the commit
+    * ABORTS rather than losing the other writer's update. Retryable:
+    * the caller re-runs the whole commit against the new snapshot.
+    */
+  final class CommitConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
 
   private val PartDir = "__part"
 
   private def manifestPath(table: String, version: Int) =
     Paths.get(s"$table/_vlog/v$version.json")
+
+  private def claimPath(table: String, version: Int) =
+    Paths.get(s"$table/_vlog/v$version.claim")
+
+  /** Atomically reserve version number `v` (CREATE_NEW is the atomic
+    * test-and-set on a POSIX filesystem; object stores substitute a
+    * conditional PUT). Claims are transient — released after the
+    * manifest lands (or on failure).
+    */
+  private def tryClaim(table: String, v: Int): Boolean =
+    try {
+      Files.createDirectories(Paths.get(s"$table/_vlog"))
+      Files.write(claimPath(table, v), Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  private def releaseClaim(table: String, v: Int): Unit = {
+    Files.deleteIfExists(claimPath(table, v)); ()
+  }
+
+  /** Partitions whose file set changed between v−1 and v — commit v's
+    * touched set, recovered from the manifests alone (kept files carry
+    * over BY REFERENCE, so any pathname entering or leaving the
+    * manifest is a rewrite or addition in its partition).
+    */
+  private def touchedPartitionsOf(table: String, v: Int): Set[String] = {
+    val prev = filesOf(table, v - 1).toSet
+    val cur = filesOf(table, v).toSet
+    ((prev diff cur) ++ (cur diff prev)).flatMap(partOf)
+  }
 
   private def manifestVersions(table: String): Seq[Int] = {
     val dir = Paths.get(s"$table/_vlog")
@@ -126,10 +175,40 @@ object TxLog {
     * exact old snapshot after this commit (TxLogSpec pins it).
     */
   def commitUpsert(spark: SparkSession, table: String, batch: DataFrame,
-      keyCol: String, partCol: String): Int = {
-    val cur = currentVersion(table)
-    require(cur >= 0, "commitInitial first")
-    val next = cur + 1
+      keyCol: String, partCol: String): Int =
+    commitUpsertFrom(spark, table, batch, keyCol, partCol,
+      currentVersion(table))
+
+  /** [[commitUpsert]] with an explicit snapshot version the merge was
+    * computed against — the OPTIMISTIC-concurrency core (round 14;
+    * VERDICT r13 #2). Protocol, the minimal Delta/Iceberg commit:
+    *
+    *  1. merge is prepared against v(start)'s snapshot (pruned read +
+    *     anti join, lazy);
+    *  2. re-read the log head; every commit that landed after `start`
+    *     is conflict-checked — its touched partitions (recovered from
+    *     the manifest diff) must be DISJOINT from ours, else
+    *     [[CommitConflictException]] (retryable — no lost update: the
+    *     overlapping writer's rows are not silently resurrected from
+    *     our stale snapshot);
+    *  3. atomically claim head+1 via CREATE_NEW of a transient
+    *     `.claim` file — two racers on the same number serialize here:
+    *     the loser waits for the winner's manifest to land, re-checks
+    *     conflicts against it, and claims the next number;
+    *  4. write data files under the claimed `v{n}/`, then the manifest:
+    *     kept files carry over from the head manifest (NOT `start`'s —
+    *     a disjoint intervener's files must be referenced).
+    *
+    * Disjoint racers both land, linearized; overlapping racers — exactly
+    * one wins (TxLogSpec pins both). A claim orphaned by a crashed
+    * writer stalls peers until `claimTimeoutMs`, then fails loudly
+    * (remove the stale `.claim` by hand — the honest minimal answer;
+    * production logs lease-expire claims).
+    */
+  private[graft] def commitUpsertFrom(spark: SparkSession, table: String,
+      batch: DataFrame, keyCol: String, partCol: String, start: Int,
+      claimTimeoutMs: Long = 60000L): Int = {
+    require(start >= 0, "commitInitial first")
     // manifest fragments carry Spark's partition-path ESCAPING
     // ('a b' → 'a%20b') and render a null partition as the
     // __HIVE_DEFAULT_PARTITION__ sentinel; compare against those exact
@@ -143,8 +222,8 @@ object TxLog {
         if (r.isNullAt(0)) catalog.DEFAULT_PARTITION_NAME
         else catalog.escapePathName(r.getString(0))
       }.toSet
-    val (touchedFiles, keptFiles) = filesOf(table, cur)
-      .partition(f => partOf(f).exists(touched.contains))
+    val touchedFiles = filesOf(table, start)
+      .filter(f => partOf(f).exists(touched.contains))
     val dataCols = batch.columns.filterNot(_ == PartDir)
     val merged =
       if (touchedFiles.isEmpty) batch.select(dataCols.map(col): _*)
@@ -157,8 +236,38 @@ object TxLog {
             batch.select(col(keyCol)).distinct(), Seq(keyCol),
             "left_anti"))
       }
-    writeManifest(table, next, keptFiles ++
-      writeVersionFiles(spark, table, next, merged, partCol))
+    val deadline = System.currentTimeMillis() + claimTimeoutMs
+    var next = -1
+    while (next < 0) {
+      val head = currentVersion(table)
+      (start + 1) to head foreach { v =>
+        val overlap = touchedPartitionsOf(table, v).intersect(touched)
+        if (overlap.nonEmpty)
+          throw new CommitConflictException(
+            s"commit v$v touched partition(s) ${overlap.mkString(",")} " +
+              s"concurrently with this commit (snapshot v$start) — " +
+              "re-read and retry")
+      }
+      if (tryClaim(table, head + 1)) {
+        // a claim released AFTER its manifest landed but BEFORE we
+        // re-read the head can hand us a version that already exists —
+        // manifests are only written by claim holders, so existence
+        // here is stable: release and re-read
+        if (Files.isRegularFile(manifestPath(table, head + 1))) {
+          releaseClaim(table, head + 1)
+        } else next = head + 1
+      } else if (System.currentTimeMillis() > deadline) {
+        throw new IllegalStateException(
+          s"claim on v${head + 1} of $table not released within " +
+            s"$claimTimeoutMs ms — stale claim from a crashed writer?")
+      } else Thread.sleep(25)
+    }
+    try {
+      val keptFiles = filesOf(table, next - 1)
+        .filterNot(f => partOf(f).exists(touched.contains))
+      writeManifest(table, next, keptFiles ++
+        writeVersionFiles(spark, table, next, merged, partCol))
+    } finally releaseClaim(table, next)
     next
   }
 

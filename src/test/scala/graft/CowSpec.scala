@@ -235,6 +235,46 @@ class CowSpec extends SparkSpec {
     assert(got.size == 41)
   }
 
+  test("mergeCowEvolve twice: the SECOND evolution keeps the first " +
+      "one's column (mergeSchema base read — round-14 advice)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow-ev2")
+    val tbl = root.resolve("t").toString
+    (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    // evolution 1 touches ONLY part 1, adding `reason`
+    graft.ops.Cow.mergeCowEvolve(spark,
+      tbl, Seq((3L, 1, 300.0, "late")).toDF("id", "part", "v", "reason"),
+      "id", "part")
+    // evolution 2 touches part 1 again with a DIFFERENT new column.
+    // Pre-fix, the un-merged base read could infer a schema without
+    // `reason` (heterogeneous partitions), silently dropping row 3's
+    // value; the require below it would also not demand `reason` in the
+    // batch. Post-fix the union schema is authoritative, so the batch
+    // must carry it.
+    val b2 = Seq((5L, 1, 500.0, null.asInstanceOf[String], 7L))
+      .toDF("id", "part", "v", "reason", "score")
+    graft.ops.Cow.mergeCowEvolve(spark, tbl, b2, "id", "part")
+    val all = spark.read.option("mergeSchema", "true").parquet(tbl)
+    val got = all.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      (Option(r.get(r.fieldIndex("reason"))),
+        Option(r.get(r.fieldIndex("score"))))).toMap
+    assert(got(3L) == ((Some("late"), None)),
+      "first evolution's column lost by the second evolve")
+    assert(got(5L) == ((None, Some(7L))))
+    assert(got(1L) == ((None, None)))   // pre-evolution survivor
+    assert(got.size == 40)
+    // and a batch MISSING the evolved column now fails loudly instead
+    // of silently dropping it
+    val missing = intercept[IllegalArgumentException] {
+      graft.ops.Cow.mergeCowEvolve(spark,
+        tbl, Seq((6L, 1, 600.0)).toDF("id", "part", "v"), "id", "part")
+    }
+    assert(missing.getMessage.contains("reason"))
+  }
+
   test("extract ∘ apply round-trips: applyChangelog(v0, cdcExtract" +
       "(v0, v1)) == v1") {
     import spark.implicits._

@@ -80,4 +80,50 @@ class DvSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("part").parquet(tbl)
     assert(graft.ops.Dv.read(spark, tbl, "id").count() == 10L)
   }
+
+  test("size gate: an oversized DV falls back to a SHUFFLE anti join " +
+      "with the same result; the gate keeps the broadcast otherwise") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dv3")
+    val tbl = root.resolve("t").toString
+    (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    graft.ops.Dv.delete(spark, tbl,
+      Seq(3L, 14L, 27L).toDF("id"), "id")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val small = graft.ops.Dv.read(spark, tbl, "id") // default gate
+    assert(planOf(small).contains("BroadcastHashJoin"),
+      "in-regime DV should broadcast")
+    val big = graft.ops.Dv.read(spark, tbl, "id", broadcastMaxBytes = 0L)
+    assert(!planOf(big).contains("BroadcastHashJoin"),
+      s"gated read still broadcasts:\n${planOf(big)}")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    assert(snap(big) == snap(small) && !snap(big).contains(3L) &&
+      snap(big).size == 37)
+  }
+
+  test("purge trigger wired to stats: needsPurge flips at the ratio " +
+      "and clears after the fold") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dv4")
+    val tbl = root.resolve("t").toString
+    (1 to 100).map(i => (i.toLong, (i - 1) / 25 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    assert(!graft.ops.Dv.needsPurge(spark, tbl, "id"), "no DV yet")
+    graft.ops.Dv.delete(spark, tbl, Seq(3L, 4L).toDF("id"), "id")
+    assert(!graft.ops.Dv.needsPurge(spark, tbl, "id", maxRatio = 0.05),
+      "2% tombstones under a 5% trigger")
+    graft.ops.Dv.delete(spark, tbl,
+      (5L to 10L).toDF("id"), "id")
+    assert(graft.ops.Dv.needsPurge(spark, tbl, "id", maxRatio = 0.05),
+      "8% tombstones over a 5% trigger")
+    val touched = graft.ops.Dv.purge(spark, tbl, "id", "part")
+    assert(touched == Seq(1))
+    assert(!graft.ops.Dv.needsPurge(spark, tbl, "id", maxRatio = 0.05))
+    assert(spark.read.parquet(tbl).count() == 92L)
+  }
 }

@@ -170,4 +170,93 @@ class TxLogSpec extends SparkSpec {
       .count() == 2L)
     assert(Files.isRegularFile(Paths.get(s"$tbl/_vlog/v1.json")))
   }
+
+  private def initOcc(tag: String) = {
+    val root = Files.createTempDirectory(s"graft-txlog-$tag")
+    val tbl = root.resolve("t").toString
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part")
+    tbl
+  }
+
+  test("OCC: two commits from the SAME stale snapshot on disjoint " +
+      "partitions both land, linearized") {
+    val tbl = initOcc("occ-disj")
+    // both writers merged against v0; A lands first, B's snapshot is
+    // stale but its partitions are untouched by A — it must land as v2
+    val a = Seq((3L, 1, 300.0)).toDF("id", "part", "v")
+    val b = Seq((14L, 2, 1400.0)).toDF("id", "part", "v")
+    assert(graft.ops.TxLog.commitUpsertFrom(spark, tbl, a, "id", "part",
+      start = 0) == 1)
+    assert(graft.ops.TxLog.commitUpsertFrom(spark, tbl, b, "id", "part",
+      start = 0) == 2)
+    val got = graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got(3L) == 300.0 && got(14L) == 1400.0, "a commit was lost")
+    assert(got.size == 40)
+    // B's manifest must reference A's fresh part=1 file, not v0's
+    assert(graft.ops.TxLog.filesOf(tbl, 2)
+      .exists(f => f.startsWith("v1/") && f.contains("__part=1")))
+  }
+
+  test("OCC: overlapping stale commit aborts with a retryable conflict " +
+      "— exactly one winner, no lost update") {
+    val tbl = initOcc("occ-conf")
+    val a = Seq((3L, 1, 300.0)).toDF("id", "part", "v")
+    val b = Seq((7L, 1, 700.0)).toDF("id", "part", "v")
+    assert(graft.ops.TxLog.commitUpsertFrom(spark, tbl, a, "id", "part",
+      start = 0) == 1)
+    val e = intercept[graft.ops.TxLog.CommitConflictException] {
+      graft.ops.TxLog.commitUpsertFrom(spark, tbl, b, "id", "part",
+        start = 0)
+    }
+    assert(e.getMessage.contains("part") && e.getMessage.contains("v1"))
+    // the loser left no trace: head is still v1, A's update intact
+    assert(graft.ops.TxLog.currentVersion(tbl) == 1)
+    val got = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got(3L) == 300.0 && got(7L) == 7.0)
+    // and the retry path: re-merged against v1, B now lands
+    assert(graft.ops.TxLog.commitUpsertFrom(spark, tbl, b, "id", "part",
+      start = 1) == 2)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .filter(col("id").isin(3L, 7L)).select("v").as[Double]
+      .collect().toSet == Set(300.0, 700.0))
+  }
+
+  test("OCC: truly concurrent disjoint writers both land (claim-file " +
+      "serialization)") {
+    val tbl = initOcc("occ-race")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def writer(id: Long, part: Int) = Future {
+      val batch = Seq((id, part, id * 100.0)).toDF("id", "part", "v")
+      gate.countDown(); gate.await() // both read snapshot v0 first
+      graft.ops.TxLog.commitUpsertFrom(spark, tbl, batch, "id", "part",
+        start = 0)
+    }
+    val versions = Await.result(
+      Future.sequence(Seq(writer(3L, 1), writer(14L, 2))), 120.seconds)
+    assert(versions.toSet == Set(1, 2), s"got $versions")
+    val got = graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got(3L) == 300.0 && got(14L) == 1400.0)
+    assert(!Files.exists(Paths.get(s"$tbl/_vlog/v1.claim")) &&
+      !Files.exists(Paths.get(s"$tbl/_vlog/v2.claim")), "claim leaked")
+  }
+
+  test("OCC: a stale claim from a crashed writer fails loudly after " +
+      "the timeout") {
+    val tbl = initOcc("occ-stale")
+    Files.write(Paths.get(s"$tbl/_vlog/v1.claim"), Array.emptyByteArray)
+    val b = Seq((3L, 1, 300.0)).toDF("id", "part", "v")
+    val e = intercept[IllegalStateException] {
+      graft.ops.TxLog.commitUpsertFrom(spark, tbl, b, "id", "part",
+        start = 0, claimTimeoutMs = 300L)
+    }
+    assert(e.getMessage.contains("stale claim"))
+  }
 }

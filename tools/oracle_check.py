@@ -151,11 +151,15 @@ def main():
             continue
         try:
             con = connect()
-            t0 = _time.time()
-            ora = con.execute(sql).fetch_arrow_table()
-            dt = _time.time() - t0
-            t_total += dt
-            con.close()
+            try:
+                t0 = _time.time()
+                ora = con.execute(sql).fetch_arrow_table()
+                dt = _time.time() - t0
+                t_total += dt
+            finally:
+                # close on the error path too — a run with many failing
+                # oracles would otherwise accumulate leaked connections
+                con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             verdict(e=f"oracle sql error: {e}")
