@@ -76,6 +76,66 @@ object Compact {
       partCol: String, keyCol: String, targetBytes: Long): Seq[PartPlan] = {
     val NullPart = org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    withPrunedTouched(spark, basePath, partCol, targetBytes) {
+      (pruned, touched) =>
+        val planDf = broadcast(spark.createDataFrame(
+          touched.map(p => (p.value, p.plannedOut)))
+          .toDF("__pv", "__n_out"))
+        val bin: Column = pmod(
+          conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10)
+            .cast("long"),
+          col("__n_out").cast("long"))
+        pruned
+          .join(planDf,
+            coalesce(col(partCol).cast("string"), lit(NullPart))
+              === col("__pv"))
+          .withColumn("__bin", bin)
+          .repartition(col(partCol), col("__bin"))
+          .drop("__pv", "__n_out", "__bin")
+    }
+  }
+
+  /** [[compactPartitions]] composed with OPTIMIZE ZORDER (round 14 —
+    * production compaction re-CLUSTERS while it merges): touched
+    * partitions are rewritten with rows co-clustered on `zCols`' Morton
+    * key ([[Layout.zValueK]]) instead of md5-binned, so the one rewrite
+    * pays for both the small-file merge and k-dimensional data skipping
+    * (LayoutSpec measures the files-touched win on a 3-column box
+    * query; md5-binned compaction merges fragments but prunes nothing).
+    *
+    * Binning is a range partition over (partition, z) sized to the
+    * plan's total output files: each task owns a contiguous z-range
+    * inside one partition (straddling a directory boundary at worst
+    * once), so every output file is a bounded k-D box and its min/max
+    * stats stay tight on ALL k columns. No per-partition window — a
+    * huge partition spreads across many range tasks, the same
+    * distributed-sort shape as [[Layout.zOrderWrite]].
+    */
+  def compactPartitionsZ(spark: SparkSession, basePath: String,
+      partCol: String, keyCol: String, targetBytes: Long,
+      zCols: Seq[String]): Seq[PartPlan] =
+    withPrunedTouched(spark, basePath, partCol, targetBytes) {
+      (pruned, touched) =>
+        val totalOut = touched.map(_.plannedOut.toLong).sum
+          .min(Int.MaxValue.toLong).toInt
+        pruned
+          .withColumn("__z", Layout.zValueK(zCols.map(col)))
+          .repartitionByRange(totalOut, col(partCol), col("__z"),
+            col(keyCol))
+          .sortWithinPartitions(col(partCol), col("__z"), col(keyCol))
+          .drop("__z")
+    }
+
+  /** Shared compaction skeleton: list → plan → prune to touched
+    * partitions → caller-provided re-binning → dynamic-overwrite land.
+    * Returns the full plan; a no-touch table returns without reading a
+    * single data file.
+    */
+  private def withPrunedTouched(spark: SparkSession, basePath: String,
+      partCol: String, targetBytes: Long)(
+      rebin: (DataFrame, Seq[PartPlan]) => DataFrame): Seq[PartPlan] = {
+    val NullPart = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     val parts = listPartitions(spark, basePath, partCol)
     val plans = parts.map { case (v, n, bytes) =>
       val out = math.max(1L,
@@ -85,7 +145,7 @@ object Compact {
     val touched = plans.filter(_.touched)
     if (touched.isEmpty) return plans
     val base = spark.read.parquet(basePath)
-    val clash = base.columns.filter(Set("__pv", "__n_out", "__bin"))
+    val clash = base.columns.filter(Set("__pv", "__n_out", "__bin", "__z"))
     require(clash.isEmpty,
       s"table carries reserved temp columns: ${clash.mkString(",")}")
     // the null-partition directory (__HIVE_DEFAULT_PARTITION__) can't go
@@ -105,20 +165,7 @@ object Compact {
     val pruned = base.filter(
       if (nullTouched.isEmpty) valueMatch
       else valueMatch || col(partCol).isNull)
-    val planDf = broadcast(spark.createDataFrame(
-      touched.map(p => (p.value, p.plannedOut)))
-      .toDF("__pv", "__n_out"))
-    val bin: Column = pmod(
-      conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10)
-        .cast("long"),
-      col("__n_out").cast("long"))
-    val binned = pruned
-      .join(planDf,
-        coalesce(col(partCol).cast("string"), lit(NullPart)) === col("__pv"))
-      .withColumn("__bin", bin)
-      .repartition(col(partCol), col("__bin"))
-      .drop("__pv", "__n_out", "__bin")
-      .localCheckpoint()
+    val binned = rebin(pruned, touched).localCheckpoint()
     binned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)

@@ -52,6 +52,38 @@ object Layout {
       s"((($e) | (($e) << $s)) & $m)"
     }
 
+  /** k-column Morton z-value (round 14 — production OPTIMIZE ZORDER
+    * takes k columns, not 2): bit i of column j lands at position
+    * i·k + j, interleaving all k ladders. Built as a flat OR of
+    * single-bit shift terms — exact long arithmetic, identical in any
+    * engine (the 2-column [[zValue]] is the k = 2 special case bit for
+    * bit), codegen-friendly (one deterministic expression tree, no
+    * UDF). `bits` per column defaults to 16; k·bits ≤ 63 keeps the key
+    * in a signed BIGINT.
+    */
+  def zValueK(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.size >= 2, "interleave needs at least 2 columns")
+    require(cols.size * bits <= 63, s"${cols.size} cols x $bits bits " +
+      "overflows a signed 64-bit key")
+    val k = cols.size
+    cols.zipWithIndex.map { case (c, j) =>
+      val x = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * k + j): Column
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SQL (DuckDB) mirror of [[zValueK]] over expressions already BIGINT
+    * in [0, 2^bits).
+    */
+  def zValueKSql(exprs: Seq[String], bits: Int = 16): String = {
+    val k = exprs.size
+    exprs.zipWithIndex.flatMap { case (e, j) =>
+      (0 until bits).map(i => s"(((($e) >> $i) & 1) << ${i * k + j})")
+    }.mkString("(", " | ", ")")
+  }
+
   /** Write `df` z-clustered on (a, b): range-partition by z-value (a
     * distributed sort — each task owns one contiguous z-range, i.e. one
     * bounded 2-D box) and emit one file per range. `nFiles` sizes the
@@ -133,4 +165,56 @@ object Layout {
           .otherwise(0L)).as("buckets_touched"))
       .select(lit(layout).as("layout"), col("buckets_total"),
         col("buckets_touched"))
+
+  /** k-column [[bucketStats]]: per-bucket (min, max) of EVERY clustering
+    * column, named `min_<c>`/`max_<c>`. Same distributed-rank shape.
+    */
+  def bucketStatsK(df: DataFrame, cols: Seq[String], nFiles: Int,
+      order: Column*): DataFrame = {
+    val ranked = graft.util.Pins.pin(
+      GraphOps.withPosition(df, "__pos", order: _*))
+    val n = broadcast(ranked.groupBy()
+      .agg((max(col("__pos")) + 1L).as("__n")))
+    ranked.crossJoin(n)
+      .withColumn("bucket",
+        expr(s"CAST((__pos * $nFiles) div __n AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** k-column [[bucketsTouched]]: the k-D box predicate is
+    * `bounds(c) = (lo, hi)` per clustering column.
+    */
+  def bucketsTouchedK(df: DataFrame, layout: String,
+      bounds: Seq[(String, (Long, Long))], nFiles: Int,
+      order: Column*): DataFrame = {
+    val hit = bounds.map { case (c, (lo, hi)) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    bucketStatsK(df, bounds.map(_._1), nFiles, order: _*)
+      .agg(count(lit(1)).as("buckets_total"),
+        sum(when(hit, 1L).otherwise(0L)).as("buckets_touched"))
+      .select(lit(layout).as("layout"), col("buckets_total"),
+        col("buckets_touched"))
+  }
+
+  /** k-column [[fileStats]]: per-file min/max of every clustering
+    * column from the PHYSICAL files, named like [[bucketStatsK]].
+    */
+  def fileStatsK(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+
+  /** Files a k-D box predicate must touch under [[fileStatsK]]. */
+  def filesTouchedK(stats: DataFrame,
+      bounds: Seq[(String, (Long, Long))]): Long =
+    stats.filter(bounds.map { case (c, (lo, hi)) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)).count()
 }

@@ -90,4 +90,87 @@ class LayoutSpec extends SparkSpec {
     assert(zTouched * 2 <= linTouched,
       s"z layout touched $zTouched files vs linear $linTouched")
   }
+
+  test("zValueK interleaves k=3 exactly (by-hand replay) and matches " +
+      "zValue at k=2") {
+    def morton3(a: Long, b: Long, c: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (3 * i)
+        z |= ((b >> i) & 1L) << (3 * i + 1)
+        z |= ((c >> i) & 1L) << (3 * i + 2)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L),
+      (0L, 0L, 1L), (65535L, 65535L, 65535L), (12345L, 54321L, 999L))
+    val got = cases.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueK(Seq(col("a"), col("b"), col("c"))).as("z3"),
+        Layout.zValueK(Seq(col("a"), col("b"))).as("zk2"),
+        Layout.zValue(col("a"), col("b")).as("z2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("z3") ===
+        morton3(r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(r.getAs[Long]("zk2") === r.getAs[Long]("z2"),
+        "k=2 zValueK diverges from the ladder zValue")
+    }
+  }
+
+  test("compactPartitionsZ merges fragments AND co-clusters: a 3-D box " +
+      "query touches ≥2× fewer files than md5-binned compaction") {
+    // two day-partitions, 16 fragment files each, rows uniform over a
+    // 64x64x64 (a, b, c) grid
+    val n = 200000L
+    def mk(tag: String): String = {
+      val df = spark.range(n).select(
+        col("id"),
+        (col("id") % 2).cast("int").as("day"),
+        (col("id") % 64).as("a"),
+        ((col("id") / 64).cast("long") * 131L % 64).as("b"),
+        ((col("id") / 4096).cast("long") * 37L % 64).as("c"))
+      val path = java.nio.file.Files
+        .createTempDirectory(s"layoutz-$tag").toString + "/t"
+      df.repartition(64, col("id"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      path
+    }
+    val (zTbl, mTbl) = (mk("z"), mk("m"))
+    val before = spark.read.parquet(zTbl).count()
+    // byte target sized to plan ~16 output files per partition — enough
+    // z-granularity that a 1/64-volume box is a small z-range
+    val bytes = graft.ops.Compact
+      .listPartitions(spark, zTbl, "day").map(_._3).sum
+    val target = bytes / 32
+    val planZ = graft.ops.Compact.compactPartitionsZ(spark, zTbl, "day",
+      "id", target, Seq("a", "b", "c"))
+    val planM = graft.ops.Compact.compactPartitions(spark, mTbl, "day",
+      "id", target)
+    assert(planZ.forall(_.touched) && planM.forall(_.touched))
+    // rows preserved exactly
+    assert(spark.read.parquet(zTbl).count() === before)
+    assert(spark.read.parquet(zTbl).agg(sum(col("id"))).head.getLong(0)
+      === spark.read.parquet(mTbl).agg(sum(col("id"))).head.getLong(0))
+    // fragments merged on both paths
+    def nFiles(p: String) = graft.ops.Compact
+      .listPartitions(spark, p, "day").map(_._2).sum
+    assert(nFiles(zTbl) < 128 && nFiles(mTbl) < 128)
+    // the co-clustering win: 16x16x16 boxes
+    val boxes = Seq(
+      Seq("a" -> ((0L, 15L)), "b" -> ((16L, 31L)), "c" -> ((32L, 47L))),
+      Seq("a" -> ((48L, 63L)), "b" -> ((0L, 15L)), "c" -> ((0L, 15L))))
+    def touched(p: String) = boxes.map(bx => graft.ops.Layout
+      .filesTouchedK(graft.ops.Layout.fileStatsK(spark, p,
+        Seq("a", "b", "c")), bx)).sum
+    val (tz, tm) = (touched(zTbl), touched(mTbl))
+    // compare the touched FRACTION (bytes-read share): the md5 path's
+    // file count is additionally bounded by shuffle parallelism, so
+    // absolute counts aren't comparable across layouts
+    val (nz, nm) = (nFiles(zTbl) * boxes.size, nFiles(mTbl) * boxes.size)
+    assert(tz * 2 * nm <= tm * nz,
+      s"z-compacted layout touched $tz/$nz files vs md5 $tm/$nm")
+    assert(tm.toDouble / nm > 0.9,
+      "md5 baseline should touch ~every file on a box query")
+  }
 }
