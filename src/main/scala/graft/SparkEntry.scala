@@ -1741,6 +1741,23 @@ object SparkEntry {
           col("p16"), col("l_orderkey"), col("l_linenumber")))
     }),
 
+    // perceptual-hash image near-dup (round 14) — the one LLM-pipeline
+    // dedup modality q24/q90's text stack can't see: dHash64 over each
+    // media payload's grayscale raster (real decode for BMP/PGM/codec
+    // images, the deterministic stub raster for this fixture's opaque
+    // text payloads — same seam as q29), then the SAME Manku 4×16-bit
+    // pigeonhole pairing as text SimHash. Exact byte-dup families land
+    // at Hamming 0; MultimodalSpec pins a real BMP caught against its
+    // PGM re-encode. The stub raster is pure integer arithmetic over
+    // the payload bytes, so the whole face is hash-exact in DuckDB.
+    "q147_phash_neardup" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.asMedia(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+      graft.ext.Dedup.bandPairs64(
+        graft.ext.Multimodal.dhashMedia(media), "dhash", hamMax = 3)
+    }),
+
     "q122_order_pivot" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       Tables.table(s, dir, "orders")
@@ -3288,6 +3305,62 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'linear' AS layout, buckets_total, buckets_touched FROM lc
          |""".stripMargin
+    },
+
+    "q147_phash_neardup" -> {
+      // the stub-raster dHash in SQL: w = max(1, floor(sqrt(n))),
+      // h = max(1, n // w), px(x, y) = byte[(y*w + x) % n]; 9×8 grid
+      // sample, bit y·8+x = left < right. Bytes come from the hex
+      // rendering of the utf-8 payload (substr on the TEXT would
+      // char-index, not byte-index, on multibyte corpora).
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, dhash, $b AS band_id, " +
+          s"(dhash >> ${16 * b}) & 65535 AS block FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH d AS (
+         |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+         |      AS nb
+         |  FROM documents),
+         |g AS (SELECT doc_id, hx, nb,
+         |    greatest(1, CAST(floor(sqrt(nb)) AS BIGINT)) AS w
+         |  FROM d),
+         |g2 AS (SELECT doc_id, hx, nb, w, greatest(1, nb // w) AS h
+         |  FROM g),
+         |grid AS (SELECT doc_id, hx, nb, w, h,
+         |    CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+         |  FROM g2, unnest(range(0, 8)) ux(x),
+         |       unnest(range(0, 8)) uy(y)),
+         |px AS (SELECT doc_id, x, y,
+         |    CASE WHEN nb = 0 THEN 0
+         |         ELSE CAST(('0x' || substr(hx,
+         |           CAST(2 * ((((y * h) // 8) * w + ((x * w) // 9)) % nb)
+         |             + 1 AS BIGINT), 2)) AS INTEGER) END AS l,
+         |    CASE WHEN nb = 0 THEN 0
+         |         ELSE CAST(('0x' || substr(hx,
+         |           CAST(2 * ((((y * h) // 8) * w + (((x + 1) * w) // 9))
+         |             % nb) + 1 AS BIGINT), 2)) AS INTEGER) END AS r
+         |  FROM grid),
+         |sig AS (SELECT doc_id,
+         |    CAST(coalesce(sum(CASE WHEN l < r THEN
+         |      -- bit 63 as the signed-wrap literal: DuckDB's runtime
+         |      -- << throws on 1 << 63 instead of wrapping
+         |      CASE WHEN y * 8 + x = 63
+         |           THEN CAST(-9223372036854775807 AS BIGINT) - 1
+         |           ELSE CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)
+         |      END
+         |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS dhash
+         |  FROM px GROUP BY doc_id),
+         |band AS ($bandSelects),
+         |bsz AS (SELECT band_id, block FROM band
+         |  GROUP BY band_id, block HAVING count(*) BETWEEN 2 AND 64),
+         |bandk AS (SELECT band.* FROM band JOIN bsz USING (band_id, block)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |  FROM bandk a JOIN bandk b
+         |    ON a.band_id = b.band_id AND a.block = b.block
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin
     },
 
     "q122_order_pivot" ->
@@ -5046,6 +5119,30 @@ object SparkEntry {
       s"($vExpr[$idx] - ($x))*($vExpr[$idx] - ($x))"
     }.mkString(" + ")
 
+  /** [[d2Sql]] at CONSTANT expression-node count (round 14): the ANN
+    * mirrors' replay cost was DuckDB PLANNING time — superlinear in
+    * expression nodes, and the expanded d² put ~200 nodes per centroid
+    * into one projection (q87's composed mirror: 26 s wall, 2 s
+    * execution). This form is the same left-associated Σ (v[i]−c_i)²
+    * as a `list_reduce` over a zipped literal list — `(a, b) -> a + b`
+    * folds first-to-last exactly like the `+` chain. Each element is
+    * `CAST(x AS DOUBLE)` INDIVIDUALLY: a bare 64-element list literal
+    * unifies to one DECIMAL type and loses bits, and DuckDB's
+    * decimal→double conversion is not correctly rounded — the
+    * per-element cast reproduces the scalar-context conversion the
+    * expanded form used, A/B-verified bit-equal over the corpus.
+    */
+  private def d2ListSql(vExpr: String, c: Array[Double],
+      off: Int): String = {
+    val lits = c.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    // ALWAYS slice to c.length: list_zip pads the shorter side with
+    // NULLs, so zipping a full vector against a subspace codebook
+    // would NULL every term (the q50 j=0 subspace has off = 0 too)
+    val v = s"$vExpr[${off + 1}:${off + c.length}]"
+    s"list_reduce(list_transform(list_zip($v, $lits), " +
+      "x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b)"
+  }
+
   /** IVF-Flat mirror: literal-centroid cell assignment (argmin of the d²
     * list = `list_position(ds, list_min(ds))`, first-match tie-break like
     * Spark's `array_position(ds, array_min(ds))`), per-query probe ranking
@@ -5054,18 +5151,21 @@ object SparkEntry {
     */
   private def q40OracleSql(centers: Array[Array[Double]], nprobe: Int,
                            k: Int): String = {
-    val dsList = centers.map(c => d2Sql("v", c, 0))
+    val dsList = centers.map(c => d2ListSql("v", c, 0))
       .mkString("[\n    ", ",\n    ", "]")
-    val qd = centers.zipWithIndex.map { case (c, i) =>
-      s"  SELECT vec_id AS query_id, v AS v_q, $i AS cell, ${d2Sql("v", c, 0)} AS d FROM e WHERE vec_id < 5"
-    }.mkString("\n  UNION ALL\n")
+    // query-side distances UNNEST the already-computed per-row ds list
+    // (bit-identical by construction) instead of re-embedding a second
+    // copy of every centroid literal — half the planning cost
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |ad AS (SELECT vec_id, v, $dsList AS ds FROM e),
        |a AS (SELECT vec_id AS nbr_id, v,
        |        list_position(ds, list_min(ds)) - 1 AS cell FROM ad),
        |qd AS (
-       |$qd),
+       |  SELECT vec_id AS query_id, v AS v_q,
+       |    CAST(generate_subscripts(ds, 1) - 1 AS INTEGER) AS cell,
+       |    unnest(ds) AS d
+       |  FROM ad WHERE vec_id < 5),
        |probed AS (SELECT query_id, v_q, cell FROM (
        |    SELECT query_id, v_q, cell,
        |      row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS pr
@@ -5097,7 +5197,7 @@ object SparkEntry {
     */
   private def q69OracleSql(centers: Array[Array[Double]],
                            minCos: Double): String = {
-    val dsList = centers.map(c => d2Sql("v", c, 0))
+    val dsList = centers.map(c => d2ListSql("v", c, 0))
       .mkString("[\n    ", ",\n    ", "]")
     val cnList = centers.map(c => c.map(x => x * x).sum)
       .mkString("[", ", ", "]")
@@ -5262,10 +5362,10 @@ object SparkEntry {
                            nprobe: Int, k: Int, dsub: Int): String = {
     val m = books.length
     def dlist(xs: Array[Double]): String = xs.mkString("[", ", ", "]")
-    val dscList = coarse.map(c => d2Sql("v", c, 0))
+    val dscList = coarse.map(c => d2ListSql("v", c, 0))
       .mkString("[\n    ", ",\n    ", "]")
     val subDsCols = (0 until m).map { j =>
-      books(j).map(c => d2Sql("v", c, j * dsub))
+      books(j).map(c => d2ListSql("v", c, j * dsub))
         .mkString("[\n    ", ",\n    ", s"] AS ds$j")
     }.mkString(",\n  ")
     val codeCols = (0 until m)
@@ -5285,9 +5385,6 @@ object SparkEntry {
     val adc = (0 until m).map(j => s"list_extract(l.lut$j, cand.c$j + 1)")
       .mkString("\n      + ")
     val candCodes = (0 until m).map(j => s"w.c$j").mkString(", ")
-    val qd = coarse.zipWithIndex.map { case (c, i) =>
-      s"  SELECT query_id, $i AS cell, ${d2Sql("v_q", c, 0)} AS d FROM qb"
-    }.mkString("\n  UNION ALL\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |ds AS (SELECT vec_id, v, $dscList AS dsc,
@@ -5303,8 +5400,10 @@ object SparkEntry {
        |  $lutCols,
        |  sqrt(list_dot_product(v_q, v_q)) AS q_norm
        |  FROM qb),
-       |qd AS (
-       |$qd),
+       |qd AS (SELECT vec_id AS query_id,
+       |    CAST(generate_subscripts(dsc, 1) - 1 AS INTEGER) AS cell,
+       |    unnest(dsc) AS d
+       |  FROM ds WHERE vec_id < 5),
        |probed AS (SELECT query_id, cell FROM (
        |    SELECT query_id, cell,
        |      row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS pr
