@@ -222,13 +222,45 @@ object MultimodalScale {
     assert(badThumbMean == 0,
       s"$badThumbMean lossless thumbnails changed the uniform mean")
 
+    // ── dHash over gradient pairs: BMP original + its 16×16 PGM
+    // re-encode (round 14, q147's scale record). A strict horizontal
+    // gradient makes the planted truth closed-form: every sampled
+    // left < right comparison is true, so dhash == -1 (all 64 bits) for
+    // BOTH the original and the thumbnail — re-encode Hamming 0 for
+    // every pair, asserted over all rows, partition-parallel end to end.
+    val tDh = t0()
+    val grads = spark.range(n / 7).as[Long].mapPartitions(_.flatMap { id =>
+      val gw = 16 + (id % 16).toInt
+      val gh = 12 + (id % 8).toInt
+      val img = new java.awt.image.BufferedImage(gw, gh,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      (0 until gw).foreach { x =>
+        val gv = x * 255 / (gw - 1)
+        g.setColor(new java.awt.Color(gv, gv, gv))
+        g.fillRect(x, 0, 1, gh)
+      }
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      val bmp = bos.toByteArray
+      Iterator(MediaItem(id * 2, bmp, "image"),
+        MediaItem(id * 2 + 1, Multimodal.resizeToPgm(bmp, 16, 16),
+          "image"))
+    }).toDF()
+    val badDh = Multimodal.dhashMedia(grads)
+      .filter(col("dhash") =!= lit(-1L)).count()
+    val dhSec = secs(tDh)
+    assert(badDh == 0, s"$badDh gradient dhashes off the planted all-ones")
+
     println(s"""{"n":$n,"payload_bytes":$nBytes,"gen_sec":$genSec,""" +
       s""""feat_sec":$featSec,""" +
       s""""payloads_per_sec":${(n / featSec).toLong},""" +
-      s""""audio_sec":$audSec,"resize_sec":$resSec,""" +
+      s""""audio_sec":$audSec,"resize_sec":$resSec,"dhash_sec":$dhSec,""" +
       s""""bad_lossless":$badLossless,"bad_jpeg":$badJpeg,""" +
       s""""corrupt_decoded":$corruptDecoded,"bad_audio":$badAudio,""" +
-      s""""bad_thumb":$badThumb,"bad_thumb_mean":$badThumbMean}""")
+      s""""bad_thumb":$badThumb,"bad_thumb_mean":$badThumbMean,""" +
+      s""""bad_dhash":$badDh}""")
     spark.stop()
   }
 }

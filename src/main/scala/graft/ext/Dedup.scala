@@ -365,14 +365,23 @@ object Dedup {
     * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
-                   hamMax: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sigs = simhash(docs, textCol)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+                   hamMax: Int = 3, maxBucket: Int = 64): DataFrame =
+    bandPairs64(simhash(docs, textCol), "simhash", hamMax, maxBucket)
+
+  /** The pigeonhole pairing step alone, over ANY 64-bit signature
+    * column `(doc_id, sigCol)` — shared by text SimHash (q90) and the
+    * image dHash (q147): 4 × 16-bit blocks, [2, maxBucket] bucket gate,
+    * equi-join on (block index, block value), exact `bit_count(xor)`
+    * residual. Output (doc_a, doc_b, hamming), doc_a < doc_b, once.
+    */
+  def bandPairs64(sigs: DataFrame, sigCol: String,
+                  hamMax: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col(sigCol).as("__sig"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),
-            (shiftright(col("simhash"), 16 * b) bitwiseAND lit(0xffffL))
+            (shiftright(col(sigCol), 16 * b) bitwiseAND lit(0xffffL))
               .as("block"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("__sig").as("simhash"),
         col("bb.band_id").as("band_id"), col("bb.block").as("block"))
     val bcWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_id"), col("block"))

@@ -301,6 +301,49 @@ object Multimodal {
     }.toDF()
   }
 
+  /** 64-bit dHash (difference hash) of the payload's grayscale raster —
+    * the image-modality near-dup signature the text stack (q24/q90)
+    * cannot see: nearest-neighbor sample to a 9×8 grid through the same
+    * seam as [[resizeToPgm]] (real raster for BMP/PGM/codec images, the
+    * deterministic stub raster otherwise), bit y·8+x set iff
+    * px(x, y) < px(x+1, y) on the sampled row. Re-encodes of the same
+    * image (format change, thumbnail, small noise) keep almost every
+    * bit, so Manku banding + exact Hamming finds them with zero
+    * all-pairs work (MultimodalSpec pins a BMP caught against its PGM
+    * re-encode at distance 0).
+    */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val (w, h, px) = grayRaster(b)
+    var z = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = (y.toLong * h / 8).toInt
+      var x = 0
+      while (x < 8) {
+        val l = px((x.toLong * w / 9).toInt, sy)
+        val r = px(((x + 1).toLong * w / 9).toInt, sy)
+        if (l < r) z |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    z
+  }
+
+  final case class MediaHash(doc_id: Long, dhash: Long)
+
+  /** [[dHash64]] over a media DataFrame: partition-parallel map, one
+    * signature row per item. Pair with [[graft.ext.Dedup.bandPairs64]]
+    * for the banded near-dup join (q147).
+    */
+  def dhashMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions(it =>
+      it.map(i => MediaHash(i.doc_id, dHash64(i.media)))).toDF()
+  }
+
   /** Feature extraction over media items: partition-parallel, streaming
     * per item, no driver involvement. Frame sampling for "video" = every
     * 64th byte-row of the decode (stub for real frame extraction — the

@@ -238,4 +238,40 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0L) == 1 && frames(1L) == 1)
     assert(frames(2L) >= 1) // video path
   }
+
+  test("dHash catches a re-encoded duplicate: BMP vs its PGM thumbnail " +
+      "pair through the banded join, unrelated images apart") {
+    // a real gradient image, BMP-encoded; its "re-encode" is the 32×32
+    // PGM thumbnail (different format, different resolution, same
+    // picture); a third unrelated image (inverted gradient + stripes)
+    def gradient(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48) {
+        val v = if (seed == 0) (x * 4) % 256
+          else 255 - (x * 4) % 256 ^ (if (y % 8 < 4) 96 else 0)
+        img.setRGB(x, y, new java.awt.Color(v, v, v).getRGB)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val bmp = gradient(0)
+    val reenc = Multimodal.resizeToPgm(bmp, 32, 32)
+    val other = gradient(1)
+    val da = Multimodal.dHash64(bmp)
+    val db = Multimodal.dHash64(reenc)
+    val dc = Multimodal.dHash64(other)
+    assert(java.lang.Long.bitCount(da ^ db) <= 3,
+      s"re-encode drifted ${java.lang.Long.bitCount(da ^ db)} bits")
+    assert(java.lang.Long.bitCount(da ^ dc) > 3,
+      "unrelated image landed within the near-dup radius")
+    // end-to-end: the banded join surfaces exactly the planted pair
+    val media = Seq((1L, bmp, "image"), (2L, reenc, "image"),
+      (3L, other, "image")).toDF("doc_id", "media", "media_type")
+    val pairs = graft.ext.Dedup.bandPairs64(
+      Multimodal.dhashMedia(media), "dhash", hamMax = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
