@@ -35,6 +35,7 @@ object Main {
       |  graft.Main stream-overlap --f <dir with left/ right/> [--o <outdir>] [--m "1 hour"] [--x 86400] [--g 3600]
       |  graft.Main stream-snapshot --f <dir with events/> [--o <outdir>]
       |  graft.Main stream-changelog --f <dir with changelog/> [--o <outdir>]
+      |  graft.Main stream-cdcextract --f <dir with snap_a/ + snap_b/> [--o <outdir>] [--h <horizonMs>]
       |  graft.Main stream-sessions --f <dir with events/> [--o <outdir>] [--g "30 minutes"] [--m "2 hours"]
       |  graft.Main curate   --f <docs.parquet> [--o <outdir>] [--l 512] [--t 2000]
       |                      [--e <benchmark.parquet>] [--v <embeddings.parquet>]
@@ -136,6 +137,13 @@ object Main {
           val n = runStreamChangelog(spark, in, opt("--o", "results"))
           println(s"stream-changelog: $n apply rows -> " +
             s"${opt("--o", "results")}/stream_changelog")
+        case "stream-cdcextract" =>
+          val in = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val n = runStreamCdcExtract(spark, in, opt("--o", "results"),
+            horizonMs = opt("--h", "600000").toLong)
+          println(s"stream-cdcextract: $n I/U/D rows -> " +
+            s"${opt("--o", "results")}/stream_cdc_extract")
         case "stream-sessions" =>
           val in = opts.getOrElse("--f",
             { System.err.println(usage); sys.exit(2); "" })
@@ -514,6 +522,43 @@ object Main {
     else spark.read.schema("eventId BIGINT, op STRING, seq BIGINT, " +
         "ts TIMESTAMP, userId BIGINT, eventType STRING, value DOUBLE")
       .parquet(s"$out/stream_changelog").count()
+  }
+
+  /** Streaming CDC extract over two snapshot CSV directories — q142's
+    * twin (the thirteenth) as a CLI: `<in>/snap_a` and `<in>/snap_b`
+    * hold the old/new keyed snapshots; the minimal I/U/D feed lands as
+    * parquet. Half-joined keys finalize once the watermark passes the
+    * horizon — a finite input's maximum timestamp never advances the
+    * watermark past itself, so keys only one side delivered near the
+    * end may stay in state for the NEXT run (the standard append-mode
+    * horizon contract; the spec-pinned path feeds a late punctuation
+    * row to flush).
+    */
+  def runStreamCdcExtract(spark: SparkSession, in: String, out: String,
+                          horizonMs: Long): Long = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val sch = StructType.fromDDL("event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE")
+    def side(d: String) = spark.readStream.schema(sch)
+      .option("header", "true").csv(s"$in/$d")
+    val q = StreamOps.streamingCdcExtract(
+        side("snap_a"), side("snap_b"), horizonMs).toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(s"$out/stream_cdc_extract"); ()
+      }
+      .option("checkpointLocation", s"$out/_cdcx_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/stream_cdc_extract"))) 0L
+    else spark.read.schema("op STRING, eventId BIGINT, userId BIGINT, " +
+        "eventType STRING, value DOUBLE")
+      .parquet(s"$out/stream_cdc_extract").count()
   }
 
   /** In-place small-file compaction of a partitioned table (q127's

@@ -255,6 +255,48 @@ object StreamBench {
         in => StreamOps.streamingChangelog(in).toDF,
         mode = "update"))
 
+    // 11c. streamingCdcExtract — two 500k-key snapshot sides in one
+    //     tagged input (split by filter inside the build): key%7==0
+    //     only-a (D), %7==1 only-b (I), the rest on both sides with
+    //     every third changed (U) — the symmetric half-join path,
+    //     q142's streaming twin. A far-future sentinel pair drives the
+    //     watermark past the horizon so the half-joined keys finalize
+    //     inside the drain.
+    val nCdcKeys = 500000L
+    val (cdcP, cdcSch) = writeIn("cdcx-in", {
+      val keys = spark.range(nCdcKeys)
+      val aSide = keys.filter(pmod(col("id"), lit(7L)) =!= 1)
+        .select(lit("a").as("side"), col("id").as("event_id"),
+          tsOf(col("id"), 3000L).as("ts"),
+          pmod(col("id"), lit(1000L)).as("user_id"),
+          lit("t").as("event_type"),
+          pmod(col("id"), lit(997L)).cast("double").as("value"))
+      val bSide = keys.filter(pmod(col("id"), lit(7L)) =!= 0)
+        .select(lit("b").as("side"), col("id").as("event_id"),
+          tsOf(col("id") + 13L, 3000L).as("ts"),
+          pmod(col("id"), lit(1000L)).as("user_id"),
+          lit("t").as("event_type"),
+          (pmod(col("id"), lit(997L)) +
+            when(pmod(col("id"), lit(3L)) === 0, 1L).otherwise(0L))
+            .cast("double").as("value"))
+      val sentinel = spark.range(1).select(lit("a").as("side"),
+          lit(-1L).as("event_id"),
+          timestamp_seconds(lit(1601000000L)).as("ts"),
+          lit(0L).as("user_id"), lit("wm").as("event_type"),
+          lit(0.0).as("value"))
+        .unionByName(spark.range(1).select(lit("b").as("side"),
+          lit(-1L).as("event_id"),
+          timestamp_seconds(lit(1601000000L)).as("ts"),
+          lit(0L).as("user_id"), lit("wm").as("event_type"),
+          lit(0.0).as("value")))
+      aSide.unionByName(bSide).unionByName(sentinel)
+    })
+    record("cdc_extract", nCdcKeys * 2L,
+      drain("cdcx", cdcP, cdcSch,
+        in => StreamOps.streamingCdcExtract(
+          in.filter(col("side") === "a"),
+          in.filter(col("side") === "b"), horizonMs = 60000L).toDF))
+
     // 11. streamingSessions — 1M events over 2k users hash-jittered
     //     across a 600k-second horizon (mean per-user gap 20 min vs the
     //     30-min close ⇒ real multi-event sessions that MERGE across

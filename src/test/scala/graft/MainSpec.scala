@@ -251,6 +251,36 @@ class MainSpec extends SparkSpec {
     assert(got(3L) == (("D", 3L, None)))
   }
 
+  test("stream-cdcextract CLI mode lands the minimal I/U/D feed from " +
+      "two snapshot directories") {
+    val tmp = Files.createTempDirectory("graft-main").toString
+    def t(min: Int) =
+      java.time.Instant.ofEpochSecond(1700000000L + min * 60L).toString
+    def write(side: String, rows: Seq[String]): Unit = {
+      val d = new java.io.File(s"$tmp/in/$side"); d.mkdirs()
+      val w = new java.io.PrintWriter(s"$d/part-0.csv")
+      w.println("event_id,ts,user_id,event_type,value")
+      rows.foreach(w.println)
+      w.close()
+    }
+    // key 1 vanishes (D), 2 unchanged (no emit), 3 changes (U), 4 new
+    // (I); the identical far-future sentinel pair advances the
+    // watermark past the horizon so the half-joined keys finalize
+    write("snap_a", Seq(s"1,${t(0)},100,orig,1.0",
+      s"2,${t(1)},200,orig,2.0", s"3,${t(2)},300,orig,3.0",
+      s"999,${t(5000)},0,wm,0.0"))
+    write("snap_b", Seq(s"2,${t(3)},200,orig,2.0",
+      s"3,${t(4)},300,changed,3.5", s"4,${t(5)},400,new,4.0",
+      s"999,${t(5000)},0,wm,0.0"))
+    val n = Main.runStreamCdcExtract(spark, s"$tmp/in", s"$tmp/out",
+      horizonMs = 300000L)
+    assert(n == 3, s"expected 3 I/U/D rows, got $n")
+    val got = spark.read.parquet(s"$tmp/out/stream_cdc_extract")
+      .collect().map(r => r.getAs[String]("op") ->
+        r.getAs[Long]("eventId")).toSet
+    assert(got == Set("D" -> 1L, "U" -> 3L, "I" -> 4L), s"got $got")
+  }
+
   test("stream-sessions CLI mode lands watermark-finalized sessions " +
       "only") {
     val tmp = Files.createTempDirectory("graft-main").toString

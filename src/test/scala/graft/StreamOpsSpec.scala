@@ -430,6 +430,61 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cdc extract: two snapshot streams drain to exactly " +
+      "the batch cdcExtract I/U/D feed; unchanged keys never emit") {
+    implicit val sq = spark.sqlContext
+    // (event_id, ts, user_id, event_type, value) per side
+    val memA = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val memB = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val names = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.streamingCdcExtract(
+      memA.toDF.toDF(names: _*), memB.toDF.toDF(names: _*),
+      horizonMs = 300000L) // 5 min
+      .writeStream.format("memory").queryName("cdcx_out")
+      .outputMode("append").start()
+    // v0: keys 1 (will vanish), 2 (unchanged), 3 (will change)
+    val v0 = Seq((1L, ts(10), 100L, "orig", 1.0),
+      (2L, ts(11), 200L, "orig", 2.0), (3L, ts(12), 300L, "orig", 3.0))
+    // v1: 2 unchanged (different ts — ts is NOT payload), 3 changed,
+    // 4 new
+    val v1 = Seq((2L, ts(13), 200L, "orig", 2.0),
+      (3L, ts(14), 300L, "changed", 3.5), (4L, ts(15), 400L, "new", 4.0))
+    try {
+      memA.addData(v0: _*)
+      q.processAllAvailable()
+      memB.addData(v1: _*)
+      q.processAllAvailable()
+      // matched keys (2, 3) settle immediately: only the U emits
+      val early = spark.table("cdcx_out").collect()
+      assert(early.map(_.getString(0)).toSeq == Seq("U"), // op col first
+        s"got ${early.toSeq}")
+      // advance the watermark past ts(15) + horizon so the half-joined
+      // keys (1: only-a, 4: only-b) finalize by timeout; the sentinel
+      // pair is identical on both sides, so it emits nothing itself
+      memA.addData((999L, ts(500), 0L, "wm", 0.0))
+      memB.addData((999L, ts(500), 0L, "wm", 0.0))
+      q.processAllAvailable()
+      memA.addData((998L, ts(501), 0L, "wm", 0.0))
+      memB.addData((998L, ts(501), 0L, "wm", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cdcx_out")
+        .select("op", "eventId", "userId", "eventType", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSet
+      // the batch operator over the same snapshots
+      val expected = graft.ops.TimeSeries.cdcExtract(
+        v0.toDF(names: _*), v1.toDF(names: _*), "event_id",
+        Seq("user_id", "event_type", "value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+      assert(got.map(t => (t._1, t._2)) ==
+        Set(("D", 1L), ("U", 3L), ("I", 4L)))
+    } finally q.stop()
+  }
+
   test("streaming moving average equals the batch RANGE frame on " +
       "in-order input; state prunes to the horizon") {
     implicit val sq = spark.sqlContext
