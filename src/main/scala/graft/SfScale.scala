@@ -113,7 +113,10 @@ object SfScale {
     val names = Seq("q109_triangle_counts", "q45_attention_routing",
       "q130_time_travel", "q51_mdl_block_costs", "q121_gdpr_delete",
       "q127_compaction", "q126_bloom_semijoin", "q52_permute_degree",
-      "q23_minhash_pairs", "q110_dpp_prune")
+      "q23_minhash_pairs", "q110_dpp_prune",
+      // round-14 newcomers on the fresh-generated document corpus
+      // (dim-safe: neither joins a fact to a dim)
+      "q147_phash_neardup", "q149_incremental_neardup")
     val times = names.map { name =>
       val t = t0()
       val n = util.Pins.scoped {

@@ -1758,6 +1758,33 @@ object SparkEntry {
         graft.ext.Multimodal.dhashMedia(media), "dhash", hamMax = 3)
     }),
 
+    // LEAKAGE-FREE train/val/test split (round 14) — q59's coin drawn
+    // on the q43 near-dup CLUSTER id, so re-worded copies of an eval
+    // document can never land in train (the contamination leak a
+    // per-doc hash split cannot prevent; production pipelines split
+    // AFTER clustering for exactly this reason). Singletons coin on
+    // their own id — bit-identical to q59 for them.
+    "q148_leakage_split" -> ((s, dir) =>
+      graft.ext.Splits.clusterSplit(
+        Tables.table(s, dir, "documents"),
+        sharedNeardupClusters(s, dir))),
+
+    // INCREMENTAL near-dup screen (round 14) — q23's banded LSH as an
+    // arriving-batch operator, the near-dup sibling of q84's Bloom
+    // screen: the corpus's banded signature table is the persisted
+    // index (mega-buckets gated on the INDEX side — an index property);
+    // the batch bands itself with the same md5 tags, joins only the
+    // buckets it hits, and verifies exact Jaccard on candidates.
+    "q149_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      graft.ext.Dedup.incrementalNeardup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        minJaccard = 0.2)
+        .select(col("doc_id"), col("dup_of"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "q122_order_pivot" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       Tables.table(s, dir, "orders")
@@ -3361,6 +3388,71 @@ object SparkEntry {
          |    ON a.band_id = b.band_id AND a.block = b.block
          |   AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin
+    },
+
+    "q148_leakage_split" ->
+      s"""WITH RECURSIVE $neardupClusterCtes,
+         |d AS (SELECT doc_id FROM documents),
+         |g AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS group_id
+         |  FROM d LEFT JOIN clusters c USING (doc_id)),
+         |coined AS (SELECT doc_id, group_id,
+         |    CAST(('0x' || substr(md5(group_id || '|split'), 1, 15))
+         |      AS BIGINT) % 1000000 AS coin
+         |  FROM g)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN coin < 900000 THEN 'train'
+         |       WHEN coin < 950000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM coined""".stripMargin,
+
+    "q149_incremental_neardup" -> {
+      val k = 32; val bands = 8; val rws = k / bands
+      val minCols = (0 until k)
+        .map(i => s"min(h1 + $i*h2) AS h$i").mkString(",\n    ")
+      val bandSelects = (0 until bands).map { b =>
+        val cols = (b * rws until (b + 1) * rws).map(i => s"h$i")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', $cols, $b)) AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |    i -> array_to_string(t[i:i+2], ' '))) AS s
+         |  FROM toks WHERE len(t) >= 3)),
+         |h AS (SELECT doc_id, s,
+         |    CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h1,
+         |    CAST(('0x' || substr(md5(s), 8, 7)) AS BIGINT) AS h2
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $minCols
+         |  FROM h GROUP BY doc_id),
+         |band AS ($bandSelects),
+         |hb AS (SELECT * FROM band WHERE doc_id % 2 = 0),
+         |bb AS (SELECT * FROM band WHERE doc_id % 2 = 1),
+         |idx AS (SELECT hb.* FROM hb JOIN (
+         |    SELECT band_id, band_hash FROM hb
+         |    GROUP BY band_id, band_hash HAVING count(*) <= 64) gate
+         |  USING (band_id, band_hash)),
+         |cand AS (SELECT DISTINCT b.doc_id AS doc_id,
+         |    i.doc_id AS dup_of
+         |  FROM bb b JOIN idx i
+         |    ON b.band_id = i.band_id AND b.band_hash = i.band_hash),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_id, c.dup_of, count(*) AS n_int
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_id
+         |  JOIN sh y ON y.doc_id = c.dup_of AND y.s = x.s
+         |  GROUP BY c.doc_id, c.dup_of),
+         |j AS (SELECT i.doc_id, i.dup_of,
+         |    CAST(i.n_int AS DOUBLE) / (sb.n_sh + sh2.n_sh - i.n_int)
+         |      AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sb ON sb.doc_id = i.doc_id
+         |  JOIN sizes sh2 ON sh2.doc_id = i.dup_of)
+         |SELECT doc_id, dup_of, round(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= 0.2""".stripMargin
     },
 
     "q122_order_pivot" ->

@@ -305,6 +305,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL near-dup screen (round 14) — the arriving-batch shape
+    * of [[minhashLshPairs]] (q149): the corpus's banded signature table
+    * is the persisted INDEX; a new batch bands itself with the SAME
+    * md5 hash tags, equi-joins the index on (band_id, band_hash), and
+    * verifies exact Jaccard on the candidates only. Per-batch work is
+    * O(batch shingles) plus the joins against only the buckets the
+    * batch actually hits — [[bloomIncrementalDedup]]'s contract, but
+    * for NEAR duplicates (the index build is one-time and amortizes
+    * across batches; here it is rebuilt in-query because the fixture
+    * has no persisted state, exactly like the q84 Bloom build).
+    *
+    * The mega-bucket gate applies to the INDEX side only (an index
+    * property, stable across batches — a batch has no business paying
+    * a window over history it didn't write). Output:
+    * (doc_id, dup_of, jaccard) — one row per batch doc per matched
+    * history doc at ≥ minJaccard.
+    */
+  def incrementalNeardup(history: DataFrame, batch: DataFrame,
+      textCol: String = "text", k: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val (histSh, histBanded) = lshBanded(history, textCol, k, bands)
+    val (batchSh, batchBanded) = lshBanded(batch, textCol, k, bands)
+    val bcWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_hash"))
+    val idx = histBanded
+      .withColumn("bc", count(lit(1)).over(bcWin))
+      .filter(col("bc") <= maxBucket)
+      .drop("bc")
+      .transform(graft.util.Pins.pin)
+    val cand = batchBanded
+      .join(idx.select(col("doc_id").as("dup_of"), col("band_id"),
+        col("band_hash")), Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("dup_of"))
+      .distinct()
+      .transform(graft.util.Pins.pin)
+    // exact Jaccard from co-occurrence over the two shingle tables,
+    // both semi-join-restricted to candidate members first (the q23
+    // discipline — members ≪ corpus, so the intersection join never
+    // shuffles the full tables)
+    val bSh = batchSh.join(cand.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").transform(graft.util.Pins.pin)
+    val hSh = histSh.join(
+      cand.select(col("dup_of").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").transform(graft.util.Pins.pin)
+    val inter = cand
+      .join(bSh, "doc_id")
+      .join(hSh.select(col("doc_id").as("dup_of"), col("h1"), col("h2")),
+        Seq("dup_of", "h1", "h2"))
+      .groupBy(col("doc_id"), col("dup_of"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(bSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b")),
+        "doc_id")
+      .join(hSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_h"))
+        .select(col("doc_id").as("dup_of"), col("n_h")), "dup_of")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_b").cast("double") + col("n_h") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+  }
+
   /** Exact Jaccard of two (distinct-element) arrays — intersection
     * computed once.
     */

@@ -40,4 +40,33 @@ object Splits {
         .when(coin < valPpm, lit("val"))
         .otherwise(lit("test")).as("split"))
   }
+
+  /** LEAKAGE-FREE split (round 14): [[hashSplit]] with the coin drawn
+    * on the near-dup CLUSTER id instead of the document id — every
+    * member of a near-dup family shares one coin, so re-worded copies
+    * of a validation document can never land in train (the
+    * eval-contamination leak a per-doc hash split cannot prevent, and
+    * the reason production pipelines split AFTER clustering). Docs
+    * outside any cluster (the vast majority) coin on their own id,
+    * which reduces to [[hashSplit]] for them bit-for-bit.
+    *
+    * `clusters` is the (doc_id, cluster_id) table of
+    * [[graft.ext.Dedup.connectedComponents]] — members only; the left
+    * join against it is one id-keyed shuffle (the cluster table ≪
+    * corpus in any healthy pass) and everything else is map-only.
+    */
+  def clusterSplit(docs: DataFrame, clusters: DataFrame,
+                   idCol: String = "doc_id", trainPpm: Long = 900000L,
+                   valPpm: Long = 950000L,
+                   seed: String = "split"): DataFrame = {
+    val grouped = docs.select(col(idCol))
+      .join(clusters.select(col(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+    val coin = ppmCoin(col("group_id"), seed)
+    grouped.select(col(idCol), col("group_id"),
+      when(coin < trainPpm, lit("train"))
+        .when(coin < valPpm, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
 }

@@ -223,4 +223,32 @@ class DedupSpec extends SparkSpec {
     // fpp=1e-3 over 100 fresh docs: expected fp ≈ 0.1 — allow a couple
     assert(kept.size >= 98, s"too many fresh docs dropped: ${kept.size}")
   }
+
+  test("incrementalNeardup: batch near-dups of history found with exact " +
+      "jaccard; fresh docs and within-batch pairs are not emitted") {
+    def doc(i: Long, words: Seq[String]) = (i, words.mkString(" "))
+    val base = (0 until 40).map(j => s"w$j")
+    // history (even ids): doc 0 = base text, doc 2 = unrelated
+    val history = Seq(doc(0L, base),
+      doc(2L, (100 until 140).map(j => s"u$j")))
+      .toDF("doc_id", "text")
+    // batch (odd ids): 1 = near-copy of 0 (one word changed), 3 =
+    // fresh, 5 = near-copy of 3 (within-batch only -> must NOT emit)
+    val fresh = (200 until 240).map(j => s"f$j")
+    val batch = Seq(doc(1L, base.updated(20, "CHANGED")),
+      doc(3L, fresh), doc(5L, fresh.updated(5, "ALSO")))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNeardup(history, batch, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toList
+    assert(got.map(t => (t._1, t._2)) == List((1L, 0L)), s"got $got")
+    // exact jaccard of the planted pair, computed independently from
+    // the texts with the operator's 3-token shingles
+    val shA = base.sliding(3).map(_.mkString(" ")).toSet
+    val shB = base.updated(20, "CHANGED").sliding(3)
+      .map(_.mkString(" ")).toSet
+    val expected = shA.intersect(shB).size.toDouble /
+      shA.union(shB).size
+    assert(math.abs(got.head._3 - expected) < 1e-12)
+  }
 }

@@ -39,4 +39,28 @@ class SplitsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a != c)
   }
+
+  test("clusterSplit: near-dup cluster members always share a split; " +
+      "singletons reduce to hashSplit bit-for-bit") {
+    // clusters: {1,2,3} -> cluster 1, {10,11} -> cluster 10
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("doc_id", "cluster_id")
+    val got = Splits.clusterSplit(docs, clusters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size == 2000)
+    // leakage invariant: one split per cluster
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+    assert(got(10L) == got(11L))
+    // singletons: same coin as the per-doc hash split
+    val plain = Splits.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 2000L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(got(i) == ((i, plain(i))), s"singleton $i diverged")
+    }
+    // and members follow the CLUSTER id's coin — doc 2's split is what
+    // a doc with id 1 would get, not what doc 2 alone would get
+    assert(got(2L)._2 == plain(1L))
+    assert(got(11L)._2 == plain(10L))
+  }
 }
