@@ -107,6 +107,33 @@ object StreamBench {
       drain("neardup", ndP, ndS,
         in => StreamOps.streamingNearDupCandidates(in).toDF))
 
+    // 2b. streamingPhashCandidates — 200k small binary P5 payloads, 10 %
+    //     re-encodes of an earlier image (same raster, so the dHash
+    //     collides on all four bands): the per-event decode+hash path of
+    //     q147's streaming twin
+    val nPh = 200000L
+    val (phP, phS) = writeIn("phash-in", {
+      val gray = udf((seed: Long) => {
+        val w = 24 + (seed % 8).toInt; val h = 16 + (seed % 4).toInt
+        val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+        val out = new Array[Byte](header.length + w * h)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var i = 0
+        while (i < w * h) {
+          out(header.length + i) = ((seed * 31 + i * 7) % 251).toByte
+          i += 1
+        }
+        out
+      })
+      spark.range(nPh).select(
+        col("id").as("doc_id"),
+        tsOf(col("id"), 3000L).as("ts"),
+        gray(pmod(col("id"), lit((nPh * 9) / 10))).as("media"))
+    })
+    record("phash_cands", nPh,
+      drain("phash", phP, phS,
+        in => StreamOps.streamingPhashCandidates(in).toDF))
+
     // 3. streamingAsof — 200k points + 50k updates over 1000 keys
     val nPts = 200000L; val nUpd = 50000L
     val (asofPp, asofPs) = writeIn("asof-pts",

@@ -248,6 +248,44 @@ object WarehouseScale {
       compacted.getAs[Double]("s") == sumBefore + 1000.0 * nUpd,
       "compaction changed the data")
 
+    // ───── compactPartitionsZ: OPTIMIZE ZORDER at the full 50M ─────
+    // fragment a copy of the facts (16 files/day) carrying two 16-bit
+    // clustering dims, then compact WITH z-reclustering — one
+    // distributed (day, z) range rewrite of all 50M rows. A 2-D box
+    // query then touches a small fraction of files; the md5-compacted
+    // facts table's one-file-per-day layout necessarily touches every
+    // file (each spans all users), so the fraction IS the win.
+    val zfacts = root.resolve("zfacts").toString
+    spark.read.parquet(facts)
+      .withColumn("u16", col("user_id").bitwiseAND(lit(65535L)))
+      .withColumn("v16",
+        col("value").cast("long").bitwiseAND(lit(65535L)))
+      .repartition(16, col("event_id"))
+      .write.mode("overwrite").partitionBy("day").parquet(zfacts)
+    val zBytes = graft.ops.Compact.listPartitions(spark, zfacts, "day")
+      .map(_._3).sum
+    val tZ = t0()
+    val zPlans = graft.ops.Compact.compactPartitionsZ(spark, zfacts,
+      "day", "event_id", zBytes / (8L * nDays), Seq("u16", "v16"))
+    val zSec = secs(tZ)
+    assert(zPlans.forall(_.touched), "z-compaction skipped a partition")
+    val zAgg = spark.read.parquet(zfacts)
+      .agg(count(lit(1)).as("rows"), sum(col("value")).as("s")).head()
+    assert(zAgg.getAs[Long]("rows") == n &&
+      zAgg.getAs[Double]("s") == sumBefore + 1000.0 * nUpd,
+      "z-compaction changed the data")
+    val zStats = graft.ops.Layout.fileStatsK(spark, zfacts,
+      Seq("u16", "v16")).persist()
+    val zFiles = zStats.count()
+    val zTouched = graft.ops.Layout.filesTouchedK(zStats,
+      Seq("u16" -> ((1000L, 2000L)), "v16" -> ((100L, 300L))))
+    zStats.unpersist()
+    val zFrac = zTouched.toDouble / zFiles
+    assert(zFiles < 16L * nDays, "z-compaction merged nothing")
+    assert(zFrac <= 0.5,
+      f"z layout touched $zTouched of $zFiles files ($zFrac%.2f) — " +
+        "no co-clustering win")
+
     // ───── q130 transaction log: commit, upsert, time travel, vacuum ─────
     val vtbl = root.resolve("vlog").toString
     val tV = t0()
@@ -293,6 +331,8 @@ object WarehouseScale {
       s""""fact_write_sec":$writeSec,"dpp_sec":$dppSec,""" +
       s""""dpp_partitions_read":$partsRead,"dpp_partitions_total":$nDays,""" +
       s""""cow_sec":$cowSec,"cow_updates":$nUpd,""" +
+      s""""zorder_compact_sec":$zSec,"zorder_files":$zFiles,""" +
+      s""""zorder_box_frac":$zFrac,""" +
       s""""compact_sec":$compactSec,""" +
       s""""txlog_commit_sec":$txCommitSec,"time_travel_sec":$travelSec,""" +
       s""""vacuumed_files":$vacFiles,""" +

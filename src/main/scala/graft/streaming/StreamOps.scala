@@ -153,6 +153,19 @@ object StreamOps {
         col("band.band_hash").as("bandHash"),
         col("doc_id").as("docId"), col("ts"))
       .as[BandEvent]
+    bucketCandidates(banded, watermark)
+  }
+
+  /** The band-bucket candidate state machine shared by the text
+    * (MinHash) and image (dHash) streaming near-dup twins: a doc
+    * landing in a bucket claimed within the watermark horizon emits a
+    * candidate against the bucket's first claimant; buckets expire by
+    * event-time timeout.
+    */
+  private def bucketCandidates(banded: Dataset[BandEvent],
+      watermark: String): Dataset[NearDupCand] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     banded.groupByKey(e => (e.bandId, e.bandHash))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
@@ -183,6 +196,43 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** Streaming PERCEPTUAL near-dup candidates — q147's twin (the
+    * fourteenth): media payloads are dHash-ed in-stream through the
+    * same decode seam as the batch operator and banded into the exact
+    * 4 × 16-bit blocks [[graft.ext.Dedup.bandPairs64]] joins on, so an
+    * image landing in a block bucket claimed within the watermark
+    * horizon emits a candidate pair against the bucket's first
+    * claimant. Candidates carry ids only; the exact Hamming residual
+    * is downstream's business (the batch contract). Same bounded-state
+    * guarantee as [[streamingNearDupCandidates]]: one entry per live
+    * bucket inside the horizon, expired by event-time timeout.
+    */
+  def streamingPhashCandidates(media: DataFrame,
+      watermark: String = "1 hour"): Dataset[NearDupCand] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media
+      .select(col("doc_id"), col("ts"), col("media"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .map { case (id, ts, m) =>
+        (id, ts, graft.ext.Multimodal.dHash64(m)) }
+      .toDF("doc_id", "ts", "dhash")
+      .withWatermark("ts", watermark)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band_id"),
+        (shiftright(col("dhash"), 16 * b) bitwiseAND lit(0xffffL))
+          .cast("string").as("band_hash"))
+    }
+    val banded = hashed
+      .select(col("doc_id"), col("ts"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("band.band_id").as("bandId"),
+        col("band.band_hash").as("bandHash"),
+        col("doc_id").as("docId"), col("ts"))
+      .as[BandEvent]
+    bucketCandidates(banded, watermark)
   }
 
   /** Keyed sketch state for the W2/M1/M2 change score: one group per

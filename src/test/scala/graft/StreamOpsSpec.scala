@@ -430,6 +430,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming phash candidates: a re-encoded image caught against " +
+      "its in-horizon original; bands match the batch pairing") {
+    implicit val sq = spark.sqlContext
+    // a gradient BMP and its PGM thumbnail (the MultimodalSpec pair),
+    // plus an unrelated inverted/striped image
+    def gradient(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48) {
+        val v = if (seed == 0) (x * 4) % 256
+          else 255 - (x * 4) % 256 ^ (if (y % 8 < 4) 96 else 0)
+        img.setRGB(x, y, new java.awt.Color(v, v, v).getRGB)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val bmp = gradient(0)
+    val reenc = graft.ext.Multimodal.resizeToPgm(bmp, 32, 32)
+    val other = gradient(1)
+    val mem = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = StreamOps.streamingPhashCandidates(
+      mem.toDF.toDF("doc_id", "ts", "media"))
+      .writeStream.format("memory").queryName("phash_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(10), bmp), (3L, ts(11), other))
+      q.processAllAvailable()
+      assert(spark.table("phash_out").count() == 0L,
+        "unrelated images must not pair")
+      mem.addData((2L, ts(12), reenc))
+      q.processAllAvailable()
+      val got = spark.table("phash_out")
+        .select("docId", "dupOf").as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 1L)), s"got $got")
+      // band identity equals the batch pairing's blocks: every emitted
+      // band is one where the two dhashes agree exactly
+      val da = graft.ext.Multimodal.dHash64(bmp)
+      val db = graft.ext.Multimodal.dHash64(reenc)
+      val agreeing = (0 until 4).filter(b =>
+        ((da >> (16 * b)) & 0xffffL) == ((db >> (16 * b)) & 0xffffL))
+      val bandsGot = spark.table("phash_out")
+        .select("bandId").as[Int].collect().toSet
+      assert(bandsGot.subsetOf(agreeing.toSet) && bandsGot.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming cdc extract: two snapshot streams drain to exactly " +
       "the batch cdcExtract I/U/D feed; unchanged keys never emit") {
     implicit val sq = spark.sqlContext
