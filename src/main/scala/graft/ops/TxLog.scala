@@ -236,6 +236,18 @@ object TxLog {
             batch.select(col(keyCol)).distinct(), Seq(keyCol),
             "left_anti"))
       }
+    occCommit(table, start, touched, claimTimeoutMs) { next =>
+      writeVersionFiles(spark, table, next, merged, partCol)
+    }
+  }
+
+  /** The shared OCC commit core: conflict-check against every commit
+    * that landed after `start`, claim head+1 atomically, stage the new
+    * data files via `stage(next)`, land the manifest (kept files from
+    * the HEAD manifest, minus the touched partitions), release.
+    */
+  private def occCommit(table: String, start: Int, touched: Set[String],
+      claimTimeoutMs: Long)(stage: Int => Seq[String]): Int = {
     val deadline = System.currentTimeMillis() + claimTimeoutMs
     var next = -1
     while (next < 0) {
@@ -265,10 +277,56 @@ object TxLog {
     try {
       val keptFiles = filesOf(table, next - 1)
         .filterNot(f => partOf(f).exists(touched.contains))
-      writeManifest(table, next, keptFiles ++
-        writeVersionFiles(spark, table, next, merged, partCol))
+      writeManifest(table, next, keptFiles ++ stage(next))
     } finally releaseClaim(table, next)
     next
+  }
+
+  /** Commit a DELETE of `keys` as the next version — the log-backed
+    * sibling of [[Cow.deleteCow]], completing the versioned write
+    * surface (upsert + delete): key-bearing partitions (discovered by
+    * one semi join against the snapshot) rewrite as fresh files
+    * WITHOUT the victims, untouched files carry by reference, and
+    * every prior version stays readable — a GDPR purge that can still
+    * time-travel its own before-state until vacuum. A partition fully
+    * emptied by the delete simply has no files in the new manifest (no
+    * directory juggling — the manifest IS the table, the
+    * [[Cow.deleteCow]] pitfall doesn't exist here). Deleting keys the
+    * table doesn't hold commits nothing and returns the current head.
+    * Same OCC protocol and conflict contract as [[commitUpsertFrom]].
+    */
+  def commitDelete(spark: SparkSession, table: String, keys: DataFrame,
+      keyCol: String, partCol: String): Int =
+    commitDeleteFrom(spark, table, keys, keyCol, partCol,
+      currentVersion(table))
+
+  private[graft] def commitDeleteFrom(spark: SparkSession, table: String,
+      keys: DataFrame, keyCol: String, partCol: String, start: Int,
+      claimTimeoutMs: Long = 60000L): Int = {
+    require(start >= 0, "commitInitial first")
+    val k = keys.select(col(keyCol)).distinct()
+    // data files carry the original partCol (only the duplicated
+    // __part copy went to the directory names), so the touched list
+    // comes straight off the plainly-read snapshot rows
+    val base = spark.read
+      .parquet(filesOf(table, start).map(f => s"$table/$f"): _*)
+    val catalog = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils
+    val touched = base.join(k, Seq(keyCol), "left_semi")
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map { r =>
+        if (r.isNullAt(0)) catalog.DEFAULT_PARTITION_NAME
+        else catalog.escapePathName(r.getString(0))
+      }.toSet
+    if (touched.isEmpty) return currentVersion(table)
+    val touchedFiles = filesOf(table, start)
+      .filter(f => partOf(f).exists(touched.contains))
+    val survivors = spark.read
+      .parquet(touchedFiles.map(f => s"$table/$f"): _*)
+      .join(k, Seq(keyCol), "left_anti")
+    occCommit(table, start, touched, claimTimeoutMs) { next =>
+      writeVersionFiles(spark, table, next, survivors, partCol)
+    }
   }
 
   /** Read the table AS OF `version` (time travel). */

@@ -248,6 +248,42 @@ class TxLogSpec extends SparkSpec {
       !Files.exists(Paths.get(s"$tbl/_vlog/v2.claim")), "claim leaked")
   }
 
+  test("commitDelete: victims gone in the new version, prior versions " +
+      "intact, untouched files by reference, emptied partition vanishes " +
+      "from the manifest; absent keys commit nothing; OCC conflicts " +
+      "abort") {
+    val tbl = initOcc("del")
+    // delete all of partition 1 (ids 1..10) plus one row of partition 2
+    val victims = ((1L to 10L) :+ 14L).toDF("id")
+    assert(graft.ops.TxLog.commitDelete(spark, tbl, victims, "id",
+      "part") == 1)
+    val v1 = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select("id").as[Long].collect().toSet
+    assert(v1 == ((11L to 40L).toSet - 14L), s"v1 = $v1")
+    // prior version still reads the full table
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 0).count() == 40L)
+    val v1Files = graft.ops.TxLog.filesOf(tbl, 1)
+    // partition 1 emptied: no files for it in the new manifest at all
+    assert(!v1Files.exists(_.contains("__part=1")),
+      s"emptied partition still in manifest: $v1Files")
+    // partitions 3 and 4 untouched: v0 files carried by reference
+    assert(v1Files.filter(f => f.contains("__part=3") ||
+      f.contains("__part=4")).forall(_.startsWith("v0/")))
+    // deleting keys the table no longer holds commits nothing
+    assert(graft.ops.TxLog.commitDelete(spark, tbl,
+      Seq(5L).toDF("id"), "id", "part") == 1)
+    assert(graft.ops.TxLog.currentVersion(tbl) == 1)
+    // OCC: a stale-snapshot delete overlapping a landed commit aborts
+    intercept[graft.ops.TxLog.CommitConflictException] {
+      graft.ops.TxLog.commitDeleteFrom(spark, tbl,
+        Seq(15L).toDF("id"), "id", "part", start = 0)
+    }
+    // and a disjoint stale-snapshot delete lands
+    assert(graft.ops.TxLog.commitDeleteFrom(spark, tbl,
+      Seq(35L).toDF("id"), "id", "part", start = 1) == 2)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 2).count() == 28L)
+  }
+
   test("OCC: a stale claim from a crashed writer fails loudly after " +
       "the timeout") {
     val tbl = initOcc("occ-stale")
