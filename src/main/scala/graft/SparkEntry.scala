@@ -1785,6 +1785,49 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // ANSI-MERGE conditional upsert (round 14) — the WHEN MATCHED
+    // clause family q111/q139 don't express: one batch carries late
+    // corrections (s.ts > t.ts → update applies), STALE replays
+    // (s.ts < t.ts → the target SURVIVES, the idempotent-ingest
+    // guarantee an unconditional upsert can't give), purge tombstones
+    // (WHEN MATCHED AND s.event_type = 'purge' THEN DELETE), and
+    // backfill inserts — applied in Cow.mergeCowWhen's single
+    // partition-pruned full-outer pass. Face = the full post-merge
+    // snapshot, hash-checked against the closed-form DuckDB replay.
+    "q150_merge_when" -> ((s, dir) => {
+      val wh = scratch("q150", dir)
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      base.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$wh/events")
+      val fw = base.filter(dayofmonth(col("ts")) <= 5)
+      val purge = fw.filter(col("event_id") % 23 === 0)
+        .withColumn("event_type", lit("purge"))
+      val upd = fw.filter(col("event_id") % 23 =!= 0 &&
+          col("event_id") % 17 === 0)
+        .withColumn("ts", col("ts") + expr("interval 1 hour"))
+        .withColumn("value", col("value") + 1000.0)
+      val stale = fw.filter(col("event_id") % 23 =!= 0 &&
+          col("event_id") % 17 =!= 0 && col("event_id") % 19 === 0)
+        .withColumn("ts", col("ts") - expr("interval 1 hour"))
+        .withColumn("value", col("value") + 5000.0)
+      val ins = fw.filter(col("event_id") % 29 === 0)
+        .withColumn("event_id", col("event_id") + 2000000000L)
+        .withColumn("event_type", lit("backfill"))
+      graft.ops.Cow.mergeCowWhen(s, s"$wh/events",
+        purge.unionByName(upd).unionByName(stale).unionByName(ins),
+        "event_id", "day",
+        updateWhen = (t, u) => u("ts") > t("ts"),
+        deleteWhen = (_, u) => u("event_type") === "purge")
+      s.read.parquet(s"$wh/events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
     "q122_order_pivot" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       Tables.table(s, dir, "orders")
@@ -3454,6 +3497,34 @@ object SparkEntry {
          |SELECT doc_id, dup_of, round(jaccard, 6) AS jaccard
          |FROM j WHERE jaccard >= 0.2""".stripMargin
     },
+
+    "q150_merge_when" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |fw AS (SELECT * FROM base WHERE date_part('day', ts) <= 5),
+        |purge AS (SELECT event_id FROM fw WHERE event_id % 23 = 0),
+        |upd AS (
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+        |    event_type, value + 1000.0 AS value
+        |  FROM fw WHERE event_id % 23 <> 0 AND event_id % 17 = 0),
+        |-- stale replays (s.ts < t.ts) lose the update condition: the
+        |-- target survives, so they never appear in the final state
+        |ins AS (
+        |  SELECT event_id + 2000000000 AS event_id, ts, user_id,
+        |    'backfill' AS event_type, value
+        |  FROM fw WHERE event_id % 29 = 0),
+        |final AS (
+        |  SELECT * FROM base
+        |  WHERE event_id NOT IN (SELECT event_id FROM purge)
+        |    AND event_id NOT IN (SELECT event_id FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM ins)
+        |SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  user_id, event_type, round(value, 6) AS value
+        |FROM final""".stripMargin,
 
     "q122_order_pivot" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

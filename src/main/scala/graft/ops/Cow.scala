@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Copy-on-write MERGE/upsert compaction — the WRITE-side sibling of
@@ -107,6 +107,79 @@ object Cow {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(basePath)
+    touched
+  }
+
+  /** ANSI-MERGE conditional upsert (round 14) — the WHEN MATCHED clause
+    * family [[mergeCow]] (unconditional replace) and [[applyChangelog]]
+    * (op-column changelog) don't express:
+    *
+    * {{{ MERGE INTO base USING batch ON key
+    *     WHEN MATCHED AND deleteWhen(t, s) THEN DELETE
+    *     WHEN MATCHED AND updateWhen(t, s) THEN UPDATE SET *
+    *     WHEN NOT MATCHED THEN INSERT * }}}
+    *
+    * `t`/`s` arrive as struct columns of the target and source row, so
+    * conditions can compare BOTH sides (the idempotent-ingest staple
+    * `s.ts > t.ts`, the tombstone staple `s.op = 'D'`). A matched pair
+    * passing neither condition keeps the TARGET row unchanged — the
+    * semantics an unconditional upsert cannot give.
+    *
+    * Same scale shape as [[mergeCow]]: touched-partition list from the
+    * batch, pruned base read, ONE full-outer key join bounded by the
+    * touched partitions, dynamic-overwrite land; a partition fully
+    * emptied by deletes has its directory removed explicitly (escaped,
+    * loud — the [[applyChangelog]] discipline). Returns the touched
+    * partition values.
+    */
+  def mergeCowWhen(spark: SparkSession, basePath: String,
+      batch: DataFrame, keyCol: String, partCol: String,
+      updateWhen: (Column, Column) => Column,
+      deleteWhen: (Column, Column) => Column = (_, _) => lit(false))
+      : Seq[Any] = {
+    val touched = batch.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Nil
+    // mergeSchema: see mergeCow — keeps evolved columns visible
+    val base = spark.read.option("mergeSchema", "true").parquet(basePath)
+      .filter(col(partCol).isin(touched: _*))
+    val dataCols = base.columns.toSeq
+    require(dataCols.forall(batch.columns.contains),
+      s"merge batch must carry every base column; missing " +
+        s"${dataCols.filterNot(batch.columns.contains).mkString(",")}")
+    val t = base.select(col(keyCol).as("__mk"),
+      struct(dataCols.map(col): _*).as("t"))
+    val s = batch.select(col(keyCol).as("__mk"),
+      struct(dataCols.map(col): _*).as("s"))
+    val joined = t.join(s, Seq("__mk"), "full_outer")
+    val tc = col("t"); val sc = col("s")
+    val keep = joined
+      // NOT MATCHED source → insert; unmatched target → survivor;
+      // matched → delete / conditional update / unchanged target
+      .withColumn("__out",
+        when(tc.isNull, sc)
+          .when(sc.isNull, tc)
+          .when(deleteWhen(tc, sc), lit(null))
+          .when(updateWhen(tc, sc), sc)
+          .otherwise(tc))
+      .filter(col("__out").isNotNull)
+      .select(dataCols.map(c => col(s"__out.$c").as(c)): _*)
+      .localCheckpoint()
+    val stillThere = keep.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    keep.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(basePath)
+    touched.filterNot(stillThere).foreach { v =>
+      val esc = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/$partCol=$esc")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.delete(dir, true))
+        throw new IllegalStateException(
+          s"mergeCowWhen: emptied partition dir $dir was not deleted")
+    }
     touched
   }
 

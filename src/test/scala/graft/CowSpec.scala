@@ -235,6 +235,57 @@ class CowSpec extends SparkSpec {
     assert(got.size == 41)
   }
 
+  test("mergeCowWhen: conditional update applies, stale replay leaves " +
+      "the target, matched delete removes, insert lands; untouched " +
+      "partitions byte-identical; emptied partition removed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cow-when")
+    val tbl = root.resolve("t").toString
+    // parts 1..4; `seq` is the version the conditions compare
+    (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i.toLong, i * 1.0))
+      .toDF("id", "part", "seq", "v")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    val before = md5OfFiles(Paths.get(tbl))
+    val batch = Seq(
+      (3L, 1, 10L, 300.0),   // newer seq → update applies
+      (5L, 1, 1L, 500.0),    // STALE (seq 1 < 5) → target survives
+      (14L, 2, 99L, -1.0),   // delete condition (v < 0 marks purge)
+      (99L, 1, 1L, 990.0)    // unmatched → insert
+    ).toDF("id", "part", "seq", "v")
+    val touched = graft.ops.Cow.mergeCowWhen(spark, tbl, batch,
+      "id", "part",
+      updateWhen = (t, s) => s("seq") > t("seq"),
+      deleteWhen = (_, s) => s("v") < 0)
+    assert(touched.toSet == Set(1, 2))
+    val after = md5OfFiles(Paths.get(tbl))
+    val untouchedBefore = before.filter(p =>
+      p._1.startsWith("part=3") || p._1.startsWith("part=4"))
+    assert(untouchedBefore.nonEmpty &&
+      untouchedBefore.forall { case (k, h) => after.get(k).contains(h) },
+      "untouched partition files changed")
+    val got = spark.read.parquet(tbl).collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (r.getLong(r.fieldIndex("seq")),
+          r.getDouble(r.fieldIndex("v")))).toMap
+    assert(got(3L) == ((10L, 300.0)), "conditional update not applied")
+    assert(got(5L) == ((5L, 5.0)), "stale replay overwrote the target")
+    assert(!got.contains(14L), "matched delete survived")
+    assert(got(99L) == ((1L, 990.0)), "insert missing")
+    assert(got.size == 40) // 40 - 1 delete + 1 insert
+    // a purge batch that empties an entire partition removes its dir
+    val purgeAll = (31 to 40).map(i => (i.toLong, 4, 999L, -1.0))
+      .toDF("id", "part", "seq", "v")
+    val t2 = graft.ops.Cow.mergeCowWhen(spark, tbl, purgeAll,
+      "id", "part",
+      updateWhen = (t, s) => s("seq") > t("seq"),
+      deleteWhen = (_, s) => s("v") < 0)
+    assert(t2 == Seq(4))
+    assert(!Files.exists(Paths.get(s"$tbl/part=4")),
+      "emptied partition directory survived")
+    assert(spark.read.parquet(tbl).count() == 30L)
+  }
+
   test("mergeCowEvolve twice: the SECOND evolution keeps the first " +
       "one's column (mergeSchema base read — round-14 advice)") {
     import spark.implicits._
