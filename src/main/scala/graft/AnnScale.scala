@@ -98,6 +98,36 @@ object AnnScale {
     val recall = truth.join(ivf, Seq("query_id", "nbr_id"), "left_semi")
       .count().toDouble / (nQueries.toDouble * k)
 
+    // ───── incremental append lifecycle (round 15 — q153 at corpus
+    // scale): 90 % of the corpus trains the quantizer and builds the
+    // index; the arriving 10 % batch assigns against the FROZEN
+    // centroids (map-only), the drift report decides retrain, and
+    // search over the appended index must hold recall — the production
+    // maintenance loop between retrains
+    val existing = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0)
+    val arriving = emb.filter(pmod(col("vec_id"), lit(10L)) === 0)
+    val tTrain90 = t0()
+    val centers90 = SimSearch.ivfCentroids(existing)
+    val train90Sec = secs(tTrain90)
+    val index90 = SimSearch.ivfIndex(existing, centers90).persist()
+    index90.count()
+    val tAppend = t0()
+    val repRow = SimSearch.ivfAppendReport(
+        index90.select(col("nbr_id"), col("cell")), arriving, centers90)
+      .select(col("drift_tv"), col("retrain")).first()
+    val appendSec = secs(tAppend)
+    val appended = index90
+      .unionByName(SimSearch.ivfIndex(arriving, centers90)).persist()
+    appended.count()
+    val tIvfApp = t0()
+    val ivfApp = SimSearch.ivfTopK(emb, queries, dim = dims, k = k,
+        centersOpt = Some(centers90), indexOpt = Some(appended))
+      .select(col("query_id"), col("nbr_id")).persist()
+    ivfApp.count()
+    val ivfAppSec = secs(tIvfApp)
+    val recallApp = truth.join(ivfApp, Seq("query_id", "nbr_id"),
+      "left_semi").count().toDouble / (nQueries.toDouble * k)
+
     // the memory-bound path: PQ-encode the corpus once (the at-rest
     // index is m codes + a norm per vector — no float vectors), then
     // ADC-scan the same query batch
@@ -148,6 +178,12 @@ object AnnScale {
       s""""gen_sec":$genSec,"train_sec":$trainSec,""" +
       s""""index_build_sec":$buildSec,"ivf_search_sec":$ivfSec,""" +
       s""""brute_sec":$bruteSec,"recall_ivf":$recall,""" +
+      s""""append_train_sec":$train90Sec,""" +
+      s""""append_assign_sec":$appendSec,""" +
+      s""""append_drift_tv":${repRow.getDouble(0)},""" +
+      s""""append_retrain":${repRow.getBoolean(1)},""" +
+      s""""append_search_sec":$ivfAppSec,""" +
+      s""""recall_ivf_appended":$recallApp,""" +
       s""""pq_train_sec":$pqTrainSec,"pq_index_sec":$pqBuildSec,""" +
       s""""pq_search_sec":$pqSec,"recall_ivfpq_adc":$recallPq,""" +
       s""""pq_refine_search_sec":$pqRSec,""" +

@@ -1828,6 +1828,163 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // MANIFEST STATS + DATA-SKIPPING READ (round 15) — the Iceberg
+    // scan-planning contract over the q130 transaction log: commits
+    // record per-file row counts and column min/max in the manifest
+    // (TxLog.FileEntry), and a selective read prunes files from the
+    // manifest ALONE before the scan is planned. events' event_id is
+    // ~perfectly correlated with ts, so day-partitioned files carry
+    // tight event_id ranges and an id-range predicate opens ~3 of 30
+    // files. Face: the same aggregate from the pruned scan and the full
+    // scan (value equality = pruning soundness), plus the pinned
+    // files_read / files_total metric the oracle recomputes from its
+    // own per-day stats. Stats survive the upsert by reference for
+    // untouched files and refresh for rewritten ones.
+    "q151_stats_pruned_scan" -> ((s, dir) => {
+      val wh = scratch("q151", dir)
+      val tbl = s"$wh/events_stats"
+      deleteRec(new java.io.File(tbl)) // deterministic version numbers
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      graft.ops.TxLog.commitInitial(s, tbl, base, "day",
+        statsCols = Seq("event_id", "value"))
+      val upd = base.filter(dayofmonth(col("ts")).between(6, 8) &&
+          col("event_id") % 13 === 0)
+        .withColumn("value", col("value") + 500.0)
+      graft.ops.TxLog.commitUpsert(s, tbl, upd, "event_id", "day",
+        statsCols = Seq("event_id", "value"))
+      val bounds = Seq("event_id" -> (2000.0, 2600.0))
+      val (files, total) = graft.ops.TxLog.prunedFiles(tbl, 1, bounds)
+      def face(df: DataFrame, scan: String, filesRead: Int): DataFrame =
+        df.filter(col("event_id").between(2000L, 2600L))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + 0.5).cast("long"))
+              .as("value_cents"),
+            sum(col("event_id")).as("sum_id"))
+          .select(lit(scan).as("scan"),
+            lit(filesRead.toLong).as("files_read"),
+            lit(total.toLong).as("files_total"),
+            col("n"), col("value_cents"), col("sum_id"))
+      face(graft.ops.TxLog.readVersionPruned(s, tbl, 1, bounds),
+        "pruned", files.size)
+        .unionByName(
+          face(graft.ops.TxLog.readVersion(s, tbl, 1), "full", total))
+    }),
+
+    // OPTIMIZE AS AN OCC COMMIT (round 15) — the rewrite-without-data-
+    // change commit the r14 verdict asked for: a blind APPEND
+    // (streaming-ingest semantics, never conflicts) piles a second file
+    // into each of ten day partitions, then OPTIMIZE compacts every
+    // partition back to one file (sorted by user_id for row-group
+    // locality) as a versioned commit under the same conflict contract
+    // as any rewrite (TxLogSpec pins OPTIMIZE-vs-upsert races). Face:
+    // per-version (files_n, row count, exact sums) — v1 ≡ v2 on data,
+    // 40 → 30 on files, every version still readable.
+    "q152_optimize_commit" -> ((s, dir) => {
+      val wh = scratch("q152", dir)
+      val tbl = s"$wh/events_opt"
+      deleteRec(new java.io.File(tbl))
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      graft.ops.TxLog.commitInitial(s, tbl, base, "day",
+        statsCols = Seq("event_id"))
+      val backfill = base.filter(dayofmonth(col("ts")) <= 10)
+        .withColumn("event_id", col("event_id") + 2000000000L)
+        .withColumn("event_type", lit("backfill"))
+      graft.ops.TxLog.commitAppend(s, tbl, backfill, "day",
+        statsCols = Seq("event_id"))
+      graft.ops.TxLog.commitOptimize(s, tbl, "day",
+        zorder = Seq("user_id"), statsCols = Seq("event_id"))
+      def face(v: Int): DataFrame = {
+        val files = graft.ops.TxLog.filesOf(tbl, v).size
+        graft.ops.TxLog.readVersion(s, tbl, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 100 + 0.5).cast("long"))
+              .as("value_cents"),
+            sum(col("event_id")).as("sum_id"))
+          .select(lit(v.toLong).as("version"),
+            lit(files.toLong).as("files_n"),
+            col("n_rows"), col("value_cents"), col("sum_id"))
+      }
+      face(0).unionByName(face(1)).unionByName(face(2))
+    }),
+
+    // INCREMENTAL ANN index maintenance (round 15) — q149's
+    // arriving-batch shape for embeddings: the persisted IVF assignment
+    // table is the index, the batch (odd vec_ids) assigns against the
+    // centroids FROZEN at train time (trained on the even half only —
+    // map-only probe, the centroids are plan literals), appends, and
+    // the total-variation drift between the index's cell-mass
+    // distribution and the post-append one raises the retrain flag.
+    // Drift is exact integer arithmetic + one final division, so the
+    // statistic hash-checks bit-for-bit (mirror stashed like q40's).
+    "q153_ivf_append" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+      val existing = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val centers = ivfTrained(s, s"ivfhalf:$dir")(
+        SimSearch.ivfCentroids(existing))
+      stashIvfSql(dir, "q153_ivf_append",
+        q153OracleSql(centers, retrainTv = 0.05))
+      SimSearch.ivfAppendReport(
+        SimSearch.ivfIndex(existing, centers).select("nbr_id", "cell"),
+        batch, centers, retrainTv = 0.05)
+    }),
+
+    // AUDIO near-dup (round 15) — the last modality: chromaprint-lite
+    // windowed band-energy deltas over the PCM stream → 64-bit
+    // fingerprint → the SAME Manku banding as text SimHash (q24/q90)
+    // and image dHash (q147). The face drives the REAL RIFF seam: every
+    // payload is a genuine WAV container (Multimodal.wavOf) whose PCM
+    // is the doc's utf-8 bytes, and five docs get a RE-ENCODED variant
+    // (extra LIST metadata chunk, same PCM) — container-invariance
+    // lands them at Hamming 0, exactly the re-encoded-audio catch
+    // (MultimodalSpec pins the invariance; the oracle regenerates the
+    // fingerprints from the same byte arithmetic).
+    "q154_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      def wavMedia(d: DataFrame, idShift: Long, reenc: Boolean) =
+        d.as[(Long, String)].map { case (id, t) =>
+          graft.ext.Multimodal.MediaItem(id + idShift,
+            graft.ext.Multimodal.wavOf(
+              t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              extraChunk = reenc), "audio")
+        }.toDF()
+      val media = wavMedia(docs, 0L, reenc = false)
+        .unionByName(wavMedia(docs.filter(col("doc_id") < 5),
+          1000000L, reenc = true))
+      Dedup.bandPairs64(graft.ext.Multimodal.afpMedia(media), "afp",
+        hamMax = 3)
+    }),
+
+    // PARAGRAPH-level dedup (round 15) — the MassiveText/Gopher
+    // repetition filter between q22 (whole-doc exact) and q76 (20-token
+    // span removal): drop documents whose duplicated-paragraph fraction
+    // reaches 0.3. The corpus has no newlines, so pseudo-paragraphs are
+    // deterministic 4-token tiles (the q102 tiling at paragraph grain);
+    // production feeds Dedup.paragraphsOf's newline split instead
+    // (DedupSpec pins that path). Hash-exact by construction.
+    "q155_paragraph_dedup" -> ((s, dir) => {
+      val tile = 4
+      val paras = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(col("text")), "\\s+").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L),
+            expr(s"CAST((n - 1) div $tile AS BIGINT)"))).as("i"))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"),
+            (col("i") * tile + 1).cast("int"), lit(tile)), " ")
+            .as("para"))
+      Dedup.paragraphDedup(paras, maxDupFrac = 0.3)
+    }),
+
     "q122_order_pivot" -> ((s, dir) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       Tables.table(s, dir, "orders")
@@ -3525,6 +3682,140 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  user_id, event_type, round(value, 6) AS value
         |FROM final""".stripMargin,
+
+    // the file-stats prune replayed from first principles: one file per
+    // day (the commit's repartition-by-partition write), per-file
+    // event_id min/max = per-day min/max, files_read = days whose range
+    // overlaps the predicate. The correction batch changes value only,
+    // so the v1 day/id stats equal the base table's.
+    "q151_stats_pruned_scan" ->
+      """WITH v1 AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    CASE WHEN date_part('day', ts) BETWEEN 6 AND 8
+        |              AND event_id % 13 = 0
+        |         THEN value + 500.0 ELSE value END AS value
+        |  FROM events),
+        |fstats AS (
+        |  SELECT strftime(ts, '%Y%m%d') AS day,
+        |    min(CAST(event_id AS DOUBLE)) AS mn,
+        |    max(CAST(event_id AS DOUBLE)) AS mx
+        |  FROM v1 GROUP BY 1),
+        |fm AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |    CAST(sum(CASE WHEN mx >= 2000.0 AND mn <= 2600.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |  FROM fstats),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS value_cents,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_id
+        |  FROM v1 WHERE event_id BETWEEN 2000 AND 2600)
+        |SELECT 'pruned' AS scan, fm.files_read, fm.files_total,
+        |  agg.n, agg.value_cents, agg.sum_id FROM fm, agg
+        |UNION ALL
+        |SELECT 'full', fm.files_total, fm.files_total,
+        |  agg.n, agg.value_cents, agg.sum_id FROM fm, agg""".stripMargin,
+
+    "q152_optimize_commit" ->
+      """WITH base AS (SELECT event_id, ts, value FROM events),
+        |bf AS (SELECT event_id + 2000000000 AS event_id, ts, value
+        |  FROM base WHERE date_part('day', ts) <= 10),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM bf),
+        |days AS (SELECT CAST(count(DISTINCT strftime(ts, '%Y%m%d'))
+        |    AS BIGINT) AS nd FROM base),
+        |bfdays AS (SELECT CAST(count(DISTINCT strftime(ts, '%Y%m%d'))
+        |    AS BIGINT) AS nbd FROM bf),
+        |a0 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS value_cents,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_id FROM base),
+        |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS value_cents,
+        |    CAST(sum(event_id) AS BIGINT) AS sum_id FROM v1)
+        |SELECT CAST(0 AS BIGINT) AS version, days.nd AS files_n,
+        |  a0.n_rows, a0.value_cents, a0.sum_id FROM days, a0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), days.nd + bfdays.nbd,
+        |  a1.n_rows, a1.value_cents, a1.sum_id FROM days, bfdays, a1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), days.nd,
+        |  a1.n_rows, a1.value_cents, a1.sum_id FROM days, a1"""
+        .stripMargin,
+
+    // the chromaprint-lite fingerprint regenerated from first
+    // principles: the WAV container's PCM IS the utf-8 text bytes, so
+    // the oracle samples the hex rendering directly (the q147 stub-
+    // raster discipline), sums 4 bytes per (window, band) cell, and
+    // delta-codes adjacent windows; re-encoded variants share their
+    // original's PCM, hence its fingerprint, verbatim.
+    "q154_audio_neardup" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, afp, $b AS band_id, " +
+          s"(afp >> ${16 * b}) & 65535 AS block FROM sig2"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH d AS (
+         |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+         |      AS nb
+         |  FROM documents),
+         |grid AS (SELECT doc_id, hx, nb,
+         |    CAST(w AS BIGINT) AS w, CAST(b AS BIGINT) AS b,
+         |    CAST(j AS BIGINT) AS j
+         |  FROM d, unnest(range(0, 9)) uw(w),
+         |       unnest(range(0, 8)) ub(b), unnest(range(0, 4)) uj(j)),
+         |e AS (SELECT doc_id, w, b,
+         |    sum(CASE WHEN nb = 0 THEN 0
+         |      ELSE CAST(('0x' || substr(hx,
+         |        CAST(2 * (((w * nb) // 9 + ((b * 4 + j) * nb) // 288)
+         |          % nb) + 1 AS BIGINT), 2)) AS INTEGER) END) AS e
+         |  FROM grid GROUP BY doc_id, w, b),
+         |bits AS (SELECT l.doc_id, l.w, l.b, (l.e < r.e) AS bit
+         |  FROM e l JOIN e r
+         |    ON r.doc_id = l.doc_id AND r.b = l.b AND r.w = l.w + 1
+         |  WHERE l.w < 8),
+         |sig AS (SELECT doc_id,
+         |    CAST(coalesce(sum(CASE WHEN bit THEN
+         |      CASE WHEN w * 8 + b = 63
+         |           THEN CAST(-9223372036854775807 AS BIGINT) - 1
+         |           ELSE CAST(1 AS BIGINT) << CAST(w * 8 + b AS INTEGER)
+         |      END
+         |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS afp
+         |  FROM bits GROUP BY doc_id),
+         |sig2 AS (SELECT doc_id, afp FROM sig
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, afp FROM sig WHERE doc_id < 5),
+         |band AS ($bandSelects),
+         |bsz AS (SELECT band_id, block FROM band
+         |  GROUP BY band_id, block HAVING count(*) BETWEEN 2 AND 64),
+         |bandk AS (SELECT band.* FROM band JOIN bsz USING (band_id, block)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+         |  FROM bandk a JOIN bandk b
+         |    ON a.band_id = b.band_id AND a.block = b.block
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3"""
+        .stripMargin
+    },
+
+    // raw-string paragraph identity (the Spark side joins on xxhash64 —
+    // the q76 hash-vs-string precedent, counts agree modulo 2⁻⁶⁴)
+    "q155_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |par AS (SELECT doc_id,
+        |    array_to_string(t[(i*4+1):(i*4+4)], ' ') AS para
+        |  FROM toks, unnest(range(0, ((len(t) - 1) // 4) + 1)) u(i)
+        |  WHERE len(t) > 0),
+        |dp AS (SELECT DISTINCT doc_id, para FROM par),
+        |nd AS (SELECT para, count(*) AS ndocs FROM dp GROUP BY para),
+        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_par,
+        |    CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM dp JOIN nd USING (para) GROUP BY doc_id)
+        |SELECT doc_id, n_par, n_dup,
+        |  round(CAST(n_dup AS DOUBLE) / n_par, 6) AS dup_frac,
+        |  (CAST(n_dup AS DOUBLE) / n_par >= 0.3) AS drop_doc
+        |FROM perdoc""".stripMargin,
 
     "q122_order_pivot" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -5312,6 +5603,45 @@ object SparkEntry {
     * by (d, cell) — the struct-sort order of `array_sort` — then the q27
     * cosine re-rank within probed cells.
     */
+  /** q153 mirror: literal-centroid cell assignment over ALL vectors
+    * (the index half and the batch half see the SAME frozen quantizer),
+    * split by vec_id parity, then the exact integer drift — numerators
+    * summed as BIGINTs, one final double division with the Spark
+    * expression's association (2.0 · ti · ta).
+    */
+  private def q153OracleSql(centers: Array[Array[Double]],
+                            retrainTv: Double): String = {
+    val dsList = centers.map(c => d2ListSql("v", c, 0))
+      .mkString("[\n    ", ",\n    ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ad AS (SELECT vec_id, $dsList AS ds FROM e),
+       |a AS (SELECT vec_id,
+       |    CAST(list_position(ds, list_min(ds)) - 1 AS BIGINT) AS cell
+       |  FROM ad),
+       |ni AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_index
+       |  FROM a WHERE vec_id % 2 = 0 GROUP BY cell),
+       |nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_batch
+       |  FROM a WHERE vec_id % 2 = 1 GROUP BY cell),
+       |cells AS (SELECT coalesce(ni.cell, nb.cell) AS cell,
+       |    coalesce(n_index, 0) AS n_index,
+       |    coalesce(n_batch, 0) AS n_batch
+       |  FROM ni FULL OUTER JOIN nb ON ni.cell = nb.cell),
+       |tot AS (SELECT CAST(sum(n_index) AS BIGINT) AS ti,
+       |    CAST(sum(n_index + n_batch) AS BIGINT) AS ta FROM cells),
+       |dr AS (SELECT ti, ta,
+       |    CAST(sum(abs(n_index * ta - (n_index + n_batch) * ti))
+       |      AS BIGINT) AS s
+       |  FROM cells, tot GROUP BY ti, ta)
+       |SELECT c.cell, c.n_index, c.n_batch,
+       |  c.n_index + c.n_batch AS n_total,
+       |  round(CAST(dr.s AS DOUBLE) / (2.0 * dr.ti * dr.ta), 6)
+       |    AS drift_tv,
+       |  (CAST(dr.s AS DOUBLE) / (2.0 * dr.ti * dr.ta) >= $retrainTv)
+       |    AS retrain
+       |FROM cells c, dr""".stripMargin
+  }
+
   private def q40OracleSql(centers: Array[Array[Double]], nprobe: Int,
                            k: Int): String = {
     val dsList = centers.map(c => d2ListSql("v", c, 0))

@@ -134,6 +134,31 @@ object StreamBench {
       drain("phash", phP, phS,
         in => StreamOps.streamingPhashCandidates(in).toDF))
 
+    // 2c. streamingAfpCandidates — 200k WAV payloads (~1 kB PCM each),
+    //     10 % container re-encodes of an earlier clip (same PCM → the
+    //     fingerprint collides on all four bands): the RIFF-parse +
+    //     fingerprint path of q154's streaming twin
+    val nAf = 200000L
+    val (afP, afS) = writeIn("afp-in", {
+      val wavU = udf((seed: Long, reenc: Boolean) => {
+        val n = 1024 + (seed % 7).toInt * 64
+        val pcm = new Array[Byte](n)
+        var i = 0
+        while (i < n) { pcm(i) = ((seed * 37 + i * 11) % 249).toByte; i += 1 }
+        // the tail 10 % re-wrap an earlier clip's PCM with an extra
+        // metadata chunk — a true container re-encode, not a byte copy
+        graft.ext.Multimodal.wavOf(pcm, extraChunk = reenc)
+      })
+      spark.range(nAf).select(
+        col("id").as("doc_id"),
+        tsOf(col("id"), 3000L).as("ts"),
+        wavU(pmod(col("id"), lit((nAf * 9) / 10)),
+          col("id") >= (nAf * 9) / 10).as("media"))
+    })
+    record("afp_cands", nAf,
+      drain("afp", afP, afS,
+        in => StreamOps.streamingAfpCandidates(in).toDF))
+
     // 3. streamingAsof — 200k points + 50k updates over 1000 keys
     val nPts = 200000L; val nUpd = 50000L
     val (asofPp, asofPs) = writeIn("asof-pts",
@@ -318,7 +343,11 @@ object StreamBench {
           lit(0.0).as("value")))
       aSide.unionByName(bSide).unionByName(sentinel)
     })
-    record("cdc_extract", nCdcKeys * 2L,
+    // each side drops 1/7 of the keys, so the honest input count is the
+    // written file's own row count (≈ 12/7·keys + 2 sentinels), not
+    // 2·keys — the other twins' denominators are exact drained counts
+    val nCdcRows = spark.read.schema(cdcSch).parquet(cdcP).count()
+    record("cdc_extract", nCdcRows,
       drain("cdcx", cdcP, cdcSch,
         in => StreamOps.streamingCdcExtract(
           in.filter(col("side") === "a"),

@@ -308,6 +308,58 @@ object WarehouseScale {
       .agg(sum(col("value"))).head().getDouble(0) ==
       sumBefore + 1000.0 * nUpd, "v1 unreadable after vacuum")
 
+    // ───── round 15: blind append + OPTIMIZE + stats-pruned read
+    // under the log (q151/q152 at the full 50M) ─────
+    // append a fresh slab (the correction rows re-keyed above n — new
+    // ids, days 0-2) as a blind-append commit carrying file stats
+    val slab = batch.withColumn("event_id", col("event_id") + lit(n))
+    val slabAgg = slab.agg(count(lit(1)).as("r"),
+      sum(col("value")).as("s")).head()
+    val tAp = t0()
+    val vApp = graft.ops.TxLog.commitAppend(spark, vtbl, slab, "day",
+      statsCols = Seq("event_id"))
+    val txAppendSec = secs(tAp)
+    assert(vApp == 2, s"append landed as v$vApp")
+    val v2Agg = graft.ops.TxLog.readVersion(spark, vtbl, 2)
+      .agg(count(lit(1)).as("rows"), sum(col("value")).as("s")).head()
+    assert(v2Agg.getAs[Long]("rows") == n + slabAgg.getAs[Long]("r") &&
+      v2Agg.getAs[Double]("s") ==
+        sumBefore + 1000.0 * nUpd + slabAgg.getAs[Double]("s"),
+      "append changed more than the slab")
+    // OPTIMIZE the whole table as an OCC commit: 50M rows re-cluster
+    // (sorted by user_id within each day) and compact to 1 file/day,
+    // data identical, stats refreshed
+    val tOp = t0()
+    val vOpt = graft.ops.TxLog.commitOptimize(spark, vtbl, "day",
+      zorder = Seq("user_id"), statsCols = Seq("event_id"))
+    val txOptimizeSec = secs(tOp)
+    assert(vOpt == 3, s"optimize landed as v$vOpt")
+    val optFiles = graft.ops.TxLog.filesOf(vtbl, 3)
+    assert(optFiles.size == nDays,
+      s"optimize left ${optFiles.size} files, wanted 1/day × $nDays")
+    val v3Agg = graft.ops.TxLog.readVersion(spark, vtbl, 3)
+      .agg(count(lit(1)).as("rows"), sum(col("value")).as("s")).head()
+    assert(v3Agg == v2Agg, "OPTIMIZE changed the data")
+    // stats-pruned read of one day's id band: event_id ≡ day, so the
+    // manifest prune opens day 5's file plus ONLY the three day files
+    // whose ranges the re-keyed append slab stretched across the probe
+    // band (wide-range files defeat min/max pruning — the honest
+    // caveat) — 4 of 42 files instead of a full scan
+    val dayIds = 12L * users
+    val bandLo = 5L * dayIds
+    val bandHi = 6L * dayIds - 1L
+    val (pf, pTotal) = graft.ops.TxLog.prunedFiles(vtbl, 3,
+      Seq("event_id" -> (bandLo.toDouble, bandHi.toDouble)))
+    assert(pTotal == nDays && pf.size == 4,
+      s"pruned to ${pf.size} of $pTotal files, wanted 4 " +
+        "(day 5 + the 3 slab-stretched days)")
+    val tPr = t0()
+    val prRows = graft.ops.TxLog.readVersionPruned(spark, vtbl, 3,
+        Seq("event_id" -> (bandLo.toDouble, bandHi.toDouble)))
+      .filter(col("event_id").between(bandLo, bandHi)).count()
+    val prunedReadSec = secs(tPr)
+    assert(prRows == dayIds, s"pruned read returned $prRows rows")
+
     // ───── q126 bloom semijoin: 1 % user dim against the 50M fact ─────
     val dimUsers = spark.range(users / 100).select(
       (col("id") * 100L).as("u")) // users ≡ 0 (mod 100): 1 % selectivity
@@ -336,6 +388,11 @@ object WarehouseScale {
       s""""compact_sec":$compactSec,""" +
       s""""txlog_commit_sec":$txCommitSec,"time_travel_sec":$travelSec,""" +
       s""""vacuumed_files":$vacFiles,""" +
+      s""""txlog_append_sec":$txAppendSec,""" +
+      s""""txlog_optimize_sec":$txOptimizeSec,""" +
+      s""""pruned_files_read":${pf.size},""" +
+      s""""pruned_files_total":$pTotal,""" +
+      s""""pruned_read_sec":$prunedReadSec,""" +
       s""""bloom_screened":$screened,"bloom_semi_sec":$bloomSec}""")
     spark.stop()
   }

@@ -548,6 +548,53 @@ object Dedup {
     * size. A doc's flagged count answers "how much of this doc is copied
     * text" — the filter signal a pipeline thresholds on.
     */
+  /** Newline paragraph splitter — the production feeder for
+    * [[paragraphDedup]]: one row per non-empty trimmed paragraph.
+    * Map-only (an explode), no shuffle.
+    */
+  def paragraphsOf(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(col(textCol), "\n+")).as("para0"))
+      .select(col("doc_id"), trim(col("para0")).as("para"))
+      .filter(length(col("para")) > 0)
+
+  /** PARAGRAPH-level dedup — the MassiveText/Gopher repetition filter
+    * (Rae et al. 2021 §A1.1.4) the span operators above don't express:
+    * a paragraph is DUPLICATED when it occurs verbatim in ≥ 2 distinct
+    * documents, and a document whose duplicated fraction (over its
+    * DISTINCT paragraphs) reaches `maxDupFrac` is dropped wholesale —
+    * boilerplate-dominated pages (cookie banners, mirrored articles)
+    * die here before any expensive near-dup stage sees them.
+    *
+    * Input is an exploded (doc_id, `paraCol`) table — real corpora
+    * split on newlines ([[paragraphsOf]]); the q155 face derives
+    * deterministic pseudo-paragraphs by tiling tokens (the corpus has
+    * no newlines). Scale shape = [[substringDupWindows]]: paragraphs
+    * join on their 64-bit hash (narrow shuffle rows), the corpus-wide
+    * occurrence count is a map-side-combined groupBy — a paragraph
+    * duplicated millions of times combines locally, never sorts one
+    * hot partition — and the per-doc roll-up is bounded by document
+    * length. Output: (doc_id, n_par, n_dup, dup_frac, drop_doc).
+    */
+  def paragraphDedup(paras: DataFrame, maxDupFrac: Double = 0.3,
+                     paraCol: String = "para"): DataFrame = {
+    val dp = paras
+      .select(col("doc_id"), xxhash64(col(paraCol)).as("p")).distinct()
+      .transform(graft.util.Pins.pin)
+    // distinct per doc, so the group count is the DISTINCT-doc count
+    val shared = dp.groupBy(col("p")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("p"), lit(1L).as("dup"))
+    val frac = dp.join(shared, Seq("p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_par"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+    frac.select(col("doc_id"), col("n_par"), col("n_dup"),
+      round(col("n_dup").cast("double") / col("n_par"), 6).as("dup_frac"),
+      (col("n_dup").cast("double") / col("n_par") >= maxDupFrac)
+        .as("drop_doc"))
+  }
+
   def substringDupWindows(docs: DataFrame, winTokens: Int = 20,
                           textCol: String = "text"): DataFrame = {
     val wins = docs.select(col("doc_id"),

@@ -416,6 +416,107 @@ object Multimodal {
       frames.toDouble / sampleRate)
   }
 
+  /** Byte span (offset, length) of the `data` chunk's PCM samples in a
+    * RIFF/WAVE payload — the audio content with every container detail
+    * (chunk order, metadata chunks, fmt params) stripped away.
+    */
+  private def pcmSpan(b: Array[Byte]): (Int, Int) = {
+    require(isWav(b), "not a RIFF/WAVE payload")
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4).toLong & 0xffffffffL
+      val body = i + 8
+      if (id == "data") {
+        require(body + size <= b.length, "truncated data chunk")
+        return (body, size.toInt)
+      }
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    throw new IllegalArgumentException("no data chunk")
+  }
+
+  /** Minimal 8-bit mono PCM WAV container around `pcm` (8 kHz) — the
+    * synthetic-payload constructor specs and face queries use to drive
+    * the REAL RIFF seam. `extraChunk` inserts a LIST metadata chunk
+    * before `data`, modelling a re-encode that rewrites container
+    * framing without touching the audio.
+    */
+  def wavOf(pcm: Array[Byte], extraChunk: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def w16(v: Int): Unit = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val junk = "INFOgraft-reencode-v2".getBytes("US-ASCII")
+    val extra = if (extraChunk) 8 + junk.length + (junk.length & 1) else 0
+    tag("RIFF"); w32(4 + 24 + extra + 8 + pcm.length + (pcm.length & 1))
+    tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(1); w32(8000); w32(8000); w16(1); w16(8)
+    if (extraChunk) {
+      tag("LIST"); w32(junk.length); out.write(junk)
+      if ((junk.length & 1) == 1) out.write(0)
+    }
+    tag("data"); w32(pcm.length); out.write(pcm)
+    if ((pcm.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** 64-bit chromaprint-lite audio fingerprint: the PCM byte stream is
+    * cut into 9 equal windows × 8 bands, each (window, band) cell's
+    * energy is the sum of 4 deterministically-sampled unsigned bytes
+    * (position `(w·n)/9 + ((b·4+j)·n)/288`), and bit w·8+b is set iff
+    * energy(w, b) < energy(w+1, b) — the same delta-coding that makes
+    * dHash robust: a re-encode perturbing every sample a little keeps
+    * almost every INEQUALITY. For a RIFF/WAVE payload the stream is the
+    * `data` chunk's PCM bytes, so the fingerprint is invariant to chunk
+    * order, metadata chunks, and fmt params (MultimodalSpec pins a
+    * re-encoded WAV at Hamming 0); any other payload fingerprints its
+    * raw bytes — the deterministic stub seam, same discipline as
+    * [[grayRaster]]. Pair with [[graft.ext.Dedup.bandPairs64]] exactly
+    * like the image path (q147).
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Long = {
+    val raw = if (bytes == null) Array.emptyByteArray else bytes
+    val (off, n) =
+      try pcmSpan(raw)
+      catch { case _: Exception => (0, raw.length) }
+    if (n == 0) return 0L
+    def px(p: Long): Int = raw(off + (p % n).toInt) & 0xff
+    def energy(w: Int, b: Int): Long = {
+      var e = 0L
+      var j = 0
+      while (j < 4) {
+        e += px((w.toLong * n) / 9 + ((b * 4 + j).toLong * n) / 288)
+        j += 1
+      }
+      e
+    }
+    var z = 0L
+    var w = 0
+    while (w < 8) {
+      var b = 0
+      while (b < 8) {
+        if (energy(w, b) < energy(w + 1, b)) z |= 1L << (w * 8 + b)
+        b += 1
+      }
+      w += 1
+    }
+    z
+  }
+
+  final case class MediaAfp(doc_id: Long, afp: Long)
+
+  /** [[audioFingerprint64]] over a media DataFrame: partition-parallel
+    * map, one signature row per item — the audio sibling of
+    * [[dhashMedia]].
+    */
+  def afpMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions(it =>
+      it.map(i => MediaAfp(i.doc_id, audioFingerprint64(i.media)))).toDF()
+  }
+
   /** Audio metadata extraction over media items, same shape as
     * [[extractFeatures]]: real RIFF parse where the payload is WAV,
     * deterministic zeroed row with `decoded = false` otherwise.

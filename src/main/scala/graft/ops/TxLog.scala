@@ -1,11 +1,11 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-isolated transaction log with time travel — the manifest
@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   *    count), read once on the driver like any table metadata;
   *  - an upsert commit rewrites ONLY the partitions the batch touches
   *    (same pruned-read + anti-join shape as [[Cow.mergeCow]]), landing
-  *    them as fresh files under `v{n}/` — untouched partitions' files
-  *    are REFERENCED by the new manifest, not copied, so commit cost is
-  *    bounded by the touched partitions, never the table;
+  *    them as fresh files — untouched partitions' files are REFERENCED
+  *    by the new manifest, not copied, so commit cost is bounded by the
+  *    touched partitions, never the table;
   *  - reading any version is `spark.read.parquet(files: _*)` — an
   *    ordinary multi-file scan, partition-parallel, no driver work
   *    beyond the manifest. The partition column travels INSIDE the data
@@ -42,6 +42,29 @@ import org.apache.spark.sql.functions._
   * writers race safely; overlapping writers lose exactly one commit to
   * a loud retryable [[TxLog.CommitConflictException]], never silently
   * (see [[TxLog.commitUpsertFrom]]).
+  *
+  * Round 15 hardening + scan planning:
+  *  - manifests land via temp-file + ATOMIC_MOVE, so a racing reader
+  *    never observes a half-written head manifest (a truncated kept-file
+  *    list would silently drop untouched partitions from the next
+  *    snapshot);
+  *  - data files STAGE to a `stage-<uuid>/` directory BEFORE the version
+  *    number is claimed; the claim is then held only across a directory
+  *    rename plus one manifest write (milliseconds), not the whole Spark
+  *    write — a minutes-long commit no longer starves concurrent
+  *    writers into spurious claim timeouts;
+  *  - manifest entries optionally carry per-file row counts and
+  *    per-column min/max ([[FileEntry]]) — the Iceberg scan-planning
+  *    contract: [[readVersionPruned]] skips files whose recorded ranges
+  *    cannot satisfy a predicate before the scan is even planned, so a
+  *    selective query against a versioned 100 TB table opens a handful
+  *    of files instead of all of them. Stats ride the manifest BY
+  *    REFERENCE with their files across commits; files without stats
+  *    are conservatively always read;
+  *  - [[commitAppend]] (blind append, Delta semantics: never conflicts,
+  *    linearizes via the claim) and [[commitOptimize]] (data-identical
+  *    rewrite — compaction + optional z-clustering — that conflicts
+  *    like any rewrite) complete the commit taxonomy.
   */
 object TxLog {
 
@@ -53,6 +76,18 @@ object TxLog {
     */
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
+
+  /** One manifest entry: a data file path (relative to the table root),
+    * its row count, and per-column (min, max) ranges — the file-skipping
+    * stats a table format stores. `rows = -1` means "not collected"
+    * (stats-less commits and legacy manifests); a column absent from
+    * `stats` (never collected, or all-null in the file) is conservatively
+    * un-prunable. Ranges are doubles: exact for the integral and float
+    * columns skipping targets (longs up to 2^53), and min/max pruning
+    * only ever needs ordering, not identity.
+    */
+  final case class FileEntry(path: String, rows: Long,
+                             stats: Map[String, (Double, Double)])
 
   private val PartDir = "__part"
 
@@ -84,7 +119,8 @@ object TxLog {
   /** Partitions whose file set changed between v−1 and v — commit v's
     * touched set, recovered from the manifests alone (kept files carry
     * over BY REFERENCE, so any pathname entering or leaving the
-    * manifest is a rewrite or addition in its partition).
+    * manifest is a rewrite or addition in its partition). Manifests are
+    * written atomically, so both reads here see complete file lists.
     */
   private def touchedPartitionsOf(table: String, v: Int): Set[String] = {
     val prev = filesOf(table, v - 1).toSet
@@ -109,12 +145,43 @@ object TxLog {
     manifestVersions(table).foldLeft(-1)(math.max)
 
   /** Files (relative to `table`) making up `version`'s snapshot. */
-  def filesOf(table: String, version: Int): Seq[String] = {
+  def filesOf(table: String, version: Int): Seq[String] =
+    entriesOf(table, version).map(_.path)
+
+  /** Manifest entries (path + rows + column stats) of `version`. */
+  def entriesOf(table: String, version: Int): Seq[FileEntry] = {
     val p = manifestPath(table, version)
     require(Files.isRegularFile(p), s"no manifest for v$version")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      .linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map(parseEntry).toSeq
   }
+
+  // manifest line codec: `path` (legacy, no stats) or
+  // `path<TAB>rows<TAB>col=min,max;col=min,max` (statsStr may be empty).
+  // Parquet part-file names never contain tabs; stat column names are
+  // validated against the separators at commit time.
+  private def parseEntry(line: String): FileEntry =
+    line.split('\t') match {
+      case Array(p) => FileEntry(p, -1L, Map.empty)
+      case Array(p, r) => FileEntry(p, r.toLong, Map.empty)
+      case Array(p, r, s) =>
+        val stats = s.split(';').iterator.filter(_.nonEmpty).map { kv =>
+          val Array(c, mm) = kv.split('=')
+          val Array(mn, mx) = mm.split(',')
+          c -> (mn.toDouble, mx.toDouble)
+        }.toMap
+        FileEntry(p, r.toLong, stats)
+      case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
+    }
+
+  private def renderEntry(e: FileEntry): String =
+    if (e.rows < 0 && e.stats.isEmpty) e.path
+    else {
+      val s = e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }.mkString(";")
+      s"${e.path}\t${e.rows}\t$s"
+    }
 
   /** The `partCol=value` a relative data-file path belongs to. */
   private def partOf(f: String): Option[String] =
@@ -122,47 +189,110 @@ object TxLog {
       .map(_.stripPrefix(s"$PartDir="))
 
   private def listDataFiles(spark: SparkSession, dir: String,
-      table: String): Seq[String] = {
+      base: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // qualify so both sides carry the same scheme — an unqualified base
     // URI refuses to relativize a `file:`-schemed listing
-    val base = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(table)).toUri
+    val baseUri = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(base)).toUri
     val it = fs.listFiles(root, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
-        out += base.relativize(f.getPath.toUri).getPath
+        out += baseUri.relativize(f.getPath.toUri).getPath
     }
     out.result().sorted
   }
 
-  private def writeVersionFiles(spark: SparkSession, table: String,
-      version: Int, df: DataFrame, partCol: String): Seq[String] = {
-    df.withColumn(PartDir, col(partCol).cast("string"))
+  /** Write `df` under `$table/$dirName` partitioned by `partCol` and
+    * return its [[FileEntry]] list with paths RELATIVE TO `dirName`.
+    * With `statsCols`, one extra distributed pass over just the written
+    * files (bounded by the batch, O(files) driver rows) records per-file
+    * row counts and column min/max for the manifest. `sortCols` sorts
+    * within each partition's writer task (each partition value lands
+    * wholly in one task via the repartition) — the z-clustering hook.
+    */
+  private def writeStageFiles(spark: SparkSession, table: String,
+      dirName: String, df: DataFrame, partCol: String,
+      statsCols: Seq[String], sortCols: Seq[Column] = Nil): Seq[FileEntry] = {
+    statsCols.foreach(c => require(!c.exists("\t;,=".contains(_)),
+      s"stat column name '$c' collides with the manifest codec"))
+    val keyed = df.withColumn(PartDir, col(partCol).cast("string"))
       .repartition(col(PartDir))
-      .write.mode("overwrite").partitionBy(PartDir)
-      .parquet(s"$table/v$version")
-    listDataFiles(spark, s"$table/v$version", table)
+    val clustered =
+      if (sortCols.isEmpty) keyed
+      else keyed.sortWithinPartitions(col(PartDir) +: sortCols: _*)
+    clustered.write.mode("overwrite").partitionBy(PartDir)
+      .parquet(s"$table/$dirName")
+    val rel = listDataFiles(spark, s"$table/$dirName", s"$table/$dirName")
+    if (statsCols.isEmpty) rel.map(FileEntry(_, -1L, Map.empty))
+    else {
+      val root = new org.apache.hadoop.fs.Path(s"$table/$dirName")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val baseUri = fs.makeQualified(root).toUri
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+      val collected = spark.read.parquet(s"$table/$dirName")
+        .groupBy(input_file_name().as("__f"))
+        .agg(count(lit(1)).as("__rows"), aggs: _*)
+        .collect().map { r =>
+          val p = baseUri.relativize(java.net.URI.create(r.getString(0)))
+            .getPath
+          val stats = statsCols.flatMap { c =>
+            val mn = r.getAs[Any](s"__mn_$c")
+            val mx = r.getAs[Any](s"__mx_$c")
+            // an all-null column has no range: leave it un-prunable
+            if (mn == null || mx == null) None
+            else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+          }.toMap
+          p -> (r.getAs[Long]("__rows"), stats)
+        }.toMap
+      rel.map { p =>
+        val (rows, stats) = collected.getOrElse(p, (-1L, Map.empty[String, (Double, Double)]))
+        FileEntry(p, rows, stats)
+      }
+    }
   }
 
+  /** Land a manifest atomically: temp name in `_vlog`, then ATOMIC_MOVE
+    * to `v{n}.json` — a reader (or a racing writer's conflict check)
+    * only ever sees a complete manifest, never a partially-written one.
+    */
   private def writeManifest(table: String, version: Int,
-      files: Seq[String]): Unit = {
-    Files.createDirectories(Paths.get(s"$table/_vlog"))
-    Files.write(manifestPath(table, version),
-      files.sorted.mkString("", "\n", "\n")
-        .getBytes(StandardCharsets.UTF_8))
+      entries: Seq[FileEntry]): Unit = {
+    val dir = Paths.get(s"$table/_vlog")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(
+      s".v$version.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp,
+      entries.sortBy(_.path).map(renderEntry)
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(table, version),
+      StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
-  /** Commit `df` as version 0 (the initial snapshot). */
+  private def deleteRecNio(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.toSeq.foreach(deleteRecNio)
+      finally stream.close()
+    }
+    Files.deleteIfExists(p); ()
+  }
+
+  /** Commit `df` as version 0 (the initial snapshot). `statsCols` opts
+    * into per-file column min/max in the manifest (see [[FileEntry]]).
+    */
   def commitInitial(spark: SparkSession, table: String, df: DataFrame,
-      partCol: String): Int = {
+      partCol: String, statsCols: Seq[String] = Nil): Int = {
     writeManifest(table, 0,
-      writeVersionFiles(spark, table, 0, df, partCol))
+      writeStageFiles(spark, table, "v0", df, partCol, statsCols)
+        .map(e => e.copy(path = s"v0/${e.path}")))
     0
   }
 
@@ -170,34 +300,38 @@ object TxLog {
     * the touched partitions, append new ones) as the next version.
     * Untouched partitions' files carry over into the new manifest BY
     * REFERENCE; only the touched partitions are read back, merged, and
-    * rewritten as fresh `v{n}/` files. Prior versions' data files are
-    * never modified or deleted — `readVersion(cur)` keeps returning the
-    * exact old snapshot after this commit (TxLogSpec pins it).
+    * rewritten as fresh files. Prior versions' data files are never
+    * modified or deleted — `readVersion(cur)` keeps returning the exact
+    * old snapshot after this commit (TxLogSpec pins it).
     */
   def commitUpsert(spark: SparkSession, table: String, batch: DataFrame,
-      keyCol: String, partCol: String): Int =
+      keyCol: String, partCol: String, statsCols: Seq[String] = Nil): Int =
     commitUpsertFrom(spark, table, batch, keyCol, partCol,
-      currentVersion(table))
+      currentVersion(table), statsCols = statsCols)
 
   /** [[commitUpsert]] with an explicit snapshot version the merge was
     * computed against — the OPTIMISTIC-concurrency core (round 14;
     * VERDICT r13 #2). Protocol, the minimal Delta/Iceberg commit:
     *
     *  1. merge is prepared against v(start)'s snapshot (pruned read +
-    *     anti join, lazy);
+    *     anti join) and STAGED to a uuid-named directory invisible to
+    *     readers and vacuum — all the heavy work happens before any
+    *     claim is taken;
     *  2. re-read the log head; every commit that landed after `start`
     *     is conflict-checked — its touched partitions (recovered from
     *     the manifest diff) must be DISJOINT from ours, else
     *     [[CommitConflictException]] (retryable — no lost update: the
     *     overlapping writer's rows are not silently resurrected from
-    *     our stale snapshot);
+    *     our stale snapshot). The check also runs BEFORE staging, so a
+    *     doomed commit fails before paying the write;
     *  3. atomically claim head+1 via CREATE_NEW of a transient
     *     `.claim` file — two racers on the same number serialize here:
     *     the loser waits for the winner's manifest to land, re-checks
     *     conflicts against it, and claims the next number;
-    *  4. write data files under the claimed `v{n}/`, then the manifest:
-    *     kept files carry over from the head manifest (NOT `start`'s —
-    *     a disjoint intervener's files must be referenced).
+    *  4. rename the staged directory to the claimed `v{n}` and land the
+    *     manifest (kept entries carry over from the HEAD manifest — NOT
+    *     `start`'s: a disjoint intervener's files must be referenced).
+    *     The claim spans only this rename + one small file write.
     *
     * Disjoint racers both land, linearized; overlapping racers — exactly
     * one wins (TxLogSpec pins both). A claim orphaned by a crashed
@@ -207,7 +341,7 @@ object TxLog {
     */
   private[graft] def commitUpsertFrom(spark: SparkSession, table: String,
       batch: DataFrame, keyCol: String, partCol: String, start: Int,
-      claimTimeoutMs: Long = 60000L): Int = {
+      claimTimeoutMs: Long = 60000L, statsCols: Seq[String] = Nil): Int = {
     require(start >= 0, "commitInitial first")
     // manifest fragments carry Spark's partition-path ESCAPING
     // ('a b' → 'a%20b') and render a null partition as the
@@ -216,12 +350,7 @@ object TxLog {
     // keptFiles AND be rewritten — duplicating every upserted row in the
     // new snapshot
     val touched = batch.select(col(partCol).cast("string")).distinct()
-      .collect().map { r =>
-        val catalog = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils
-        if (r.isNullAt(0)) catalog.DEFAULT_PARTITION_NAME
-        else catalog.escapePathName(r.getString(0))
-      }.toSet
+      .collect().map(r => escapedPart(r)).toSet
     val touchedFiles = filesOf(table, start)
       .filter(f => partOf(f).exists(touched.contains))
     val dataCols = batch.columns.filterNot(_ == PartDir)
@@ -236,50 +365,163 @@ object TxLog {
             batch.select(col(keyCol)).distinct(), Seq(keyCol),
             "left_anti"))
       }
-    occCommit(table, start, touched, claimTimeoutMs) { next =>
-      writeVersionFiles(spark, table, next, merged, partCol)
+    occCommit(table, start, touched, claimTimeoutMs)(d =>
+      writeStageFiles(spark, table, d, merged, partCol, statsCols))
+  }
+
+  private def escapedPart(r: org.apache.spark.sql.Row): String = {
+    val catalog = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (r.isNullAt(0)) catalog.DEFAULT_PARTITION_NAME
+    else catalog.escapePathName(r.getString(0))
+  }
+
+  private def conflictCheck(table: String, start: Int,
+      touched: Set[String]): Unit = {
+    val head = currentVersion(table)
+    (start + 1) to head foreach { v =>
+      val overlap = touchedPartitionsOf(table, v).intersect(touched)
+      if (overlap.nonEmpty)
+        throw new CommitConflictException(
+          s"commit v$v touched partition(s) ${overlap.mkString(",")} " +
+            s"concurrently with this commit (snapshot v$start) — " +
+            "re-read and retry")
     }
   }
 
-  /** The shared OCC commit core: conflict-check against every commit
-    * that landed after `start`, claim head+1 atomically, stage the new
-    * data files via `stage(next)`, land the manifest (kept files from
-    * the HEAD manifest, minus the touched partitions), release.
+  /** The shared OCC commit core. Stages data files FIRST (uuid dir,
+    * invisible to readers/vacuum), then conflict-checks + claims head+1
+    * atomically, renames the staged dir to `v{n}`, lands the manifest
+    * (kept entries from the HEAD manifest minus the touched partitions),
+    * and releases. The claim is held only across the rename + manifest
+    * write — never across the Spark write, so a large commit cannot
+    * starve peers into claim timeouts. `blindAppend` (Delta append
+    * semantics) skips the conflict check and keeps EVERY head file.
     */
   private def occCommit(table: String, start: Int, touched: Set[String],
-      claimTimeoutMs: Long)(stage: Int => Seq[String]): Int = {
-    val deadline = System.currentTimeMillis() + claimTimeoutMs
+      claimTimeoutMs: Long, blindAppend: Boolean = false)
+      (stage: String => Seq[FileEntry]): Int = {
+    // fail fast before paying the staged write; the authoritative check
+    // re-runs after staging, against whatever landed meanwhile
+    if (!blindAppend) conflictCheck(table, start, touched)
+    val stageDir = s"stage-${java.util.UUID.randomUUID()}"
     var next = -1
-    while (next < 0) {
-      val head = currentVersion(table)
-      (start + 1) to head foreach { v =>
-        val overlap = touchedPartitionsOf(table, v).intersect(touched)
-        if (overlap.nonEmpty)
-          throw new CommitConflictException(
-            s"commit v$v touched partition(s) ${overlap.mkString(",")} " +
-              s"concurrently with this commit (snapshot v$start) — " +
-              "re-read and retry")
-      }
-      if (tryClaim(table, head + 1)) {
-        // a claim released AFTER its manifest landed but BEFORE we
-        // re-read the head can hand us a version that already exists —
-        // manifests are only written by claim holders, so existence
-        // here is stable: release and re-read
-        if (Files.isRegularFile(manifestPath(table, head + 1))) {
-          releaseClaim(table, head + 1)
-        } else next = head + 1
-      } else if (System.currentTimeMillis() > deadline) {
-        throw new IllegalStateException(
-          s"claim on v${head + 1} of $table not released within " +
-            s"$claimTimeoutMs ms — stale claim from a crashed writer?")
-      } else Thread.sleep(25)
-    }
+    var renamed = false
     try {
-      val keptFiles = filesOf(table, next - 1)
-        .filterNot(f => partOf(f).exists(touched.contains))
-      writeManifest(table, next, keptFiles ++ stage(next))
-    } finally releaseClaim(table, next)
-    next
+      val staged = stage(stageDir)
+      val deadline = System.currentTimeMillis() + claimTimeoutMs
+      while (next < 0) {
+        if (!blindAppend) conflictCheck(table, start, touched)
+        val head = currentVersion(table)
+        if (tryClaim(table, head + 1)) {
+          // a claim released AFTER its manifest landed but BEFORE we
+          // re-read the head can hand us a version that already exists —
+          // manifests are only written by claim holders, so existence
+          // here is stable: release and re-read
+          if (Files.isRegularFile(manifestPath(table, head + 1))) {
+            releaseClaim(table, head + 1)
+          } else next = head + 1
+        } else if (System.currentTimeMillis() > deadline) {
+          throw new IllegalStateException(
+            s"claim on v${head + 1} of $table held or stale after " +
+              s"$claimTimeoutMs ms — a concurrent writer is landing its " +
+              "manifest, or a crashed writer left the claim file behind " +
+              "(remove it by hand to recover)")
+        } else Thread.sleep(25)
+      }
+      // the claim holder owns v{next} exclusively: a directory orphaned
+      // there by a writer that crashed between rename and manifest write
+      // is dead weight — clear it so our rename cannot collide
+      val target = Paths.get(s"$table/v$next")
+      if (Files.exists(target)) deleteRecNio(target)
+      Files.move(Paths.get(s"$table/$stageDir"), target)
+      renamed = true
+      val landed = staged.map(e => e.copy(path = s"v$next/${e.path}"))
+      val kept =
+        if (blindAppend) entriesOf(table, next - 1)
+        else entriesOf(table, next - 1)
+          .filterNot(e => partOf(e.path).exists(touched.contains))
+      writeManifest(table, next, kept ++ landed)
+      next
+    } catch {
+      case e: Throwable =>
+        // normal-abort hygiene: a conflict or failed stage leaves no
+        // orphan (crash orphans are vacuum(staleStageMs)'s job)
+        if (!renamed) deleteRecNio(Paths.get(s"$table/$stageDir"))
+        throw e
+    } finally {
+      if (next >= 0) releaseClaim(table, next)
+    }
+  }
+
+  /** Blind APPEND commit — the streaming-ingest fast path, Delta's
+    * append semantics: new files land in the batch's partitions, every
+    * existing file carries over by reference, and appends NEVER conflict
+    * (two stale-snapshot appends to the same partition both land — rows
+    * are only added, so neither can lose the other's). They still
+    * linearize through the claim, and a later REWRITE (upsert / delete /
+    * optimize) prepared against a snapshot that predates an append to
+    * its partitions aborts with the usual conflict — the manifest diff
+    * shows the appended files. This is also how small files accumulate
+    * in real tables; [[commitOptimize]] is the cure.
+    */
+  def commitAppend(spark: SparkSession, table: String, batch: DataFrame,
+      partCol: String, statsCols: Seq[String] = Nil,
+      claimTimeoutMs: Long = 60000L): Int = {
+    val start = currentVersion(table)
+    require(start >= 0, "commitInitial first")
+    occCommit(table, start, Set.empty, claimTimeoutMs,
+      blindAppend = true)(d =>
+      writeStageFiles(spark, table, d, batch, partCol, statsCols))
+  }
+
+  /** OPTIMIZE as an OCC commit — a rewrite that changes the physical
+    * layout and NOT the data: the selected partitions (default: all)
+    * are read back, optionally z-clustered on `zorder` (k ≥ 2 columns →
+    * [[Layout.zValueK]]; one column → a plain sort), compacted to one
+    * file per partition, and committed under the SAME conflict contract
+    * as any rewrite: OPTIMIZE vs a disjoint upsert both land; OPTIMIZE
+    * vs an overlapping upsert — exactly one aborts retryably (the data
+    * it rewrote is no longer the truth). Every prior version stays
+    * readable; `readVersion` before and after are row-identical
+    * (TxLogSpec pins it). Stats refresh with the rewrite when
+    * `statsCols` is given — compaction is exactly when ranges tighten.
+    * Returns the new version, or the current head when the selection
+    * matches no files.
+    *
+    * `partitions` takes RAW partition values (escaped internally, same
+    * as upsert batches); None optimizes the whole table — at 100 TB
+    * pass the small-file partitions a manifest scan identifies.
+    */
+  def commitOptimize(spark: SparkSession, table: String, partCol: String,
+      partitions: Option[Set[String]] = None, zorder: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Int =
+    commitOptimizeFrom(spark, table, partCol, partitions, zorder,
+      statsCols, currentVersion(table))
+
+  private[graft] def commitOptimizeFrom(spark: SparkSession,
+      table: String, partCol: String, partitions: Option[Set[String]],
+      zorder: Seq[String], statsCols: Seq[String], start: Int,
+      claimTimeoutMs: Long = 60000L): Int = {
+    require(start >= 0, "commitInitial first")
+    val catalog = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val present = filesOf(table, start).flatMap(partOf).toSet
+    val touched = partitions
+      .map(_.map(v => if (v == null) catalog.DEFAULT_PARTITION_NAME
+        else catalog.escapePathName(v)))
+      .getOrElse(present)
+      .intersect(present)
+    val files = filesOf(table, start)
+      .filter(f => partOf(f).exists(touched.contains))
+    if (files.isEmpty) return currentVersion(table)
+    val base = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val sortCols: Seq[Column] = zorder match {
+      case Nil => Nil
+      case Seq(c) => Seq(col(c))
+      case cs => Seq(Layout.zValueK(cs.map(col)))
+    }
+    occCommit(table, start, touched, claimTimeoutMs)(d =>
+      writeStageFiles(spark, table, d, base, partCol, statsCols,
+        sortCols = sortCols))
   }
 
   /** Commit a DELETE of `keys` as the next version — the log-backed
@@ -296,45 +538,82 @@ object TxLog {
     * Same OCC protocol and conflict contract as [[commitUpsertFrom]].
     */
   def commitDelete(spark: SparkSession, table: String, keys: DataFrame,
-      keyCol: String, partCol: String): Int =
+      keyCol: String, partCol: String, statsCols: Seq[String] = Nil): Int =
     commitDeleteFrom(spark, table, keys, keyCol, partCol,
-      currentVersion(table))
+      currentVersion(table), statsCols = statsCols)
 
   private[graft] def commitDeleteFrom(spark: SparkSession, table: String,
       keys: DataFrame, keyCol: String, partCol: String, start: Int,
-      claimTimeoutMs: Long = 60000L): Int = {
+      claimTimeoutMs: Long = 60000L, statsCols: Seq[String] = Nil): Int = {
     require(start >= 0, "commitInitial first")
+    // a legitimately-empty snapshot (a prior delete removed every row)
+    // holds nothing to delete — and a zero-path parquet read would throw
+    if (filesOf(table, start).isEmpty) return currentVersion(table)
     val k = keys.select(col(keyCol)).distinct()
     // data files carry the original partCol (only the duplicated
     // __part copy went to the directory names), so the touched list
     // comes straight off the plainly-read snapshot rows
     val base = spark.read
       .parquet(filesOf(table, start).map(f => s"$table/$f"): _*)
-    val catalog = org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils
     val touched = base.join(k, Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string")).distinct()
-      .collect().map { r =>
-        if (r.isNullAt(0)) catalog.DEFAULT_PARTITION_NAME
-        else catalog.escapePathName(r.getString(0))
-      }.toSet
+      .collect().map(r => escapedPart(r)).toSet
     if (touched.isEmpty) return currentVersion(table)
     val touchedFiles = filesOf(table, start)
       .filter(f => partOf(f).exists(touched.contains))
     val survivors = spark.read
       .parquet(touchedFiles.map(f => s"$table/$f"): _*)
       .join(k, Seq(keyCol), "left_anti")
-    occCommit(table, start, touched, claimTimeoutMs) { next =>
-      writeVersionFiles(spark, table, next, survivors, partCol)
-    }
+    occCommit(table, start, touched, claimTimeoutMs)(d =>
+      writeStageFiles(spark, table, d, survivors, partCol, statsCols))
   }
 
-  /** Read the table AS OF `version` (time travel). */
+  /** Read the table AS OF `version` (time travel). An empty snapshot
+    * (every row deleted) reads as a zero-column empty DataFrame — the
+    * minimal log stores no schema of its own.
+    */
   def readVersion(spark: SparkSession, table: String,
-      version: Int): DataFrame =
-    spark.read
-      .parquet(filesOf(table, version).map(f => s"$table/$f"): _*)
+      version: Int): DataFrame = {
+    val files = filesOf(table, version)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
       .drop(PartDir)
+  }
+
+  /** The scan-planning prune: which of `version`'s files can possibly
+    * hold a row satisfying the conjunction of `bounds` (col BETWEEN lo
+    * AND hi), decided from the manifest stats alone — no file opened.
+    * A file without stats for a bound column is conservatively kept.
+    * Returns (surviving file paths, total file count).
+    */
+  def prunedFiles(table: String, version: Int,
+      bounds: Seq[(String, (Double, Double))]): (Seq[String], Int) = {
+    val entries = entriesOf(table, version)
+    val kept = entries.filter { e =>
+      bounds.forall { case (c, (lo, hi)) =>
+        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    (kept.map(_.path), entries.size)
+  }
+
+  /** [[readVersion]] restricted to the files [[prunedFiles]] keeps for
+    * `bounds` — the Iceberg scan-planning contract: a selective query
+    * against a versioned 100 TB table opens only the files whose
+    * recorded ranges can match. Pruning is a FILE filter, not a row
+    * filter: compose the actual predicate on top (skipped files cannot
+    * affect its result — TxLogSpec pins pruned ≡ full under the
+    * predicate across versions).
+    */
+  def readVersionPruned(spark: SparkSession, table: String, version: Int,
+      bounds: Seq[(String, (Double, Double))]): DataFrame = {
+    val (files, _) = prunedFiles(table, version, bounds)
+    if (files.isEmpty)
+      // every file pruned: an empty relation with the version's schema
+      readVersion(spark, table, version).filter(lit(false))
+    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .drop(PartDir)
+  }
 
   /** Retention vacuum: keep the newest `retainVersions` snapshots,
     * delete every older manifest and every data file no kept manifest
@@ -342,9 +621,18 @@ object TxLog {
     * files are reference-counted by the manifest union, never deleted
     * while referenced — TxLogSpec pins it). Returns
     * (dataFilesDeleted, manifestsDeleted).
+    *
+    * Concurrency: vacuum only ever lists committed `v*` directories, so
+    * an IN-FLIGHT commit is safe by construction — its new files live
+    * in a `stage-*` directory vacuum never visits, and its kept-file
+    * references are the head manifest's files, which `retainVersions ≥
+    * 1 always preserves. A writer that CRASHED mid-stage leaves its
+    * `stage-*` directory orphaned; pass `staleStageMs ≥ 0` to also
+    * delete stage directories not modified within that window (default
+    * off, so a live slow writer is never swept).
     */
   def vacuum(spark: SparkSession, table: String,
-      retainVersions: Int = 1): (Int, Int) = {
+      retainVersions: Int = 1, staleStageMs: Long = -1L): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the newest version")
     val cur = currentVersion(table)
     require(cur >= 0, "empty log")
@@ -367,6 +655,15 @@ object TxLog {
     }
     val oldManifests = (0 until keepFrom)
       .filter(v => Files.deleteIfExists(manifestPath(table, v)))
+    if (staleStageMs >= 0) {
+      val cutoff = System.currentTimeMillis() - staleStageMs
+      val stream = Files.list(Paths.get(table))
+      try stream.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("stage-") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(deleteRecNio)
+      finally stream.close()
+    }
     (doomed.size, oldManifests.size)
   }
 }

@@ -210,19 +210,39 @@ object StreamOps {
     * bucket inside the horizon, expired by event-time timeout.
     */
   def streamingPhashCandidates(media: DataFrame,
-      watermark: String = "1 hour"): Dataset[NearDupCand] = {
+      watermark: String = "1 hour"): Dataset[NearDupCand] =
+    sig64Candidates(media, watermark, graft.ext.Multimodal.dHash64)
+
+  /** Streaming AUDIO near-dup candidates — q154's twin (the
+    * fifteenth): payloads fingerprint in-stream through the same
+    * RIFF/PCM seam as the batch operator
+    * ([[graft.ext.Multimodal.audioFingerprint64]] — container
+    * re-encodes keep the fingerprint) and band into the exact 4×16-bit
+    * blocks [[graft.ext.Dedup.bandPairs64]] joins on. Identical
+    * bounded-state guarantee to [[streamingPhashCandidates]].
+    */
+  def streamingAfpCandidates(media: DataFrame,
+      watermark: String = "1 hour"): Dataset[NearDupCand] =
+    sig64Candidates(media, watermark,
+      graft.ext.Multimodal.audioFingerprint64)
+
+  /** Shared 64-bit-signature banding for the perceptual twins: hash
+    * each payload with `sig64` inside the partition map, explode into
+    * the 4 × 16-bit Manku blocks, bucket within the watermark horizon.
+    */
+  private def sig64Candidates(media: DataFrame, watermark: String,
+      sig64: Array[Byte] => Long): Dataset[NearDupCand] = {
     val spark = media.sparkSession
     import spark.implicits._
     val hashed = media
       .select(col("doc_id"), col("ts"), col("media"))
       .as[(Long, java.sql.Timestamp, Array[Byte])]
-      .map { case (id, ts, m) =>
-        (id, ts, graft.ext.Multimodal.dHash64(m)) }
-      .toDF("doc_id", "ts", "dhash")
+      .map { case (id, ts, m) => (id, ts, sig64(m)) }
+      .toDF("doc_id", "ts", "sig")
       .withWatermark("ts", watermark)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band_id"),
-        (shiftright(col("dhash"), 16 * b) bitwiseAND lit(0xffffL))
+        (shiftright(col("sig"), 16 * b) bitwiseAND lit(0xffffL))
           .cast("string").as("band_hash"))
     }
     val banded = hashed

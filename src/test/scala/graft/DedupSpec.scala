@@ -251,4 +251,37 @@ class DedupSpec extends SparkSpec {
       shA.union(shB).size
     assert(math.abs(got.head._3 - expected) < 1e-12)
   }
+
+  test("paragraphDedup over the newline splitter: corpus-wide " +
+      "duplicated paragraphs flagged, boilerplate-heavy doc dropped") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val legal = "all rights reserved"
+    val docs = Seq(
+      // doc 1: 3 paragraphs, 2 of them boilerplate shared with others
+      (1L, s"$boiler\nunique thought one\n$legal"),
+      // doc 2: mostly original, shares one paragraph
+      (2L, s"fresh insight a\nfresh insight b\n$legal\nfresh insight c"),
+      // doc 3: pure boilerplate — must be dropped
+      (3L, s"$boiler\n$legal"),
+      // doc 4: fully original; repeated paragraph WITHIN the doc only
+      // is not a corpus-wide dup (distinct-doc count = 1)
+      (4L, "own words\nown words\nmore own words"),
+      // blank/whitespace paragraphs are not paragraphs
+      (5L, "   \nsingular text here\n\n  \n")
+    ).toDF("doc_id", "text")
+    val paras = Dedup.paragraphsOf(docs)
+    // splitter: trimmed, non-empty
+    assert(paras.filter($"doc_id" === 5L).as[(Long, String)]
+      .collect().toSet == Set((5L, "singular text here")))
+    val got = Dedup.paragraphDedup(paras, maxDupFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_par"), r.getAs[Long]("n_dup"),
+          r.getAs[Boolean]("drop_doc")))).toMap
+    assert(got(1L) == ((3L, 2L, true)))
+    assert(got(2L) == ((4L, 1L, false)))
+    assert(got(3L) == ((2L, 2L, true)))
+    assert(got(4L) == ((2L, 0L, false)), "within-doc repeat leaked")
+    assert(got(5L) == ((1L, 0L, false)))
+  }
 }

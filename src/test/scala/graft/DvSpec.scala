@@ -126,4 +126,50 @@ class DvSpec extends SparkSpec {
     assert(!graft.ops.Dv.needsPurge(spark, tbl, "id", maxRatio = 0.05))
     assert(spark.read.parquet(tbl).count() == 92L)
   }
+
+  test("DV writers serialize on _dv.lock: a delete racing a purge " +
+      "waits, its tombstone is never lost; a stale lock fails loudly") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("graft-dv-lock")
+    val tbl = root.resolve("t").toString
+    (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(tbl)
+    // hold the lock, simulating a purge mid-flight between its key read
+    // and its _dv wipe — the exact window where an unserialized delete
+    // would land a tombstone only to have it wiped unfolded
+    val lock = Paths.get(s"$tbl/_dv.lock")
+    Files.write(lock, Array.emptyByteArray)
+    val del = Future {
+      graft.ops.Dv.delete(spark, tbl, Seq(7L).toDF("id"), "id")
+    }
+    Thread.sleep(300)
+    assert(!del.isCompleted, "delete must block while the lock is held")
+    assert(!Files.exists(Paths.get(s"$tbl/_dv")),
+      "tombstone landed under a held lock")
+    Files.delete(lock)
+    Await.result(del, 60.seconds)
+    // the tombstone survived the race window: MoR hides id 7, purge
+    // folds it for real
+    assert(graft.ops.Dv.read(spark, tbl, "id")
+      .filter(col("id") === 7L).count() == 0L)
+    graft.ops.Dv.purge(spark, tbl, "id", "part")
+    assert(spark.read.parquet(tbl).count() == 39L &&
+      !Files.exists(lock), "lock leaked after purge")
+    // a lock abandoned by a crashed writer fails loudly, not silently
+    Files.write(lock, Array.emptyByteArray)
+    val e = intercept[IllegalStateException] {
+      // private timeout isn't reachable; exercise via a short-lived
+      // reflection-free path: delete with the default would stall 60 s,
+      // so call through the public surface on a copy with the lock held
+      // and a tiny deadline via the package-private helper
+      graft.ops.Dv.deleteWithTimeout(spark, tbl, Seq(8L).toDF("id"),
+        "id", timeoutMs = 300L)
+    }
+    assert(e.getMessage.contains("held or stale"))
+    Files.delete(lock)
+  }
 }

@@ -274,4 +274,39 @@ class MultimodalSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("audioFingerprint64 is invariant to WAV container re-encoding " +
+      "and catches the pair through the banded join") {
+    // a deterministic "audio" signal: 1 kB of a slow byte ramp + wobble
+    val pcm = Array.tabulate[Byte](1024)(i =>
+      ((i / 8 + 13 * math.sin(i / 40.0)).toInt & 0xff).toByte)
+    val wav = Multimodal.wavOf(pcm)
+    // re-encode: same PCM, extra LIST metadata chunk before data
+    val reenc = Multimodal.wavOf(pcm, extraChunk = true)
+    assert(!java.util.Arrays.equals(wav, reenc),
+      "re-encode must differ at the container level")
+    val fa = Multimodal.audioFingerprint64(wav)
+    val fb = Multimodal.audioFingerprint64(reenc)
+    assert(fa == fb, "container framing leaked into the fingerprint")
+    // the RIFF seam is real: the WAV fingerprints exactly its PCM
+    // bytes (the data chunk was located, headers excluded)
+    assert(Multimodal.audioFingerprint64(pcm) == fa,
+      "WAV payload must fingerprint its PCM, not its framing")
+    // an unrelated signal lands far away
+    val other = Multimodal.wavOf(Array.tabulate[Byte](1024)(i =>
+      ((255 - i / 4 + (if (i % 16 < 8) 64 else 0)) & 0xff).toByte))
+    val fc = Multimodal.audioFingerprint64(other)
+    assert(java.lang.Long.bitCount(fa ^ fc) > 3,
+      "unrelated audio landed within the near-dup radius")
+    // end-to-end: banding surfaces exactly the planted pair
+    val media = Seq((1L, wav, "audio"), (2L, reenc, "audio"),
+      (3L, other, "audio")).toDF("doc_id", "media", "media_type")
+    val pairs = graft.ext.Dedup.bandPairs64(
+      Multimodal.afpMedia(media), "afp", hamMax = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // degenerate payloads are total: empty and null fingerprint to 0
+    assert(Multimodal.audioFingerprint64(Array.emptyByteArray) == 0L)
+    assert(Multimodal.audioFingerprint64(null) == 0L)
+  }
 }

@@ -154,6 +154,37 @@ class SimSearchSpec extends SparkSpec {
     assert(refined == brute && refined.nonEmpty)
   }
 
+  test("ivfAppendReport: frozen-centroid assignment, exact drift, " +
+      "retrain trips only when the batch moves mass") {
+    val centers = SimSearch.ivfCentroids(corpus, nlist = 3)
+    val index = SimSearch.ivfIndex(corpus, centers)
+      .select(col("nbr_id"), col("cell"))
+    // batch drawn from the same clusters: drift stays near zero
+    def vec(axis: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == axis) scale else 0.01f * ((i + axis) % 3))
+    val sameBatch = Seq((10L, vec(0, 0.95f)), (11L, vec(3, 0.9f)),
+      (12L, vec(6, 1.05f))).toDF("vec_id", "embedding")
+    val same = SimSearch.ivfAppendReport(index, sameBatch, centers,
+      retrainTv = 0.2)
+    val sameRows = same.collect()
+    assert(sameRows.forall(!_.getAs[Boolean]("retrain")),
+      "balanced batch must not trigger retrain")
+    // n_total accounting: index 7 + batch 3
+    assert(sameRows.map(_.getAs[Long]("n_total")).sum == 10L)
+    // a batch dumped entirely into ONE cell shifts mass: retrain trips
+    val skewBatch = (20L to 27L).map(i => (i, vec(0, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val skew = SimSearch.ivfAppendReport(index, skewBatch, centers,
+      retrainTv = 0.2).collect()
+    assert(skew.forall(_.getAs[Boolean]("retrain")),
+      "skewed batch must trigger retrain")
+    // drift is a table-level constant, identical on every row
+    assert(skew.map(_.getAs[Double]("drift_tv")).distinct.length == 1)
+    // exact arithmetic sanity: same-distribution batch has LOWER drift
+    assert(sameRows.head.getAs[Double]("drift_tv") <
+      skew.head.getAs[Double]("drift_tv"))
+  }
+
   test("IVF candidate set is cell-bounded: nprobe=nlist degrades to exact") {
     val q = corpus.filter($"vec_id" === 3L)
     val exact = SimSearch.bruteForceTopK(corpus, q, 3).collect()

@@ -477,6 +477,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming afp candidates: a container-re-encoded WAV caught " +
+      "against its in-horizon original; bands match the batch pairing") {
+    implicit val sq = spark.sqlContext
+    val pcm = Array.tabulate[Byte](1024)(i =>
+      ((i / 8 + 13 * math.sin(i / 40.0)).toInt & 0xff).toByte)
+    val wav = graft.ext.Multimodal.wavOf(pcm)
+    val reenc = graft.ext.Multimodal.wavOf(pcm, extraChunk = true)
+    val other = graft.ext.Multimodal.wavOf(
+      Array.tabulate[Byte](1024)(i =>
+        ((255 - i / 4 + (if (i % 16 < 8) 64 else 0)) & 0xff).toByte))
+    val mem = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = StreamOps.streamingAfpCandidates(
+      mem.toDF.toDF("doc_id", "ts", "media"))
+      .writeStream.format("memory").queryName("afp_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(10), wav), (3L, ts(11), other))
+      q.processAllAvailable()
+      assert(spark.table("afp_out").count() == 0L,
+        "unrelated audio must not pair")
+      mem.addData((2L, ts(12), reenc))
+      q.processAllAvailable()
+      val got = spark.table("afp_out")
+        .select("docId", "dupOf").as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 1L)), s"got $got")
+      // container invariance: the re-encode's fingerprint is the
+      // original's, so EVERY one of the 4 bands agrees
+      assert(spark.table("afp_out").select("bandId").as[Int]
+        .collect().toSet == Set(0, 1, 2, 3))
+    } finally q.stop()
+  }
+
   test("streaming cdc extract: two snapshot streams drain to exactly " +
       "the batch cdcExtract I/U/D feed; unchanged keys never emit") {
     implicit val sq = spark.sqlContext

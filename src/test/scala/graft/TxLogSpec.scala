@@ -293,6 +293,175 @@ class TxLogSpec extends SparkSpec {
       graft.ops.TxLog.commitUpsertFrom(spark, tbl, b, "id", "part",
         start = 0, claimTimeoutMs = 300L)
     }
-    assert(e.getMessage.contains("stale claim"))
+    assert(e.getMessage.contains("held or stale"))
+  }
+
+  test("manifest column stats: collected per file, carried BY REFERENCE " +
+      "across commits, refreshed on rewrite") {
+    val root = Files.createTempDirectory("graft-txlog-stats")
+    val tbl = root.resolve("t").toString
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part",
+      statsCols = Seq("id", "v"))
+    val e0 = graft.ops.TxLog.entriesOf(tbl, 0)
+    assert(e0.size == 4 && e0.forall(_.rows == 10L))
+    val p1 = e0.find(_.path.contains("__part=1")).get
+    assert(p1.stats("id") == (1.0, 10.0) && p1.stats("v") == (1.0, 10.0))
+    // rewrite partition 1; partitions 2-4 carry stats by reference
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part",
+      statsCols = Seq("id", "v"))
+    val e1 = graft.ops.TxLog.entriesOf(tbl, 1)
+    val p1v1 = e1.find(_.path.contains("__part=1")).get
+    assert(p1v1.path.startsWith("v1/") && p1v1.stats("v") == (1.0, 300.0))
+    val p3v1 = e1.find(_.path.contains("__part=3")).get
+    assert(p3v1.path.startsWith("v0/") &&
+      p3v1.stats("id") == (21.0, 30.0), "carried stats lost")
+  }
+
+  test("prunedFiles skips only files whose ranges cannot match; pruned " +
+      "read ≡ full read under the predicate, across versions") {
+    val root = Files.createTempDirectory("graft-txlog-prune")
+    val tbl = root.resolve("t").toString
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1, i * 1.0))
+      .toDF("id", "part", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part",
+      statsCols = Seq("id"))
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part",
+      statsCols = Seq("id"))
+    val bounds = Seq("id" -> (12.0, 25.0))
+    (0 to 1).foreach { ver =>
+      val (files, total) = graft.ops.TxLog.prunedFiles(tbl, ver, bounds)
+      assert(total == 4 && files.size == 2, s"v$ver: $files")
+      val pruned = graft.ops.TxLog
+        .readVersionPruned(spark, tbl, ver, bounds)
+        .filter(col("id").between(12L, 25L))
+        .select("id", "v").as[(Long, Double)].collect().toSet
+      val full = graft.ops.TxLog.readVersion(spark, tbl, ver)
+        .filter(col("id").between(12L, 25L))
+        .select("id", "v").as[(Long, Double)].collect().toSet
+      assert(pruned == full && pruned.size == 14,
+        s"v$ver pruned scan diverged")
+    }
+    // bounds outside every range: all files pruned, empty result with
+    // the snapshot's schema
+    val none = graft.ops.TxLog.readVersionPruned(spark, tbl, 1,
+      Seq("id" -> (999.0, 1000.0)))
+    assert(none.columns.toSeq == Seq("id", "part", "v") &&
+      none.count() == 0L)
+    // a file without stats for the bound column is conservatively kept:
+    // commit without statsCols, then prune on id
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((14L, 2, 1400.0)).toDF("id", "part", "v"), "id", "part")
+    val (f2, t2) = graft.ops.TxLog.prunedFiles(tbl, 2,
+      Seq("id" -> (999.0, 1000.0)))
+    assert(t2 == 4 && f2.size == 1 && f2.head.contains("__part=2"),
+      s"stats-less file must survive pruning: $f2")
+  }
+
+  test("commitAppend: blind appends from stale snapshots never " +
+      "conflict; a later overlapping rewrite does") {
+    val tbl = initOcc("append")
+    val a1 = Seq((101L, 1, 101.0)).toDF("id", "part", "v")
+    val a2 = Seq((102L, 1, 102.0)).toDF("id", "part", "v")
+    // both appends to the SAME partition land (rows only added)
+    assert(graft.ops.TxLog.commitAppend(spark, tbl, a1, "part") == 1)
+    assert(graft.ops.TxLog.commitAppend(spark, tbl, a2, "part") == 2)
+    val got = graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .filter(col("part") === 1).select("id").as[Long].collect().toSet
+    assert(got == (1L to 10L).toSet ++ Set(101L, 102L))
+    // partition 1 now holds v0 + two appended files
+    assert(graft.ops.TxLog.filesOf(tbl, 2)
+      .count(_.contains("__part=1")) == 3)
+    // a rewrite prepared before the appends landed must abort: its
+    // snapshot is missing appended rows in its partitions
+    intercept[graft.ops.TxLog.CommitConflictException] {
+      graft.ops.TxLog.commitUpsertFrom(spark, tbl,
+        Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part",
+        start = 0)
+    }
+    // and a disjoint-partition rewrite from the same stale snapshot lands
+    assert(graft.ops.TxLog.commitUpsertFrom(spark, tbl,
+      Seq((14L, 2, 1400.0)).toDF("id", "part", "v"), "id", "part",
+      start = 0) == 3)
+  }
+
+  test("commitOptimize: data identical, files compacted, prior " +
+      "versions readable; conflicts like any rewrite") {
+    val tbl = initOcc("opt")
+    graft.ops.TxLog.commitAppend(spark, tbl,
+      Seq((101L, 1, 101.0), (102L, 2, 102.0)).toDF("id", "part", "v"),
+      "part")
+    assert(graft.ops.TxLog.filesOf(tbl, 1).size == 6)
+    val before = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    // optimize everything, z-clustered on (id, part), stats refreshed
+    assert(graft.ops.TxLog.commitOptimize(spark, tbl, "part",
+      zorder = Seq("id", "part"), statsCols = Seq("id")) == 2)
+    val e2 = graft.ops.TxLog.entriesOf(tbl, 2)
+    assert(e2.size == 4 && e2.forall(_.path.startsWith("v2/")),
+      s"expected one compacted file per partition: ${e2.map(_.path)}")
+    assert(e2.find(_.path.contains("__part=1")).get.stats("id") ==
+      (1.0, 101.0))
+    val after = graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    assert(after == before, "OPTIMIZE changed the data")
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 1).count() == 42L)
+    // OPTIMIZE vs overlapping upsert: the stale one aborts retryably
+    intercept[graft.ops.TxLog.CommitConflictException] {
+      graft.ops.TxLog.commitUpsertFrom(spark, tbl,
+        Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part",
+        start = 1)
+    }
+    // a stale OPTIMIZE overlapping a landed upsert also aborts
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part")
+    intercept[graft.ops.TxLog.CommitConflictException] {
+      graft.ops.TxLog.commitOptimizeFrom(spark, tbl, "part", None, Nil,
+        Nil, start = 2)
+    }
+    // partition-scoped optimize from the same stale snapshot, disjoint
+    // from the upsert's partition 1: lands
+    assert(graft.ops.TxLog.commitOptimizeFrom(spark, tbl, "part",
+      Some(Set("2")), Nil, Nil, start = 2) == 4)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 4)
+      .select("id", "v").as[(Long, Double)].collect().toSet ==
+      before - ((3L, 3.0)) + ((3L, 300.0)))
+  }
+
+  test("vacuum never touches an in-flight commit: stage dirs survive " +
+      "by default, head references stay; staleStageMs sweeps orphans") {
+    val tbl = initOcc("vac-stage")
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part")
+    // simulate an in-flight writer mid-stage
+    val staged = Paths.get(s"$tbl/stage-deadbeef")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-00000.parquet"), Array[Byte](1, 2))
+    graft.ops.TxLog.vacuum(spark, tbl, 1)
+    assert(Files.exists(staged), "vacuum swept a live stage dir")
+    // head version still fully readable after the vacuum
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 1).count() == 40L)
+    // explicit orphan sweep removes it
+    graft.ops.TxLog.vacuum(spark, tbl, 1, staleStageMs = 0L)
+    assert(!Files.exists(staged), "orphan sweep missed the stage dir")
+  }
+
+  test("commitDelete on an emptied snapshot is a no-op, not a crash") {
+    val root = Files.createTempDirectory("graft-txlog-empty")
+    val tbl = root.resolve("t").toString
+    graft.ops.TxLog.commitInitial(spark, tbl,
+      Seq((1L, 1, 1.0)).toDF("id", "part", "v"), "part")
+    // delete the only row: v1's manifest has zero files
+    assert(graft.ops.TxLog.commitDelete(spark, tbl, Seq(1L).toDF("id"),
+      "id", "part") == 1)
+    assert(graft.ops.TxLog.filesOf(tbl, 1).isEmpty)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 1).count() == 0L)
+    // deleting from the empty snapshot commits nothing
+    assert(graft.ops.TxLog.commitDelete(spark, tbl, Seq(1L).toDF("id"),
+      "id", "part") == 1)
+    assert(graft.ops.TxLog.currentVersion(tbl) == 1)
   }
 }
