@@ -45,6 +45,10 @@ object Main {
       |  graft.Main zorder   --f <table.parquet> --a <colA> --b <colB> [--o <outdir>] [--n <files>]
       |  graft.Main stats    --f <table.parquet> [--c col1,col2,...] [--o <outdir>]
       |  graft.Main compact  --f <partitioned table dir> --p <partCol> --k <keyCol> [--t <targetBytes>]
+      |  graft.Main vlog     --f <table> --x init|upsert|append|delete|optimize|read|changes|vacuum
+      |                      [--d <data.parquet>] [--k <keyCol>] [--p <partCol>] [--s col1,col2 (stats)]
+      |                      [--z col1,col2 (optimize zorder)] [--v <version>] [--a <fromV>] [--b <toV>]
+      |                      [--c col1,col2 (changes payload)] [--r <retainVersions>] [--o <outdir>]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -235,6 +239,12 @@ object Main {
             runCompact(spark, in, partCol, keyCol, target)
           println(s"compact: $touched/$total partitions " +
             s"compacted ($before files before, target $target B/file)")
+        case "vlog" =>
+          val tbl = opts.getOrElse("--f",
+            { System.err.println(usage); sys.exit(2); "" })
+          val op = opts.getOrElse("--x",
+            { System.err.println(usage); sys.exit(2); "" })
+          println(runVlog(spark, op, tbl, opts))
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -1055,5 +1065,64 @@ object Main {
     words.unpersist(); docs.unpersist()
     Map("sources" -> nSources, "vocab" -> nVocab,
       "heavy_hitters" -> nHeavy, "quantiles" -> nQuant)
+  }
+
+  /** The versioned-table CLI (`vlog` mode): every TxLog commit kind plus
+    * reads, change feeds, and vacuum, over an on-disk table directory.
+    * Returns the human-readable summary line `main` prints.
+    */
+  def runVlog(spark: SparkSession, op: String, table: String,
+      opts: Map[String, String]): String = {
+    import graft.ops.TxLog
+    def opt(k: String, d: String) = opts.getOrElse(k, d)
+    def req(k: String) = opts.getOrElse(k,
+      throw new IllegalArgumentException(s"vlog $op needs $k"))
+    def cols(k: String): Seq[String] =
+      opts.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def data() = spark.read.parquet(req("--d"))
+    op match {
+      case "init" =>
+        val v = TxLog.commitInitial(spark, table, data(), req("--p"),
+          statsCols = cols("--s"))
+        s"vlog: initial snapshot committed as v$v"
+      case "upsert" =>
+        val v = TxLog.commitUpsert(spark, table, data(), req("--k"),
+          req("--p"), statsCols = cols("--s"))
+        s"vlog: upsert committed as v$v"
+      case "append" =>
+        val v = TxLog.commitAppend(spark, table, data(), req("--p"),
+          statsCols = cols("--s"))
+        s"vlog: blind append committed as v$v"
+      case "delete" =>
+        val v = TxLog.commitDelete(spark, table, data(), req("--k"),
+          req("--p"), statsCols = cols("--s"))
+        s"vlog: delete committed as v$v"
+      case "optimize" =>
+        val v = TxLog.commitOptimize(spark, table, req("--p"),
+          zorder = cols("--z"), statsCols = cols("--s"))
+        s"vlog: optimize committed as v$v " +
+          s"(${TxLog.filesOf(table, v).size} files)"
+      case "read" =>
+        val v = opt("--v", TxLog.currentVersion(table).toString).toInt
+        val out = opt("--o", "results")
+        val df = TxLog.readVersion(spark, table, v)
+        df.write.mode("overwrite").parquet(s"$out/v$v")
+        s"vlog: v$v (${df.count()} rows) -> $out/v$v"
+      case "changes" =>
+        val from = req("--a").toInt
+        val to = opt("--b", TxLog.currentVersion(table).toString).toInt
+        val out = opt("--o", "results")
+        val df = TxLog.tableChanges(spark, table, from, to, req("--k"),
+          cols("--c"))
+        df.write.mode("overwrite").parquet(s"$out/changes_v${from}_v$to")
+        s"vlog: ${df.count()} changes v$from -> v$to at " +
+          s"$out/changes_v${from}_v$to"
+      case "vacuum" =>
+        val (files, manifests) = TxLog.vacuum(spark, table,
+          opt("--r", "1").toInt)
+        s"vlog: vacuum removed $files data files, $manifests manifests"
+      case other =>
+        throw new IllegalArgumentException(s"unknown vlog op: $other")
+    }
   }
 }

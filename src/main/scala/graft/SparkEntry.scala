@@ -1911,6 +1911,68 @@ object SparkEntry {
       face(0).unionByName(face(1)).unionByName(face(2))
     }),
 
+    // VERSIONED CHANGE-DATA-FEED (round 15) — Delta's table_changes
+    // over the q130 log: delete commit (v1) + upsert commit with
+    // corrections and backfill inserts (v2), then the I/U/D feed
+    // between v0 and v2 computed from the SNAPSHOTS (no stored
+    // changelog) — and the manifest prunes both sides to partitions
+    // whose file references differ, so the diff cost is bounded by the
+    // intervening commits' touched partitions, never the table.
+    "q157_table_changes" -> ((s, dir) => {
+      val wh = scratch("q157", dir)
+      val tbl = s"$wh/events_cdf"
+      deleteRec(new java.io.File(tbl))
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      graft.ops.TxLog.commitInitial(s, tbl, base, "day")
+      graft.ops.TxLog.commitDelete(s, tbl,
+        base.filter(col("event_id") % 13 === 0).select("event_id"),
+        "event_id", "day")
+      val upd = col("event_id") % 13 =!= 0 && col("event_id") % 17 === 0
+      val batch = base.filter(upd)
+        .withColumn("event_type", lit("corrected"))
+        .withColumn("value", col("value") + 1000.0)
+        .unionByName(base.filter(col("event_id") % 23 === 0)
+          .withColumn("event_id", col("event_id") + 3000000000L)
+          .withColumn("event_type", lit("ins"))
+          .withColumn("value", lit(2.5)))
+      graft.ops.TxLog.commitUpsert(s, tbl, batch, "event_id", "day")
+      graft.ops.TxLog.tableChanges(s, tbl, 0, 2, "event_id",
+          Seq("ts", "user_id", "event_type", "value"))
+        .select(col("op"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    // VERSIONED SCHEMA EVOLUTION (round 15) — q144's evolving merge
+    // under the transaction log: a correction batch carries a column
+    // the table never had (src_sys); touched day partitions rewrite
+    // under the union schema, untouched old-schema files carry BY
+    // REFERENCE, the snapshot read schema-merges, and v0 still
+    // time-travels to the pre-evolution schema (TxLogSpec pins that
+    // half — a face column can't show an absent column).
+    "q156_versioned_evolve" -> ((s, dir) => {
+      val wh = scratch("q156", dir)
+      val tbl = s"$wh/events_evolve"
+      deleteRec(new java.io.File(tbl))
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      graft.ops.TxLog.commitInitial(s, tbl, base, "day")
+      val upd = base.filter(dayofmonth(col("ts")) <= 5 &&
+          col("event_id") % 11 === 0)
+        .withColumn("value", col("value") + 100.0)
+        .withColumn("src_sys", lit("erp"))
+      graft.ops.TxLog.commitUpsertEvolve(s, tbl, upd, "event_id", "day")
+      graft.ops.TxLog.readVersion(s, tbl, 1)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("event_type"), round(col("value"), 6).as("value"),
+          coalesce(col("src_sys"), lit("")).as("src_sys"))
+    }),
+
     // INCREMENTAL ANN index maintenance (round 15) — q149's
     // arriving-batch shape for embeddings: the persisted IVF assignment
     // table is the index, the batch (odd vec_ids) assigns against the
@@ -3682,6 +3744,33 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  user_id, event_type, round(value, 6) AS value
         |FROM final""".stripMargin,
+
+    "q157_table_changes" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events)
+        |SELECT 'D' AS op, event_id, CAST(NULL AS VARCHAR) AS ts_s,
+        |  CAST(NULL AS BIGINT) AS user_id,
+        |  CAST(NULL AS VARCHAR) AS event_type,
+        |  CAST(NULL AS DOUBLE) AS value
+        |FROM base WHERE event_id % 13 = 0
+        |UNION ALL
+        |SELECT 'U', event_id, strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |  user_id, 'corrected', round(value + 1000.0, 6)
+        |FROM base WHERE event_id % 13 <> 0 AND event_id % 17 = 0
+        |UNION ALL
+        |SELECT 'I', event_id + 3000000000,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S'), user_id, 'ins', 2.5
+        |FROM base WHERE event_id % 23 = 0""".stripMargin,
+
+    "q156_versioned_evolve" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type,
+        |  CASE WHEN date_part('day', ts) <= 5 AND event_id % 11 = 0
+        |       THEN round(value + 100.0, 6) ELSE round(value, 6) END
+        |    AS value,
+        |  CASE WHEN date_part('day', ts) <= 5 AND event_id % 11 = 0
+        |       THEN 'erp' ELSE '' END AS src_sys
+        |FROM events""".stripMargin,
 
     // the file-stats prune replayed from first principles: one file per
     // day (the commit's repartition-by-partition write), per-file

@@ -144,6 +144,19 @@ object TxLog {
   def currentVersion(table: String): Int =
     manifestVersions(table).foldLeft(-1)(math.max)
 
+  /** TIMESTAMP AS OF time travel: the newest version whose manifest
+    * landed at or before `tsMillis` (the atomically-moved manifest's
+    * mtime IS its commit instant), or −1 if nothing had committed yet.
+    * Resolution is the filesystem's mtime granularity — production logs
+    * store the instant in the manifest; the mtime is the minimal honest
+    * equivalent for this layer.
+    */
+  def versionAsOf(table: String, tsMillis: Long): Int =
+    manifestVersions(table)
+      .filter(v => Files.getLastModifiedTime(manifestPath(table, v))
+        .toMillis <= tsMillis)
+      .foldLeft(-1)(math.max)
+
   /** Files (relative to `table`) making up `version`'s snapshot. */
   def filesOf(table: String, version: Int): Seq[String] =
     entriesOf(table, version).map(_.path)
@@ -153,9 +166,36 @@ object TxLog {
     val p = manifestPath(table, version)
     require(Files.isRegularFile(p), s"no manifest for v$version")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty)
+      .linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(parseEntry).toSeq
   }
+
+  /** The `(appId, batchId)` transaction marker commit `version` carries,
+    * if it was produced by an idempotent streaming sink ([[appendSink]]).
+    */
+  def txnOf(table: String, version: Int): Option[(String, Long)] = {
+    val p = manifestPath(table, version)
+    require(Files.isRegularFile(p), s"no manifest for v$version")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim)
+      .collectFirst { case l if l.startsWith("#txn\t") =>
+        val Array(_, app, b) = l.split('\t')
+        (app, b.toLong)
+      }
+  }
+
+  /** Highest batchId `appId` has committed among SURVIVING manifests
+    * (−1 if none) — the replay fence of [[appendSink]]. Retention
+    * caveat, same as Delta's txn retention: a vacuum that removed every
+    * one of an app's manifests forgets its progress; keep retention
+    * above the maximum replay horizon.
+    */
+  def lastCommittedBatch(table: String, appId: String): Long =
+    manifestVersions(table)
+      .flatMap(v => txnOf(table, v))
+      .collect { case (a, b) if a == appId => b }
+      .foldLeft(-1L)(math.max)
 
   // manifest line codec: `path` (legacy, no stats) or
   // `path<TAB>rows<TAB>col=min,max;col=min,max` (statsStr may be empty).
@@ -263,14 +303,17 @@ object TxLog {
     * only ever sees a complete manifest, never a partially-written one.
     */
   private def writeManifest(table: String, version: Int,
-      entries: Seq[FileEntry]): Unit = {
+      entries: Seq[FileEntry],
+      txn: Option[(String, Long)] = None): Unit = {
     val dir = Paths.get(s"$table/_vlog")
     Files.createDirectories(dir)
     val tmp = dir.resolve(
       s".v$version.tmp-${java.util.UUID.randomUUID()}")
+    val header = txn.map { case (app, b) => s"#txn\t$app\t$b\n" }
+      .getOrElse("")
     Files.write(tmp,
-      entries.sortBy(_.path).map(renderEntry)
-        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      (header + entries.sortBy(_.path).map(renderEntry)
+        .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(table, version),
       StandardCopyOption.ATOMIC_MOVE)
     ()
@@ -369,6 +412,47 @@ object TxLog {
       writeStageFiles(spark, table, d, merged, partCol, statsCols))
   }
 
+  /** Schema-EVOLVING upsert ([[Cow.mergeCowEvolve]] under the log,
+    * round 15): the batch may carry columns the snapshot lacks (and
+    * vice versa) — touched partitions rewrite under the UNION schema
+    * (missing sides null-filled via unionByName), untouched files keep
+    * their old schema by reference, and [[readVersion]] reads with
+    * parquet schema merging so every version presents its own union
+    * schema. Old versions are untouched: time travel to v(n−1) still
+    * shows the pre-evolution columns only. Same OCC contract as
+    * [[commitUpsertFrom]].
+    */
+  def commitUpsertEvolve(spark: SparkSession, table: String,
+      batch: DataFrame, keyCol: String, partCol: String,
+      statsCols: Seq[String] = Nil): Int =
+    commitUpsertEvolveFrom(spark, table, batch, keyCol, partCol,
+      currentVersion(table), statsCols = statsCols)
+
+  private[graft] def commitUpsertEvolveFrom(spark: SparkSession,
+      table: String, batch: DataFrame, keyCol: String, partCol: String,
+      start: Int, claimTimeoutMs: Long = 60000L,
+      statsCols: Seq[String] = Nil): Int = {
+    require(start >= 0, "commitInitial first")
+    val touched = batch.select(col(partCol).cast("string")).distinct()
+      .collect().map(r => escapedPart(r)).toSet
+    val touchedFiles = filesOf(table, start)
+      .filter(f => partOf(f).exists(touched.contains))
+    val batchData = batch.drop(PartDir)
+    val merged =
+      if (touchedFiles.isEmpty) batchData
+      else {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(touchedFiles.map(f => s"$table/$f"): _*)
+          .drop(PartDir)
+        batchData.unionByName(
+          base.join(batchData.select(col(keyCol)).distinct(),
+            Seq(keyCol), "left_anti"),
+          allowMissingColumns = true)
+      }
+    occCommit(table, start, touched, claimTimeoutMs)(d =>
+      writeStageFiles(spark, table, d, merged, partCol, statsCols))
+  }
+
   private def escapedPart(r: org.apache.spark.sql.Row): String = {
     val catalog = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     if (r.isNullAt(0)) catalog.DEFAULT_PARTITION_NAME
@@ -398,7 +482,8 @@ object TxLog {
     * semantics) skips the conflict check and keeps EVERY head file.
     */
   private def occCommit(table: String, start: Int, touched: Set[String],
-      claimTimeoutMs: Long, blindAppend: Boolean = false)
+      claimTimeoutMs: Long, blindAppend: Boolean = false,
+      txn: Option[(String, Long)] = None)
       (stage: String => Seq[FileEntry]): Int = {
     // fail fast before paying the staged write; the authoritative check
     // re-runs after staging, against whatever landed meanwhile
@@ -440,7 +525,7 @@ object TxLog {
         if (blindAppend) entriesOf(table, next - 1)
         else entriesOf(table, next - 1)
           .filterNot(e => partOf(e.path).exists(touched.contains))
-      writeManifest(table, next, kept ++ landed)
+      writeManifest(table, next, kept ++ landed, txn)
       next
     } catch {
       case e: Throwable =>
@@ -466,13 +551,39 @@ object TxLog {
     */
   def commitAppend(spark: SparkSession, table: String, batch: DataFrame,
       partCol: String, statsCols: Seq[String] = Nil,
-      claimTimeoutMs: Long = 60000L): Int = {
+      claimTimeoutMs: Long = 60000L,
+      txn: Option[(String, Long)] = None): Int = {
     val start = currentVersion(table)
     require(start >= 0, "commitInitial first")
     occCommit(table, start, Set.empty, claimTimeoutMs,
-      blindAppend = true)(d =>
+      blindAppend = true, txn = txn)(d =>
       writeStageFiles(spark, table, d, batch, partCol, statsCols))
   }
+
+  /** Idempotent STREAMING ingest sink — the Delta `foreachBatch` +
+    * txn-marker pattern: each micro-batch lands as ONE blind-append
+    * commit whose manifest records `(appId, batchId)` ATOMICALLY with
+    * the file list, and a batch REPLAYED after a failure (Spark's
+    * foreachBatch delivers at-least-once) is recognized by
+    * [[lastCommittedBatch]] and skipped — exactly-once APPEND at the
+    * commit level. An empty log bootstraps with the first batch as v0.
+    * Wire as `df.writeStream.foreachBatch(TxLog.appendSink(...))`.
+    */
+  def appendSink(table: String, partCol: String, appId: String,
+      statsCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId <= lastCommittedBatch(table, appId)) ()
+      else if (currentVersion(table) < 0) {
+        writeManifest(table, 0,
+          writeStageFiles(batch.sparkSession, table, "v0", batch,
+            partCol, statsCols).map(e => e.copy(path = s"v0/${e.path}")),
+          Some((appId, batchId)))
+      } else {
+        commitAppend(batch.sparkSession, table, batch, partCol,
+          statsCols, txn = Some((appId, batchId)))
+        ()
+      }
+    }
 
   /** OPTIMIZE as an OCC commit — a rewrite that changes the physical
     * layout and NOT the data: the selected partitions (default: all)
@@ -576,8 +687,39 @@ object TxLog {
       version: Int): DataFrame = {
     val files = filesOf(table, version)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    // mergeSchema: a snapshot may mix pre- and post-evolution files
+    // (commitUpsertEvolve keeps untouched old-schema files by
+    // reference); the union schema is the version's schema
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$table/$f"): _*)
       .drop(PartDir)
+  }
+
+  /** Change-data-feed between two committed versions — Delta's
+    * `table_changes` shape, computed from the snapshots themselves via
+    * the [[TimeSeries.cdcExtract]] full-outer diff (op ∈ I/U/D, payload
+    * nulled on D). The manifest makes it scale: a partition whose file
+    * set is IDENTICAL in both manifests (files carried by reference)
+    * cannot contain a change, so both sides read ONLY the partitions
+    * whose references differ — cost bounded by the intervening commits'
+    * touched partitions, never the table. No changelog is stored; the
+    * feed falls out of the snapshot algebra.
+    */
+  def tableChanges(spark: SparkSession, table: String, fromV: Int,
+      toV: Int, keyCol: String, payload: Seq[String]): DataFrame = {
+    val fromFiles = filesOf(table, fromV).toSet
+    val toFiles = filesOf(table, toV).toSet
+    val changedParts =
+      ((fromFiles diff toFiles) ++ (toFiles diff fromFiles)).flatMap(partOf)
+    def readParts(v: Int): DataFrame = {
+      val fs = filesOf(table, v)
+        .filter(f => partOf(f).exists(changedParts.contains))
+      if (fs.isEmpty) readVersion(spark, table, v).filter(lit(false))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => s"$table/$f"): _*).drop(PartDir)
+    }
+    TimeSeries.cdcExtract(readParts(fromV), readParts(toV), keyCol,
+      payload)
   }
 
   /** The scan-planning prune: which of `version`'s files can possibly
@@ -611,7 +753,8 @@ object TxLog {
     if (files.isEmpty)
       // every file pruned: an empty relation with the version's schema
       readVersion(spark, table, version).filter(lit(false))
-    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$table/$f"): _*)
       .drop(PartDir)
   }
 

@@ -630,4 +630,45 @@ class MainSpec extends SparkSpec {
       .groupBy(col("a"), col("b")).count()
     assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
   }
+
+  test("vlog CLI mode: init/upsert/append/optimize/read/changes/vacuum " +
+      "full cycle over a versioned table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vlog-cli")
+      .toString
+    val tbl = s"$tmp/t"
+    def write(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val p = s"$tmp/$name"; df.write.mode("overwrite").parquet(p); p
+    }
+    val base = write((1 to 40).map(i =>
+      (i.toLong, (i - 1) / 10 + 1, i * 1.0)).toDF("id", "part", "v"),
+      "base")
+    assert(Main.runVlog(spark, "init", tbl,
+      Map("--d" -> base, "--p" -> "part", "--s" -> "id"))
+      .contains("v0"))
+    val batch = write(Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "b1")
+    assert(Main.runVlog(spark, "upsert", tbl,
+      Map("--d" -> batch, "--k" -> "id", "--p" -> "part"))
+      .contains("v1"))
+    val slab = write(Seq((101L, 1, 101.0)).toDF("id", "part", "v"), "b2")
+    assert(Main.runVlog(spark, "append", tbl, Map("--d" -> slab,
+      "--p" -> "part")).contains("v2"))
+    assert(Main.runVlog(spark, "optimize", tbl,
+      Map("--p" -> "part", "--z" -> "id", "--s" -> "id"))
+      .contains("4 files"))
+    // read v0 (time travel) and head through the CLI surface
+    assert(Main.runVlog(spark, "read", tbl,
+      Map("--v" -> "0", "--o" -> s"$tmp/out")).contains("40 rows"))
+    assert(Main.runVlog(spark, "read", tbl,
+      Map("--o" -> s"$tmp/out")).contains("41 rows"))
+    val chg = Main.runVlog(spark, "changes", tbl, Map("--a" -> "0",
+      "--b" -> "2", "--k" -> "id", "--c" -> "v", "--o" -> s"$tmp/out"))
+    assert(chg.contains("2 changes"), chg) // U(3) + I(101)
+    val got = spark.read.parquet(s"$tmp/out/changes_v0_v2")
+      .select($"op", $"id").as[(String, Long)].collect().toSet
+    assert(got == Set(("U", 3L), ("I", 101L)))
+    assert(Main.runVlog(spark, "vacuum", tbl, Map("--r" -> "1"))
+      .contains("manifests"))
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 3).count() == 41L)
+  }
 }

@@ -666,6 +666,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ivf append report (q153): cartesian-free — the only non-equi " +
+      "joins are the 1-row totals/drift broadcasts; embeddings scans " +
+      "pruned") {
+    val p = staticPlan(SparkEntry.queries("q153_ivf_append")(spark, dir))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q153 planned a cartesian: $p")
+    // broadcast nested-loop joins are legal ONLY against 1-row sides
+    // (the totals and drift scalars); a corpus-sized BNLJ would be the
+    // all-pairs catastrophe
+    val bnlj = p.collect {
+      case b: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.size <= 2, s"q153 grew extra nested-loop joins: $p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet
+        .subsetOf(Set("vec_id", "embedding")),
+        s"q153 scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+  }
+
+  test("paragraph splitter (paragraphsOf) is MAP-ONLY: zero shuffles, " +
+      "pruned scan") {
+    val docs = model.Tables.table(spark, dir, "documents")
+    val p = staticPlan(graft.ext.Dedup.paragraphsOf(docs))
+    assert(shuffles(p).isEmpty, s"paragraphsOf shuffled: $p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.names.toSet == Set("doc_id", "text"),
+        s"paragraphsOf scan not pruned: ${s.requiredSchema.names.toSeq}")
+    }
+  }
+
   test("bloom semijoin (q126): the word-table probes are broadcast " +
       "joins; the fact scan is pruned") {
     val p = staticPlan(

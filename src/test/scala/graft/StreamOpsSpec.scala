@@ -509,6 +509,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TxLog.appendSink: micro-batches land as versioned append " +
+      "commits; a replayed batch is skipped (exactly-once append)") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sink")
+    val tbl = root.resolve("t").toString
+    val mem = MemoryStream[(Long, Int, Double)]
+    val sink = graft.ops.TxLog.appendSink(tbl, "part", appId = "specapp",
+      statsCols = Seq("id"))
+    val q = mem.toDF.toDF("id", "part", "v")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try {
+      mem.addData((1L, 1, 1.0), (2L, 2, 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, 1, 3.0))
+      q.processAllAvailable()
+      assert(graft.ops.TxLog.currentVersion(tbl) == 1)
+      assert(graft.ops.TxLog.txnOf(tbl, 0).contains(("specapp", 0L)) &&
+        graft.ops.TxLog.txnOf(tbl, 1).contains(("specapp", 1L)))
+      assert(graft.ops.TxLog.lastCommittedBatch(tbl, "specapp") == 1L)
+      // at-least-once replay of batch 1 (post-crash re-delivery): the
+      // txn fence skips it — no new version, no duplicate rows
+      sink(Seq((3L, 1, 3.0)).toDF("id", "part", "v"), 1L)
+      assert(graft.ops.TxLog.currentVersion(tbl) == 1)
+      assert(graft.ops.TxLog.readVersion(spark, tbl, 1).count() == 3L)
+      // the next batch id still lands
+      sink(Seq((4L, 2, 4.0)).toDF("id", "part", "v"), 2L)
+      assert(graft.ops.TxLog.currentVersion(tbl) == 2)
+      assert(graft.ops.TxLog.readVersion(spark, tbl, 2)
+        .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+      // appended files carried stats (the sink is a full commit citizen)
+      assert(graft.ops.TxLog.entriesOf(tbl, 2)
+        .exists(e => e.path.startsWith("v2/") && e.stats.contains("id")))
+      // a different app's fence is independent
+      assert(graft.ops.TxLog.lastCommittedBatch(tbl, "otherapp") == -1L)
+    } finally q.stop()
+  }
+
   test("streaming cdc extract: two snapshot streams drain to exactly " +
       "the batch cdcExtract I/U/D feed; unchanged keys never emit") {
     implicit val sq = spark.sqlContext

@@ -449,6 +449,52 @@ class TxLogSpec extends SparkSpec {
     assert(!Files.exists(staged), "orphan sweep missed the stage dir")
   }
 
+  test("commitUpsertEvolve: batch adds a column — touched partitions " +
+      "rewrite under the union schema, untouched old-schema files " +
+      "carry by reference, prior versions keep the old schema") {
+    val tbl = initOcc("evolve")
+    val batch = Seq((3L, 1, 300.0, "erp"), (41L, 5, 4100.0, "erp"))
+      .toDF("id", "part", "v", "src")
+    assert(graft.ops.TxLog.commitUpsertEvolve(spark, tbl, batch, "id",
+      "part") == 1)
+    val v1 = graft.ops.TxLog.readVersion(spark, tbl, 1)
+    assert(v1.columns.toSet == Set("id", "part", "v", "src"))
+    val got = v1.select(col("id"), col("v"), col("src"))
+      .as[(Long, Double, Option[String])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(3L) == ((300.0, Some("erp"))) &&
+      got(41L) == ((4100.0, Some("erp"))))
+    // untouched rows present the evolved schema with nulls
+    assert(got(14L) == ((14.0, None)) && got.size == 41)
+    // untouched partitions' files carried by reference (old schema)
+    assert(graft.ops.TxLog.filesOf(tbl, 1)
+      .exists(f => f.startsWith("v0/") && f.contains("__part=2")))
+    // time travel: v0 still presents the PRE-evolution schema
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 0)
+      .columns.toSet == Set("id", "part", "v"))
+    // and a second evolve round-trips through the mixed-schema base
+    assert(graft.ops.TxLog.commitUpsertEvolve(spark, tbl,
+      Seq((14L, 2, 1400.0, "mq")).toDF("id", "part", "v", "src"),
+      "id", "part") == 2)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .filter(col("id") === 14L).select(col("src")).as[String]
+      .collect().toSeq == Seq("mq"))
+  }
+
+  test("versionAsOf resolves TIMESTAMP AS OF from manifest mtimes") {
+    val tbl = initOcc("asof")
+    val t0 = System.currentTimeMillis()
+    assert(graft.ops.TxLog.versionAsOf(tbl, t0) == 0)
+    Thread.sleep(30) // mtime granularity guard
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part")
+    assert(graft.ops.TxLog.versionAsOf(tbl, t0) == 0,
+      "a later commit leaked into the past")
+    assert(graft.ops.TxLog.versionAsOf(tbl,
+      System.currentTimeMillis()) == 1)
+    assert(graft.ops.TxLog.versionAsOf(tbl, 0L) == -1)
+  }
+
   test("commitDelete on an emptied snapshot is a no-op, not a crash") {
     val root = Files.createTempDirectory("graft-txlog-empty")
     val tbl = root.resolve("t").toString
