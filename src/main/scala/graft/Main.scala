@@ -45,7 +45,7 @@ object Main {
       |  graft.Main zorder   --f <table.parquet> --a <colA> --b <colB> [--o <outdir>] [--n <files>]
       |  graft.Main stats    --f <table.parquet> [--c col1,col2,...] [--o <outdir>]
       |  graft.Main compact  --f <partitioned table dir> --p <partCol> --k <keyCol> [--t <targetBytes>]
-      |  graft.Main vlog     --f <table> --x init|upsert|append|delete|optimize|read|changes|vacuum
+      |  graft.Main vlog     --f <table> --x init|upsert|append|delete|delete-mor|purge-mor|optimize|read|changes|vacuum
       |                      [--d <data.parquet>] [--k <keyCol>] [--p <partCol>] [--s col1,col2 (stats)]
       |                      [--z col1,col2 (optimize zorder)] [--v <version>] [--a <fromV>] [--b <toV>]
       |                      [--c col1,col2 (changes payload)] [--r <retainVersions>] [--o <outdir>]
@@ -1097,6 +1097,13 @@ object Main {
         val v = TxLog.commitDelete(spark, table, data(), req("--k"),
           req("--p"), statsCols = cols("--s"))
         s"vlog: delete committed as v$v"
+      case "delete-mor" =>
+        val v = TxLog.commitDeleteMor(spark, table, data(), req("--k"))
+        s"vlog: merge-on-read delete committed as v$v (zero base writes)"
+      case "purge-mor" =>
+        val v = TxLog.commitPurgeMor(spark, table, req("--p"),
+          statsCols = cols("--s"))
+        s"vlog: delete files folded as v$v"
       case "optimize" =>
         val v = TxLog.commitOptimize(spark, table, req("--p"),
           zorder = cols("--z"), statsCols = cols("--s"))

@@ -116,7 +116,17 @@ object SfScale {
       "q23_minhash_pairs", "q110_dpp_prune",
       // round-14 newcomers on the fresh-generated document corpus
       // (dim-safe: neither joins a fact to a dim)
-      "q147_phash_neardup", "q149_incremental_neardup")
+      "q147_phash_neardup", "q149_incremental_neardup",
+      // round-15 newcomers: the versioned-log write cycle + CDF on the
+      // 10× events log (day partitions hold 10× rows each — commit and
+      // prune cost under partition growth), and the two new dedup
+      // modalities on the fresh corpus. q151's prune RATIO legitimately
+      // degrades here: copy-shifted event ids widen each day's id range
+      // (the wide-file caveat at table scale), while the commit path
+      // under test scales with the log.
+      "q151_stats_pruned_scan", "q152_optimize_commit",
+      "q157_table_changes", "q154_audio_neardup",
+      "q155_paragraph_dedup")
     val times = names.map { name =>
       val t = t0()
       val n = util.Pins.scoped {

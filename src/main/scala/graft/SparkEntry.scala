@@ -1911,6 +1911,45 @@ object SparkEntry {
       face(0).unionByName(face(1)).unionByName(face(2))
     }),
 
+    // MERGE-ON-READ equality DELETE under the log (round 15) — the
+    // Iceberg-v2 delete-file commit, q143's Dv surface integrated into
+    // the q130 log: the delete lands ONE key file and touches zero base
+    // files; reads apply it by VERSION ORDER, so the later append
+    // re-ingesting a third of the victims survives (its rows are newer
+    // than the delete); purge folds the tombstones into a
+    // partition-pruned rewrite and drops them. Face = the v2 (MoR) and
+    // v3 (post-purge) snapshots — row-identical by construction, with
+    // the per-version data/delete file counts pinned (30+nd2+1 dv at
+    // v2, 30+0 at v3; the oracle recomputes both from day counts).
+    "q158_mor_delete" -> ((s, dir) => {
+      val wh = scratch("q158", dir)
+      val tbl = s"$wh/events_mor"
+      deleteRec(new java.io.File(tbl))
+      val base = Tables.events(s, dir)
+        .withColumn("day",
+          date_format(col("ts"), "yyyyMMdd").cast("int"))
+      graft.ops.TxLog.commitInitial(s, tbl, base, "day")
+      graft.ops.TxLog.commitDeleteMor(s, tbl,
+        base.filter(col("event_id") % 13 === 0).select("event_id"),
+        "event_id")
+      val reingest = base
+        .filter(col("event_id") % 13 === 0 && col("event_id") % 3 === 0)
+        .withColumn("event_type", lit("reingest"))
+      graft.ops.TxLog.commitAppend(s, tbl, reingest, "day")
+      graft.ops.TxLog.commitPurgeMor(s, tbl, "day")
+      def face(v: Int): DataFrame = {
+        val e = graft.ops.TxLog.entriesOf(tbl, v)
+        graft.ops.TxLog.readVersion(s, tbl, v)
+          .select(lit(v.toLong).as("version"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("user_id"), col("event_type"),
+            round(col("value"), 6).as("value"),
+            lit(e.count(_.kind == "data").toLong).as("files_data"),
+            lit(e.count(_.kind == "dv").toLong).as("files_delete"))
+      }
+      face(2).unionByName(face(3))
+    }),
+
     // VERSIONED CHANGE-DATA-FEED (round 15) — Delta's table_changes
     // over the q130 log: delete commit (v1) + upsert commit with
     // corrections and backfill inserts (v2), then the I/U/D feed
@@ -3744,6 +3783,32 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  user_id, event_type, round(value, 6) AS value
         |FROM final""".stripMargin,
+
+    "q158_mor_delete" ->
+      """WITH base AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |v2rows AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM base
+        |  WHERE event_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, 'reingest', value FROM base
+        |  WHERE event_id % 13 = 0 AND event_id % 3 = 0),
+        |nd AS (SELECT CAST(count(DISTINCT strftime(ts, '%Y%m%d'))
+        |    AS BIGINT) AS n FROM base),
+        |nd2 AS (SELECT CAST(count(DISTINCT strftime(ts, '%Y%m%d'))
+        |    AS BIGINT) AS n FROM base
+        |  WHERE event_id % 13 = 0 AND event_id % 3 = 0)
+        |SELECT CAST(2 AS BIGINT) AS version, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id,
+        |  event_type, round(value, 6) AS value,
+        |  nd.n + nd2.n AS files_data, CAST(1 AS BIGINT) AS files_delete
+        |FROM v2rows, nd, nd2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S'), user_id,
+        |  event_type, round(value, 6),
+        |  nd.n, CAST(0 AS BIGINT)
+        |FROM v2rows, nd, nd2""".stripMargin,
 
     "q157_table_changes" ->
       """WITH base AS (

@@ -45,8 +45,9 @@ object Compact {
   /** List `basePath`'s `partCol=v` leaf directories with their data-file
     * counts and byte totals (committed files only — `_SUCCESS`, hidden
     * and staging entries excluded). Values are returned UNESCAPED (the
-    * directory name carries Spark's partition-path escaping: 'a b' is
-    * stored as 'a%20b'); a null partition appears as the literal
+    * directory name carries Spark's partition-path escaping: 'a:b' is
+    * stored as 'a%3Ab' — spaces pass through, special chars do not); a
+    * null partition appears as the literal
     * `__HIVE_DEFAULT_PARTITION__` sentinel.
     */
   def listPartitions(spark: SparkSession, basePath: String,

@@ -296,8 +296,10 @@ object Cow {
     // fully-emptied partitions never reach the dynamic overwrite —
     // drop their directories outright. The directory name uses Spark's
     // own partition-path escaping (a raw string interpolation would
-    // miss 'a b' → 'a%20b' and silently leave the files — resurrecting
-    // every "deleted" row); a missing directory is a loud error, since
+    // miss 'a:b' → 'a%3Ab' — spaces pass through unescaped, but colons,
+    // equals, percent and friends do not — and silently leave the
+    // files, resurrecting every "deleted" row); a missing directory is
+    // a loud error, since
     // the touched list came from data that was just read.
     touched.filterNot(stillThere).foreach { v =>
       val esc = org.apache.spark.sql.catalyst.catalog

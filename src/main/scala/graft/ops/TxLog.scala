@@ -85,9 +85,18 @@ object TxLog {
     * un-prunable. Ranges are doubles: exact for the integral and float
     * columns skipping targets (longs up to 2^53), and min/max pruning
     * only ever needs ordering, not identity.
+    *
+    * `kind` is `"data"` for ordinary data files and `"dv"` for an
+    * EQUALITY-DELETE file (round 15 — the Iceberg-v2 merge-on-read
+    * tombstone under the log, see [[commitDeleteMor]]): a one-column
+    * parquet of keys whose column name IS the delete key; it kills rows
+    * in data files from EARLIER commit versions (the path's `v{n}/`
+    * prefix orders them), which is what lets appends after the delete
+    * re-ingest a key without resurrection games.
     */
   final case class FileEntry(path: String, rows: Long,
-                             stats: Map[String, (Double, Double)])
+                             stats: Map[String, (Double, Double)],
+                             kind: String = "data")
 
   private val PartDir = "__part"
 
@@ -197,31 +206,38 @@ object TxLog {
       .collect { case (a, b) if a == appId => b }
       .foldLeft(-1L)(math.max)
 
-  // manifest line codec: `path` (legacy, no stats) or
-  // `path<TAB>rows<TAB>col=min,max;col=min,max` (statsStr may be empty).
+  // manifest line codec: `path` (legacy, no stats),
+  // `path<TAB>rows<TAB>col=min,max;col=min,max` (statsStr may be empty),
+  // or `path<TAB>rows<TAB>stats<TAB>kind` for non-data entries.
   // Parquet part-file names never contain tabs; stat column names are
   // validated against the separators at commit time.
-  private def parseEntry(line: String): FileEntry =
+  private def parseEntry(line: String): FileEntry = {
+    def parseStats(s: String): Map[String, (Double, Double)] =
+      s.split(';').iterator.filter(_.nonEmpty).map { kv =>
+        val Array(c, mm) = kv.split('=')
+        val Array(mn, mx) = mm.split(',')
+        c -> (mn.toDouble, mx.toDouble)
+      }.toMap
     line.split('\t') match {
       case Array(p) => FileEntry(p, -1L, Map.empty)
       case Array(p, r) => FileEntry(p, r.toLong, Map.empty)
-      case Array(p, r, s) =>
-        val stats = s.split(';').iterator.filter(_.nonEmpty).map { kv =>
-          val Array(c, mm) = kv.split('=')
-          val Array(mn, mx) = mm.split(',')
-          c -> (mn.toDouble, mx.toDouble)
-        }.toMap
-        FileEntry(p, r.toLong, stats)
+      case Array(p, r, s) => FileEntry(p, r.toLong, parseStats(s))
+      case Array(p, r, s, k) => FileEntry(p, r.toLong, parseStats(s), k)
       case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
     }
+  }
 
-  private def renderEntry(e: FileEntry): String =
-    if (e.rows < 0 && e.stats.isEmpty) e.path
-    else {
-      val s = e.stats.toSeq.sortBy(_._1)
-        .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }.mkString(";")
-      s"${e.path}\t${e.rows}\t$s"
-    }
+  private def renderEntry(e: FileEntry): String = {
+    val s = e.stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }.mkString(";")
+    if (e.kind != "data") s"${e.path}\t${e.rows}\t$s\t${e.kind}"
+    else if (e.rows < 0 && e.stats.isEmpty) e.path
+    else s"${e.path}\t${e.rows}\t$s"
+  }
+
+  /** The commit version a manifest path belongs to (its `v{n}/` prefix). */
+  private def versionOfPath(p: String): Int =
+    p.takeWhile(_ != '/').stripPrefix("v").toInt
 
   /** The `partCol=value` a relative data-file path belongs to. */
   private def partOf(f: String): Option[String] =
@@ -387,21 +403,25 @@ object TxLog {
       claimTimeoutMs: Long = 60000L, statsCols: Seq[String] = Nil): Int = {
     require(start >= 0, "commitInitial first")
     // manifest fragments carry Spark's partition-path ESCAPING
-    // ('a b' → 'a%20b') and render a null partition as the
+    // ('a:b' → 'a%3Ab'; spaces pass through unescaped) and render a
+    // null partition as the
     // __HIVE_DEFAULT_PARTITION__ sentinel; compare against those exact
     // forms, or a special-char (or null) partition would land in
     // keptFiles AND be rewritten — duplicating every upserted row in the
     // new snapshot
     val touched = batch.select(col(partCol).cast("string")).distinct()
       .collect().map(r => escapedPart(r)).toSet
-    val touchedFiles = filesOf(table, start)
-      .filter(f => partOf(f).exists(touched.contains))
+    // the base read is MoR-aware: any equality-delete files in the
+    // snapshot apply BEFORE the merge, so a rewrite can never carry a
+    // dead row into a higher version (out of the deletes' range)
+    val touchedData = dataEntriesOf(table, start)
+      .filter(e => partOf(e.path).exists(touched.contains))
     val dataCols = batch.columns.filterNot(_ == PartDir)
     val merged =
-      if (touchedFiles.isEmpty) batch.select(dataCols.map(col): _*)
+      if (touchedData.isEmpty) batch.select(dataCols.map(col): _*)
       else {
-        val base = spark.read
-          .parquet(touchedFiles.map(f => s"$table/$f"): _*)
+        val base = morRead(spark, table, touchedData,
+            delEntriesOf(table, start))
           .select(dataCols.map(col): _*)
         batch.select(dataCols.map(col): _*)
           .unionByName(base.join(
@@ -435,15 +455,14 @@ object TxLog {
     require(start >= 0, "commitInitial first")
     val touched = batch.select(col(partCol).cast("string")).distinct()
       .collect().map(r => escapedPart(r)).toSet
-    val touchedFiles = filesOf(table, start)
-      .filter(f => partOf(f).exists(touched.contains))
+    val touchedData = dataEntriesOf(table, start)
+      .filter(e => partOf(e.path).exists(touched.contains))
     val batchData = batch.drop(PartDir)
     val merged =
-      if (touchedFiles.isEmpty) batchData
+      if (touchedData.isEmpty) batchData
       else {
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(touchedFiles.map(f => s"$table/$f"): _*)
-          .drop(PartDir)
+        val base = morRead(spark, table, touchedData,
+          delEntriesOf(table, start))
         batchData.unionByName(
           base.join(batchData.select(col(keyCol)).distinct(),
             Seq(keyCol), "left_anti"),
@@ -469,6 +488,16 @@ object TxLog {
           s"commit v$v touched partition(s) ${overlap.mkString(",")} " +
             s"concurrently with this commit (snapshot v$start) — " +
             "re-read and retry")
+      // an equality-delete file has no partition footprint — it kills
+      // rows in ANY partition — so every rewrite prepared before it
+      // must re-read (its staged files would otherwise resurrect the
+      // deleted rows at a higher version, out of delete range)
+      val prevPaths = filesOf(table, v - 1).toSet
+      if (entriesOf(table, v)
+          .exists(e => e.kind == "dv" && !prevPaths(e.path)))
+        throw new CommitConflictException(
+          s"commit v$v added an equality-delete file concurrently " +
+            s"with this rewrite (snapshot v$start) — re-read and retry")
     }
   }
 
@@ -483,7 +512,8 @@ object TxLog {
     */
   private def occCommit(table: String, start: Int, touched: Set[String],
       claimTimeoutMs: Long, blindAppend: Boolean = false,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      dropDeleteEntries: Boolean = false)
       (stage: String => Seq[FileEntry]): Int = {
     // fail fast before paying the staged write; the authoritative check
     // re-runs after staging, against whatever landed meanwhile
@@ -518,13 +548,19 @@ object TxLog {
       // is dead weight — clear it so our rename cannot collide
       val target = Paths.get(s"$table/v$next")
       if (Files.exists(target)) deleteRecNio(target)
-      Files.move(Paths.get(s"$table/$stageDir"), target)
-      renamed = true
+      // a manifest-only commit (e.g. a purge whose deletes matched
+      // nothing) stages no files and has no directory to rename
+      if (Files.exists(Paths.get(s"$table/$stageDir"))) {
+        Files.move(Paths.get(s"$table/$stageDir"), target)
+        renamed = true
+      }
       val landed = staged.map(e => e.copy(path = s"v$next/${e.path}"))
-      val kept =
+      val kept0 =
         if (blindAppend) entriesOf(table, next - 1)
         else entriesOf(table, next - 1)
           .filterNot(e => partOf(e.path).exists(touched.contains))
+      val kept =
+        if (dropDeleteEntries) kept0.filterNot(_.kind == "dv") else kept0
       writeManifest(table, next, kept ++ landed, txn)
       next
     } catch {
@@ -558,6 +594,90 @@ object TxLog {
     occCommit(table, start, Set.empty, claimTimeoutMs,
       blindAppend = true, txn = txn)(d =>
       writeStageFiles(spark, table, d, batch, partCol, statsCols))
+  }
+
+  /** MERGE-ON-READ equality DELETE — the Iceberg-v2 delete-file commit
+    * (round 15), the log-integrated successor of the directory-level
+    * [[Dv]] surface: the commit lands ONE small delete file (the
+    * distinct keys; its column name IS the key) and touches ZERO base
+    * files, so delete cost is O(batch) against a 100 TB table.
+    * [[readVersion]] applies it by version order (kills rows written
+    * BEFORE the delete only), which makes the semantics compose
+    * cleanly with the rest of the taxonomy:
+    *  - a later [[commitAppend]] re-ingesting a deleted key SURVIVES
+    *    (its rows are newer than the delete);
+    *  - appends never conflict with a delete in flight — version order
+    *    resolves either interleaving to a serial history;
+    *  - a REWRITE prepared before the delete landed aborts retryably
+    *    (the delete has no partition footprint, so [[conflictCheck]]
+    *    treats it as touching everything — a stale rewrite would
+    *    resurrect victims into a higher version);
+    *  - [[commitPurgeMor]] folds accumulated delete files into a
+    *    partition-pruned rewrite and drops them from the manifest.
+    * Prior versions still time-travel to their pre-delete state.
+    */
+  def commitDeleteMor(spark: SparkSession, table: String,
+      keys: DataFrame, keyCol: String,
+      claimTimeoutMs: Long = 60000L): Int = {
+    val start = currentVersion(table)
+    require(start >= 0, "commitInitial first")
+    occCommit(table, start, Set.empty, claimTimeoutMs,
+      blindAppend = true) { d =>
+      val k = keys.select(col(keyCol)).distinct()
+      k.coalesce(1).write.mode("overwrite").parquet(s"$table/$d")
+      listDataFiles(spark, s"$table/$d", s"$table/$d")
+        .map(p => FileEntry(p, -1L, Map.empty, kind = "dv"))
+    }
+  }
+
+  /** Fold every accumulated equality-delete file into a copy-on-write
+    * rewrite of the key-BEARING partitions only (discovered by one
+    * MoR-aware semi join), and drop the delete entries from the new
+    * manifest — the [[Dv.purge]] of the versioned world, restoring
+    * zero-tax reads. Partitions the victims never lived in carry by
+    * reference. A log with no delete files commits nothing.
+    */
+  def commitPurgeMor(spark: SparkSession, table: String,
+      partCol: String, statsCols: Seq[String] = Nil,
+      claimTimeoutMs: Long = 60000L): Int = {
+    val start = currentVersion(table)
+    require(start >= 0, "commitInitial first")
+    val dels = delEntriesOf(table, start)
+    if (dels.isEmpty) return start
+    val dataE = dataEntriesOf(table, start)
+    // partitions holding any TO-BE-DELETED row: the raw read minus the
+    // MoR read, keyed by partition — equivalently, partitions whose raw
+    // row count differs. One semi-join-shaped pass: raw rows whose key
+    // matches a delete key STRICTLY NEWER than the row's version.
+    val byKey = dels.groupBy(e =>
+      spark.read.parquet(s"$table/${e.path}").schema.fields.head.name)
+    val raw = dataE.groupBy(e => versionOfPath(e.path)).toSeq
+      .map { case (v, es) => spark.read.option("mergeSchema", "true")
+        .parquet(es.map(e => s"$table/${e.path}"): _*)
+        .withColumn("__v", lit(v)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val touched = byKey.iterator.flatMap { case (k, es) =>
+      val delKeys = es.groupBy(e => versionOfPath(e.path)).toSeq
+        .map { case (vd, des) =>
+          spark.read.parquet(des.map(e => s"$table/${e.path}"): _*)
+            .select(col(k).as("__delk")).withColumn("__vd", lit(vd)) }
+        .reduce(_ unionByName _)
+        .groupBy(col("__delk")).agg(max(col("__vd")).as("__vmax"))
+      raw.join(broadcast(delKeys), raw(k) === col("__delk"))
+        .filter(col("__vmax") > col("__v"))
+        .select(col(partCol).cast("string")).distinct()
+        .collect().map(r => escapedPart(r))
+    }.toSet
+    if (touched.isEmpty)
+      // deletes matched nothing: commit a manifest without them
+      return occCommit(table, start, Set.empty, claimTimeoutMs,
+        dropDeleteEntries = true)(_ => Nil)
+    val touchedData = dataE
+      .filter(e => partOf(e.path).exists(touched.contains))
+    val survivors = morRead(spark, table, touchedData, dels)
+    occCommit(table, start, touched, claimTimeoutMs,
+      dropDeleteEntries = true)(d =>
+      writeStageFiles(spark, table, d, survivors, partCol, statsCols))
   }
 
   /** Idempotent STREAMING ingest sink — the Delta `foreachBatch` +
@@ -615,22 +735,29 @@ object TxLog {
       claimTimeoutMs: Long = 60000L): Int = {
     require(start >= 0, "commitInitial first")
     val catalog = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val present = filesOf(table, start).flatMap(partOf).toSet
+    val dataE = dataEntriesOf(table, start)
+    val present = dataE.flatMap(e => partOf(e.path)).toSet
     val touched = partitions
       .map(_.map(v => if (v == null) catalog.DEFAULT_PARTITION_NAME
         else catalog.escapePathName(v)))
       .getOrElse(present)
       .intersect(present)
-    val files = filesOf(table, start)
-      .filter(f => partOf(f).exists(touched.contains))
-    if (files.isEmpty) return currentVersion(table)
-    val base = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val touchedData = dataE
+      .filter(e => partOf(e.path).exists(touched.contains))
+    if (touchedData.isEmpty) return currentVersion(table)
+    // MoR-aware: the rewrite folds any equality deletes for the
+    // selected partitions; a WHOLE-table optimize therefore also drops
+    // the delete entries (nothing they could still apply to), while a
+    // partial one must keep them for the unselected partitions
+    val base = morRead(spark, table, touchedData,
+      delEntriesOf(table, start))
     val sortCols: Seq[Column] = zorder match {
       case Nil => Nil
       case Seq(c) => Seq(col(c))
       case cs => Seq(Layout.zValueK(cs.map(col)))
     }
-    occCommit(table, start, touched, claimTimeoutMs)(d =>
+    occCommit(table, start, touched, claimTimeoutMs,
+      dropDeleteEntries = touched == present)(d =>
       writeStageFiles(spark, table, d, base, partCol, statsCols,
         sortCols = sortCols))
   }
@@ -659,41 +786,77 @@ object TxLog {
     require(start >= 0, "commitInitial first")
     // a legitimately-empty snapshot (a prior delete removed every row)
     // holds nothing to delete — and a zero-path parquet read would throw
-    if (filesOf(table, start).isEmpty) return currentVersion(table)
+    if (dataEntriesOf(table, start).isEmpty) return currentVersion(table)
     val k = keys.select(col(keyCol)).distinct()
     // data files carry the original partCol (only the duplicated
     // __part copy went to the directory names), so the touched list
-    // comes straight off the plainly-read snapshot rows
-    val base = spark.read
-      .parquet(filesOf(table, start).map(f => s"$table/$f"): _*)
+    // comes straight off the MoR-read snapshot rows
+    val base = readVersion(spark, table, start)
     val touched = base.join(k, Seq(keyCol), "left_semi")
       .select(col(partCol).cast("string")).distinct()
       .collect().map(r => escapedPart(r)).toSet
     if (touched.isEmpty) return currentVersion(table)
-    val touchedFiles = filesOf(table, start)
-      .filter(f => partOf(f).exists(touched.contains))
-    val survivors = spark.read
-      .parquet(touchedFiles.map(f => s"$table/$f"): _*)
+    val touchedData = dataEntriesOf(table, start)
+      .filter(e => partOf(e.path).exists(touched.contains))
+    val survivors = morRead(spark, table, touchedData,
+        delEntriesOf(table, start))
       .join(k, Seq(keyCol), "left_anti")
     occCommit(table, start, touched, claimTimeoutMs)(d =>
       writeStageFiles(spark, table, d, survivors, partCol, statsCols))
   }
 
-  /** Read the table AS OF `version` (time travel). An empty snapshot
-    * (every row deleted) reads as a zero-column empty DataFrame — the
-    * minimal log stores no schema of its own.
+  /** The MERGE-ON-READ core: data files banded by their commit version
+    * (`v{n}/` path prefix), equality-delete files applied by version
+    * order — a delete committed at vd kills rows written at v < vd, so
+    * a later append legitimately re-ingests a deleted key. Each delete
+    * file's single column names its key; delete sets broadcast (they
+    * are batch-sized between purges — [[commitPurgeMor]] folds them).
+    * With no delete entries this degenerates to one plain multi-file
+    * scan, zero extra plan nodes.
+    */
+  private def morRead(spark: SparkSession, table: String,
+      dataEntries: Seq[FileEntry],
+      delEntries: Seq[FileEntry]): DataFrame = {
+    if (dataEntries.isEmpty) return spark.emptyDataFrame
+    def read(es: Seq[FileEntry]) = spark.read
+      .option("mergeSchema", "true")
+      .parquet(es.map(e => s"$table/${e.path}"): _*)
+    if (delEntries.isEmpty) return read(dataEntries).drop(PartDir)
+    val data = dataEntries.groupBy(e => versionOfPath(e.path)).toSeq
+      .sortBy(_._1)
+      .map { case (v, es) => read(es).withColumn("__v", lit(v)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val byKey = delEntries.groupBy(e =>
+      spark.read.parquet(s"$table/${e.path}").schema.fields.head.name)
+    val out = byKey.foldLeft(data) { case (cur, (k, es)) =>
+      val dels = es.groupBy(e => versionOfPath(e.path)).toSeq
+        .map { case (vd, des) =>
+          spark.read.parquet(des.map(e => s"$table/${e.path}"): _*)
+            .select(col(k).as("__delk")).withColumn("__vd", lit(vd))
+        }
+        .reduce(_ unionByName _)
+        .groupBy(col("__delk")).agg(max(col("__vd")).as("__vmax"))
+      cur.join(broadcast(dels), cur(k) === col("__delk"), "left")
+        .filter(col("__vmax").isNull || col("__vmax") <= col("__v"))
+        .drop("__delk", "__vmax")
+    }
+    out.drop("__v", PartDir)
+  }
+
+  private def dataEntriesOf(table: String, version: Int): Seq[FileEntry] =
+    entriesOf(table, version).filter(_.kind == "data")
+  private def delEntriesOf(table: String, version: Int): Seq[FileEntry] =
+    entriesOf(table, version).filter(_.kind == "dv")
+
+  /** Read the table AS OF `version` (time travel), with any equality-
+    * delete files applied ([[morRead]]). An empty snapshot (every row
+    * deleted) reads as a zero-column empty DataFrame — the minimal log
+    * stores no schema of its own.
     */
   def readVersion(spark: SparkSession, table: String,
-      version: Int): DataFrame = {
-    val files = filesOf(table, version)
-    if (files.isEmpty) spark.emptyDataFrame
-    // mergeSchema: a snapshot may mix pre- and post-evolution files
-    // (commitUpsertEvolve keeps untouched old-schema files by
-    // reference); the union schema is the version's schema
-    else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$table/$f"): _*)
-      .drop(PartDir)
-  }
+      version: Int): DataFrame =
+    morRead(spark, table, dataEntriesOf(table, version),
+      delEntriesOf(table, version))
 
   /** Change-data-feed between two committed versions — Delta's
     * `table_changes` shape, computed from the snapshots themselves via
@@ -707,19 +870,26 @@ object TxLog {
     */
   def tableChanges(spark: SparkSession, table: String, fromV: Int,
       toV: Int, keyCol: String, payload: Seq[String]): DataFrame = {
-    val fromFiles = filesOf(table, fromV).toSet
-    val toFiles = filesOf(table, toV).toSet
+    val fromData = dataEntriesOf(table, fromV)
+    val toData = dataEntriesOf(table, toV)
+    // equality-delete files have no partition footprint: if the two
+    // manifests' delete sets differ, the reference diff cannot prune —
+    // fall back to the full snapshots (the purge that fixes this also
+    // rewrites the victims' partitions, restoring prunability)
+    val delsDiffer = delEntriesOf(table, fromV).map(_.path).toSet !=
+      delEntriesOf(table, toV).map(_.path).toSet
+    val fromFiles = fromData.map(_.path).toSet
+    val toFiles = toData.map(_.path).toSet
     val changedParts =
       ((fromFiles diff toFiles) ++ (toFiles diff fromFiles)).flatMap(partOf)
-    def readParts(v: Int): DataFrame = {
-      val fs = filesOf(table, v)
-        .filter(f => partOf(f).exists(changedParts.contains))
-      if (fs.isEmpty) readVersion(spark, table, v).filter(lit(false))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => s"$table/$f"): _*).drop(PartDir)
+    def readParts(v: Int, data: Seq[FileEntry]): DataFrame = {
+      val es = if (delsDiffer) data
+        else data.filter(e => partOf(e.path).exists(changedParts.contains))
+      if (es.isEmpty) readVersion(spark, table, v).filter(lit(false))
+      else morRead(spark, table, es, delEntriesOf(table, v))
     }
-    TimeSeries.cdcExtract(readParts(fromV), readParts(toV), keyCol,
-      payload)
+    TimeSeries.cdcExtract(readParts(fromV, fromData),
+      readParts(toV, toData), keyCol, payload)
   }
 
   /** The scan-planning prune: which of `version`'s files can possibly
@@ -730,7 +900,7 @@ object TxLog {
     */
   def prunedFiles(table: String, version: Int,
       bounds: Seq[(String, (Double, Double))]): (Seq[String], Int) = {
-    val entries = entriesOf(table, version)
+    val entries = dataEntriesOf(table, version)
     val kept = entries.filter { e =>
       bounds.forall { case (c, (lo, hi)) =>
         e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -753,9 +923,14 @@ object TxLog {
     if (files.isEmpty)
       // every file pruned: an empty relation with the version's schema
       readVersion(spark, table, version).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$table/$f"): _*)
-      .drop(PartDir)
+    else {
+      // pruning applies to DATA files; equality-delete files always
+      // apply (a pruned scan must never show a deleted row)
+      val keep = files.toSet
+      morRead(spark, table,
+        dataEntriesOf(table, version).filter(e => keep(e.path)),
+        delEntriesOf(table, version))
+    }
   }
 
   /** Retention vacuum: keep the newest `retainVersions` snapshots,

@@ -667,8 +667,17 @@ class MainSpec extends SparkSpec {
     val got = spark.read.parquet(s"$tmp/out/changes_v0_v2")
       .select($"op", $"id").as[(String, Long)].collect().toSet
     assert(got == Set(("U", 3L), ("I", 101L)))
+    // merge-on-read delete + purge through the CLI surface
+    val vic = write(Seq(5L).toDF("id"), "vic")
+    assert(Main.runVlog(spark, "delete-mor", tbl,
+      Map("--d" -> vic, "--k" -> "id")).contains("zero base writes"))
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 4)
+      .filter($"id" === 5L).count() == 0L)
+    assert(Main.runVlog(spark, "purge-mor", tbl, Map("--p" -> "part"))
+      .contains("folded as v5"))
+    assert(graft.ops.TxLog.entriesOf(tbl, 5).forall(_.kind == "data"))
     assert(Main.runVlog(spark, "vacuum", tbl, Map("--r" -> "1"))
       .contains("manifests"))
-    assert(graft.ops.TxLog.readVersion(spark, tbl, 3).count() == 41L)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 5).count() == 40L)
   }
 }

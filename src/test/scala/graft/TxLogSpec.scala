@@ -107,14 +107,27 @@ class TxLogSpec extends SparkSpec {
     // UNESCAPED batch value would keep the old file AND write the merge
     val base = Seq((1L, "a b", 1.0), (2L, "a b", 2.0), (3L, "c", 3.0))
       .toDF("id", "part", "v")
-    graft.ops.TxLog.commitInitial(spark, tbl, base, "part")
+    // statsCols on purpose: the stats pass round-trips file paths
+    // through input_file_name's percent-encoded URIs — an escaped
+    // partition (a%20b on disk) must relativize to the SAME relative
+    // path the manifest listing produced, or its stats would be lost
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "part",
+      statsCols = Seq("v"))
     graft.ops.TxLog.commitUpsert(spark, tbl,
-      Seq((1L, "a b", 100.0)).toDF("id", "part", "v"), "id", "part")
+      Seq((1L, "a b", 100.0)).toDF("id", "part", "v"), "id", "part",
+      statsCols = Seq("v"))
     val got = graft.ops.TxLog.readVersion(spark, tbl, 1)
       .select(col("id"), col("v")).as[(Long, Double)].collect().toSeq
       .sorted
     assert(got == Seq((1L, 100.0), (2L, 2.0), (3L, 3.0)),
       s"duplicated or lost rows: $got")
+    // the special-char partition's rewritten file carries its stats
+    // (escapePathName leaves spaces as-is — 'a b' IS the dir name; the
+    // round trip under test is URI %-encoding through input_file_name)
+    val e1 = graft.ops.TxLog.entriesOf(tbl, 1)
+      .find(f => f.path.startsWith("v1/") && f.path.contains("a b"))
+    assert(e1.exists(_.stats.get("v").contains((2.0, 100.0))),
+      s"escaped-partition stats lost: ${graft.ops.TxLog.entriesOf(tbl, 1)}")
   }
 
   test("commitUpsert on a null partition value neither duplicates nor " +
@@ -479,6 +492,90 @@ class TxLogSpec extends SparkSpec {
     assert(graft.ops.TxLog.readVersion(spark, tbl, 2)
       .filter(col("id") === 14L).select(col("src")).as[String]
       .collect().toSeq == Seq("mq"))
+  }
+
+  test("commitDeleteMor: O(batch) delete file, zero base writes; " +
+      "version-ordered application lets a later append re-ingest; " +
+      "purge folds and is partition-pruned") {
+    val tbl = initOcc("mor")
+    val v0Data = graft.ops.TxLog.entriesOf(tbl, 0)
+    // delete ids 3, 7 (partition 1) via ONE equality-delete file
+    assert(graft.ops.TxLog.commitDeleteMor(spark, tbl,
+      Seq(3L, 7L).toDF("id"), "id") == 1)
+    val e1 = graft.ops.TxLog.entriesOf(tbl, 1)
+    assert(e1.filter(_.kind == "data") == v0Data,
+      "a MoR delete must not touch a single base file")
+    assert(e1.count(_.kind == "dv") == 1)
+    val v1 = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select("id").as[Long].collect().toSet
+    assert(v1 == (1L to 40L).toSet -- Set(3L, 7L))
+    // prior version still shows the victims
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 0).count() == 40L)
+    // a later append RE-INGESTS id 3: newer than the delete → survives
+    graft.ops.TxLog.commitAppend(spark, tbl,
+      Seq((3L, 1, 333.0)).toDF("id", "part", "v"), "part")
+    val v2 = graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(v2.get(3L).contains(333.0) && !v2.contains(7L) &&
+      v2.size == 39)
+    // a rewrite prepared BEFORE the delete landed aborts retryably
+    intercept[graft.ops.TxLog.CommitConflictException] {
+      graft.ops.TxLog.commitUpsertFrom(spark, tbl,
+        Seq((14L, 2, 1400.0)).toDF("id", "part", "v"), "id", "part",
+        start = 0)
+    }
+    // a fresh-snapshot upsert of partition 1 does NOT resurrect id 7
+    // (its base read is MoR-aware)
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((5L, 1, 500.0)).toDF("id", "part", "v"), "id", "part")
+    val v3 = graft.ops.TxLog.readVersion(spark, tbl, 3)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(!v3.contains(7L) && v3(5L) == 500.0 && v3(3L) == 333.0)
+    // purge: id-7's delete now only matters for partition 1 — but the
+    // v3 upsert already rewrote partition 1 MoR-aware, so the delete
+    // matches nothing; the purge commits a manifest without it
+    assert(graft.ops.TxLog.commitPurgeMor(spark, tbl, "part") == 4)
+    assert(graft.ops.TxLog.entriesOf(tbl, 4).forall(_.kind == "data"))
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 4)
+      .select("id", "v").as[(Long, Double)].collect().toMap == v3)
+  }
+
+  test("commitPurgeMor rewrites only the victims' partitions; a " +
+      "whole-table OPTIMIZE folds deletes too") {
+    val tbl = initOcc("mor2")
+    graft.ops.TxLog.commitDeleteMor(spark, tbl,
+      Seq(14L, 15L).toDF("id"), "id") // partition 2 only
+    assert(graft.ops.TxLog.commitPurgeMor(spark, tbl, "part",
+      statsCols = Seq("id")) == 2)
+    val e2 = graft.ops.TxLog.entriesOf(tbl, 2)
+    assert(e2.forall(_.kind == "data"))
+    // partitions 1, 3, 4 carried by reference from v0
+    assert(e2.count(_.path.startsWith("v0/")) == 3)
+    assert(e2.find(_.path.contains("__part=2")).get.path.startsWith("v2/"))
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .select("id").as[Long].collect().toSet ==
+      (1L to 40L).toSet -- Set(14L, 15L))
+    // second round: delete + whole-table optimize folds AND drops dels
+    graft.ops.TxLog.commitDeleteMor(spark, tbl, Seq(22L).toDF("id"), "id")
+    val vOpt = graft.ops.TxLog.commitOptimize(spark, tbl, "part")
+    assert(graft.ops.TxLog.entriesOf(tbl, vOpt).forall(_.kind == "data"))
+    assert(graft.ops.TxLog.readVersion(spark, tbl, vOpt)
+      .select("id").as[Long].collect().toSet ==
+      (1L to 40L).toSet -- Set(14L, 15L, 22L))
+    // and the pruned read applies deletes: id 22's file band still
+    // matches the bounds, but the row must not appear
+    graft.ops.TxLog.commitDeleteMor(spark, tbl, Seq(23L).toDF("id"), "id")
+    val pruned = graft.ops.TxLog.readVersionPruned(spark, tbl,
+        graft.ops.TxLog.currentVersion(tbl), Seq("id" -> (21.0, 25.0)))
+      .select("id").as[Long].collect().toSet
+    assert(!pruned.contains(23L) && pruned.contains(24L),
+      s"pruned MoR read wrong: $pruned")
+    // tableChanges across the delete-only commit (reference diff can't
+    // prune — the delete has no footprint) reports exactly the D row
+    val chg = graft.ops.TxLog.tableChanges(spark, tbl, vOpt, vOpt + 1,
+        "id", Seq("v"))
+      .select("op", "id").as[(String, Long)].collect().toSet
+    assert(chg == Set(("D", 23L)), s"got $chg")
   }
 
   test("versionAsOf resolves TIMESTAMP AS OF from manifest mtimes") {
