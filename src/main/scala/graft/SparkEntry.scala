@@ -1911,6 +1911,18 @@ object SparkEntry {
       face(0).unionByName(face(1)).unionByName(face(2))
     }),
 
+    // ASYMMETRIC containment dedup (round 15) — the quote/excerpt
+    // catch q25's symmetric Jaccard misses: |A∩B|/|A| near 1 flags a
+    // short doc embedded in a long one even when J ≈ |A|/|B| is tiny.
+    // Ordered pairs (the SHORT side is the redundant one); same
+    // inverted-index shape as q25.
+    "q159_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.table(s, dir, "documents"),
+          minContainment = 0.8)
+        .select(col("doc_id"), col("contained_in"), col("inter"),
+          col("n_self"), col("n_other"),
+          round(col("containment"), 6).as("containment"))),
+
     // MERGE-ON-READ equality DELETE under the log (round 15) — the
     // Iceberg-v2 delete-file commit, q143's Dv surface integrated into
     // the q130 log: the delete lands ONE key file and touches zero base
@@ -3783,6 +3795,28 @@ object SparkEntry {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  user_id, event_type, round(value, 6) AS value
         |FROM final""".stripMargin,
+
+    "q159_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(list_slice(tk, i, i + 2), ' ') AS sh
+         |       FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |co AS (SELECT x.doc_id AS doc_id, y.doc_id AS contained_in,
+         |         count(*) AS inter
+         |       FROM sh x JOIN sh y
+         |         ON x.sh = y.sh AND x.doc_id <> y.doc_id
+         |       GROUP BY 1, 2),
+         |c AS (SELECT co.doc_id, contained_in, inter,
+         |        a.n_sh AS n_self, b.n_sh AS n_other,
+         |        CAST(inter AS DOUBLE) / a.n_sh AS containment
+         |      FROM co JOIN sizes a ON co.doc_id = a.doc_id
+         |              JOIN sizes b ON co.contained_in = b.doc_id)
+         |SELECT doc_id, contained_in, inter, n_self, n_other,
+         |  round(containment, 6) AS containment
+         |FROM c WHERE containment >= 0.8""".stripMargin,
 
     "q158_mor_delete" ->
       """WITH base AS (

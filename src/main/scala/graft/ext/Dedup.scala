@@ -517,6 +517,52 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup — the quote/excerpt catch
+    * symmetric Jaccard misses: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * scores a short doc embedded verbatim in a long one near 1 while
+    * J(A, B) ≈ |A|/|B| stays low (a 40-token quote inside a 400-token
+    * page: J ≈ 0.09 — invisible at any sane Jaccard threshold — but
+    * C ≈ 0.9). The production use is excerpt/mirror detection before
+    * training: the SHORT side is the redundant one. Same
+    * inverted-index cost shape (Σ df² over shingle document
+    * frequencies) and `maxDf` stopword gate as [[ngramJaccardPairs]];
+    * emits ORDERED rows (doc_id, contained_in, …) with C ≥
+    * `minContainment` — an exact-dup pair legitimately appears in both
+    * directions.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+                       n: Int = 3, minContainment: Double = 0.8,
+                       maxDf: Int = 0): DataFrame = {
+    val allSh = docs.select(col("doc_id"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val docSh = (if (maxDf <= 0) allSh else {
+      val dfw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sh"))
+      allSh.withColumn("__df", count(lit(1)).over(dfw))
+        .filter(col("__df") <= maxDf).drop("__df")
+    }).transform(graft.util.Pins.pin)
+    val sizes = docSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
+    val co = docSh.alias("x")
+      .join(docSh.alias("y"), col("x.sh") === col("y.sh"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id"),
+        col("y.doc_id").as("contained_in"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.withColumnRenamed("doc_id", "__s")
+          .withColumnRenamed("n_sh", "n_self"),
+        col("doc_id") === col("__s"))
+      .join(sizes.withColumnRenamed("doc_id", "__o")
+          .withColumnRenamed("n_sh", "n_other"),
+        col("contained_in") === col("__o"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_self"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id"), col("contained_in"), col("inter"),
+        col("n_self"), col("n_other"), col("containment"))
+  }
+
   /** The dedup end-step: keep the best doc of each near-dup cluster —
     * representative = max (rounded) quality, ties to the smallest doc_id.
     * `clusters` is a connectedComponents output (doc_id, cluster_id);

@@ -892,6 +892,33 @@ object TxLog {
       readParts(toV, toData), keyCol, payload)
   }
 
+  /** Incremental consumption of a versioned table — the Delta
+    * streaming-source contract in micro-batch form: the data files
+    * ADDED since `fromV` (by manifest reference diff), read as one
+    * batch with any newer equality-deletes applied. Exact for
+    * append-only history (the [[appendSink]] + [[commitAppend]]
+    * regime); an intervening REWRITE (upsert / CoW delete / optimize)
+    * re-emits rewritten rows and retracts nothing, so the call throws
+    * unless `allowRewrites` — the ignoreChanges contract, stated
+    * loudly instead of silently double-counting.
+    */
+  def readAppendsSince(spark: SparkSession, table: String, fromV: Int,
+      allowRewrites: Boolean = false): DataFrame = {
+    val cur = currentVersion(table)
+    val oldPaths = entriesOf(table, fromV).map(_.path).toSet
+    val curEntries = entriesOf(table, cur)
+    val removed = oldPaths.diff(curEntries.map(_.path).toSet)
+    if (removed.nonEmpty && !allowRewrites)
+      throw new IllegalStateException(
+        s"versions v$fromV..v$cur rewrote ${removed.size} file(s) — an " +
+          "appends-only read would re-emit their surviving rows; pass " +
+          "allowRewrites = true to accept re-emission")
+    val added = curEntries
+      .filter(e => e.kind == "data" && !oldPaths(e.path))
+    if (added.isEmpty) readVersion(spark, table, cur).filter(lit(false))
+    else morRead(spark, table, added, delEntriesOf(table, cur))
+  }
+
   /** The scan-planning prune: which of `version`'s files can possibly
     * hold a row satisfying the conjunction of `bounds` (col BETWEEN lo
     * AND hi), decided from the manifest stats alone — no file opened.

@@ -252,6 +252,32 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got.head._3 - expected) < 1e-12)
   }
 
+  test("containmentPairs flags a short quote inside a long page that " +
+      "Jaccard cannot see; direction and threshold honored") {
+    import spark.implicits._
+    val quote = (0 until 40).map(j => s"q$j")
+    val page = (100 until 280).map(j => s"w$j") ++ quote ++
+      (300 until 480).map(j => s"x$j")
+    val docs = Seq(
+      (1L, quote.mkString(" ")),           // the excerpt
+      (2L, page.mkString(" ")),            // the containing page
+      (3L, (500 until 540).map(j => s"z$j").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, minContainment = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("contained_in"), r.getAs[Double]("containment")))
+    // ONLY quote→page: the page is not contained in the quote, and the
+    // unrelated doc pairs with nothing
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)), got.toSeq)
+    assert(got.head._3 == 1.0, "verbatim quote must contain fully")
+    // the SAME pair under symmetric Jaccard sits far below any usable
+    // threshold — the reason this operator exists
+    val j = Dedup.ngramJaccardPairs(docs, minJaccard = 0.0)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select("jaccard").as[Double].collect().head
+    assert(j < 0.12, s"jaccard $j should be tiny for a 10x size skew")
+  }
+
   test("paragraphDedup over the newline splitter: corpus-wide " +
       "duplicated paragraphs flagged, boilerplate-heavy doc dropped") {
     import spark.implicits._

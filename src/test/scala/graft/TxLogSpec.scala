@@ -578,6 +578,77 @@ class TxLogSpec extends SparkSpec {
     assert(chg == Set(("D", 23L)), s"got $chg")
   }
 
+  test("readAppendsSince: exactly the appended rows, MoR-applied; " +
+      "rewrites refuse without allowRewrites") {
+    val tbl = initOcc("appsince")
+    graft.ops.TxLog.commitAppend(spark, tbl,
+      Seq((101L, 1, 101.0), (102L, 2, 102.0)).toDF("id", "part", "v"),
+      "part")
+    graft.ops.TxLog.commitAppend(spark, tbl,
+      Seq((103L, 1, 103.0)).toDF("id", "part", "v"), "part")
+    val got = graft.ops.TxLog.readAppendsSince(spark, tbl, 0)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(101L, 102L, 103L))
+    assert(graft.ops.TxLog.readAppendsSince(spark, tbl, 1)
+      .select("id").as[Long].collect().toSet == Set(103L))
+    assert(graft.ops.TxLog.readAppendsSince(spark, tbl, 2).count() == 0L)
+    // a MoR delete newer than an append masks it in the incremental read
+    graft.ops.TxLog.commitDeleteMor(spark, tbl, Seq(102L).toDF("id"),
+      "id")
+    assert(graft.ops.TxLog.readAppendsSince(spark, tbl, 0)
+      .select("id").as[Long].collect().toSet == Set(101L, 103L))
+    // a rewrite breaks the appends-only contract loudly
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, 300.0)).toDF("id", "part", "v"), "id", "part")
+    val e = intercept[IllegalStateException] {
+      graft.ops.TxLog.readAppendsSince(spark, tbl, 0)
+    }
+    assert(e.getMessage.contains("allowRewrites"))
+    // and the escape hatch re-emits the surviving rewritten partition
+    val re = graft.ops.TxLog.readAppendsSince(spark, tbl, 0,
+      allowRewrites = true).select("id").as[Long].collect().toSet
+    assert(re.contains(3L) && re.contains(101L) && !re.contains(102L))
+  }
+
+  test("partition-spec evolution: OPTIMIZE re-partitions under a new " +
+      "column; old versions time-travel, cross-spec rewrites conflict") {
+    val root = Files.createTempDirectory("graft-txlog-spec")
+    val tbl = root.resolve("t").toString
+    // two candidate partitioning columns: day (initial spec), region
+    val base = (1 to 40).map(i => (i.toLong, (i - 1) / 10 + 1,
+      if (i % 2 == 0) "eu" else "us", i * 1.0))
+      .toDF("id", "day", "region", "v")
+    graft.ops.TxLog.commitInitial(spark, tbl, base, "day")
+    assert(graft.ops.TxLog.filesOf(tbl, 0)
+      .forall(_.contains("__part=")))
+    // re-partition the WHOLE table by region — an OPTIMIZE under the
+    // new spec (every old partition is touched, so the commit replaces
+    // the full file set)
+    assert(graft.ops.TxLog.commitOptimize(spark, tbl, "region",
+      partitions = None, statsCols = Seq("id")) == 1)
+    val e1 = graft.ops.TxLog.filesOf(tbl, 1)
+    assert(e1.size == 2 && e1.forall(f =>
+      f.contains("__part=eu") || f.contains("__part=us")), s"$e1")
+    // data identical, both versions readable
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select("id", "v").as[(Long, Double)].collect().toSet ==
+      base.select("id", "v").as[(Long, Double)].collect().toSet)
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 0).count() == 40L)
+    // upserts under the NEW spec work; a stale OLD-spec rewrite aborts
+    // (the re-spec commit touched every old partition)
+    graft.ops.TxLog.commitUpsert(spark, tbl,
+      Seq((3L, 1, "us", 300.0)).toDF("id", "day", "region", "v"),
+      "id", "region")
+    assert(graft.ops.TxLog.readVersion(spark, tbl, 2)
+      .filter(col("id") === 3L).select("v").as[Double]
+      .collect().toSeq == Seq(300.0))
+    intercept[graft.ops.TxLog.CommitConflictException] {
+      graft.ops.TxLog.commitUpsertFrom(spark, tbl,
+        Seq((14L, 2, "eu", 1400.0)).toDF("id", "day", "region", "v"),
+        "id", "day", start = 0)
+    }
+  }
+
   test("versionAsOf resolves TIMESTAMP AS OF from manifest mtimes") {
     val tbl = initOcc("asof")
     val t0 = System.currentTimeMillis()
