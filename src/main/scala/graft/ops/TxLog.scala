@@ -211,7 +211,7 @@ object TxLog {
   // or `path<TAB>rows<TAB>stats<TAB>kind` for non-data entries.
   // Parquet part-file names never contain tabs; stat column names are
   // validated against the separators at commit time.
-  private def parseEntry(line: String): FileEntry = {
+  private[graft] def parseEntry(line: String): FileEntry = {
     def parseStats(s: String): Map[String, (Double, Double)] =
       s.split(';').iterator.filter(_.nonEmpty).map { kv =>
         val Array(c, mm) = kv.split('=')
@@ -227,7 +227,7 @@ object TxLog {
     }
   }
 
-  private def renderEntry(e: FileEntry): String = {
+  private[graft] def renderEntry(e: FileEntry): String = {
     val s = e.stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }.mkString(";")
     if (e.kind != "data") s"${e.path}\t${e.rows}\t$s\t${e.kind}"
@@ -625,8 +625,12 @@ object TxLog {
       blindAppend = true) { d =>
       val k = keys.select(col(keyCol)).distinct()
       k.coalesce(1).write.mode("overwrite").parquet(s"$table/$d")
+      // record the key count: [[morRead]]'s broadcast-vs-shuffle gate
+      // reads it straight off the manifest (one cheap count of the
+      // just-written single file)
+      val n = spark.read.parquet(s"$table/$d").count()
       listDataFiles(spark, s"$table/$d", s"$table/$d")
-        .map(p => FileEntry(p, -1L, Map.empty, kind = "dv"))
+        .map(p => FileEntry(p, n, Map.empty, kind = "dv"))
     }
   }
 
@@ -805,14 +809,25 @@ object TxLog {
       writeStageFiles(spark, table, d, survivors, partCol, statsCols))
   }
 
+  /** Delete-row budget under which [[morRead]] BROADCASTS the delete
+    * set (the normal between-purge regime — map-only probe); beyond it
+    * the anti-join side falls back to a shuffle-hash join — slower,
+    * correct, and a signal the purge is overdue. The same size-gate
+    * discipline as [[Dv.read]]'s (an unconditional broadcast of a
+    * neglected delete set is a driver OOM at scale). Entries with
+    * unknown row counts (−1) are conservatively treated as large.
+    */
+  private val MorBroadcastMaxRows = 4L << 20
+
   /** The MERGE-ON-READ core: data files banded by their commit version
     * (`v{n}/` path prefix), equality-delete files applied by version
     * order — a delete committed at vd kills rows written at v < vd, so
     * a later append legitimately re-ingests a deleted key. Each delete
-    * file's single column names its key; delete sets broadcast (they
-    * are batch-sized between purges — [[commitPurgeMor]] folds them).
-    * With no delete entries this degenerates to one plain multi-file
-    * scan, zero extra plan nodes.
+    * file's single column names its key; delete sets broadcast while
+    * small ([[MorBroadcastMaxRows]], known from the manifest's per-file
+    * row counts — [[commitPurgeMor]] folds them before they outgrow
+    * it), shuffle-hash beyond. With no delete entries this degenerates
+    * to one plain multi-file scan, zero extra plan nodes.
     */
   private def morRead(spark: SparkSession, table: String,
       dataEntries: Seq[FileEntry],
@@ -826,17 +841,20 @@ object TxLog {
       .sortBy(_._1)
       .map { case (v, es) => read(es).withColumn("__v", lit(v)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    val small = delEntries.forall(_.rows >= 0) &&
+      delEntries.map(_.rows).sum <= MorBroadcastMaxRows
     val byKey = delEntries.groupBy(e =>
       spark.read.parquet(s"$table/${e.path}").schema.fields.head.name)
     val out = byKey.foldLeft(data) { case (cur, (k, es)) =>
-      val dels = es.groupBy(e => versionOfPath(e.path)).toSeq
+      val dels0 = es.groupBy(e => versionOfPath(e.path)).toSeq
         .map { case (vd, des) =>
           spark.read.parquet(des.map(e => s"$table/${e.path}"): _*)
             .select(col(k).as("__delk")).withColumn("__vd", lit(vd))
         }
         .reduce(_ unionByName _)
         .groupBy(col("__delk")).agg(max(col("__vd")).as("__vmax"))
-      cur.join(broadcast(dels), cur(k) === col("__delk"), "left")
+      val dels = if (small) broadcast(dels0) else dels0.hint("shuffle_hash")
+      cur.join(dels, cur(k) === col("__delk"), "left")
         .filter(col("__vmax").isNull || col("__vmax") <= col("__v"))
         .drop("__delk", "__vmax")
     }

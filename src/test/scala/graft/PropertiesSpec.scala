@@ -149,6 +149,35 @@ object LocalPropsSpec extends Properties("local-invariants") {
         math.abs(ax - b(i)) <= 1e-8 * math.max(1.0, math.abs(b(i)))
       }
     }
+
+  // ── TxLog manifest-line codec ──
+  // render→parse must be the identity for every representable entry:
+  // a corrupted round-trip silently drops files (or their stats) from a
+  // SNAPSHOT. Doubles cover negatives, subnormals, and ±Infinity (NaN
+  // excluded: a recorded min/max is never NaN, and NaN ≠ NaN would
+  // break the equality under test, not the codec).
+  private val entryGen: Gen[graft.ops.TxLog.FileEntry] = for {
+    depth <- Gen.choose(1, 3)
+    segs <- Gen.listOfN(depth, Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('_', '-', '.', '='))).map(_.mkString))
+    rows <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, Long.MaxValue))
+    nStats <- Gen.choose(0, 4)
+    cols <- Gen.listOfN(nStats,
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+    vals <- Gen.listOfN(nStats, for {
+      mn <- Gen.oneOf(Gen.choose(-1e18, 1e18), Gen.oneOf(
+        Double.MinPositiveValue, Double.NegativeInfinity,
+        Double.PositiveInfinity, -0.0, 4.9e-324))
+      mx <- Gen.choose(-1e18, 1e18)
+    } yield (mn, mx))
+    kind <- Gen.oneOf("data", "dv")
+  } yield graft.ops.TxLog.FileEntry(segs.mkString("/"), rows,
+    cols.zip(vals).toMap, kind)
+
+  property("TxLog manifest codec round-trips every representable entry") =
+    forAll(entryGen) { e =>
+      graft.ops.TxLog.parseEntry(graft.ops.TxLog.renderEntry(e)) == e
+    }
 }
 
 /** DataFrame-level invariants — each case pays a Spark job, so the case

@@ -578,6 +578,31 @@ class TxLogSpec extends SparkSpec {
     assert(chg == Set(("D", 23L)), s"got $chg")
   }
 
+  test("MoR delete-set size gate: the broadcast and shuffle-hash " +
+      "paths read identically (unknown-size entries take the big path)") {
+    val tbl = initOcc("mor-gate")
+    graft.ops.TxLog.commitDeleteMor(spark, tbl,
+      Seq(3L, 14L, 25L).toDF("id"), "id")
+    // small path: the manifest carries the key count
+    val e = graft.ops.TxLog.entriesOf(tbl, 1).find(_.kind == "dv").get
+    assert(e.rows == 3L, s"delete entry must record its key count: $e")
+    val smallRead = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    // force the big path via the documented legacy codec: rows = -1
+    // (unknown) is conservatively treated as over-budget
+    val mf = Paths.get(s"$tbl/_vlog/v1.json")
+    val body = new String(Files.readAllBytes(mf), "UTF-8")
+    val edited = body.replace(s"\t${e.rows}\t\tdv", "\t-1\t\tdv")
+    assert(edited != body, "manifest edit missed the dv line")
+    Files.write(mf, edited.getBytes("UTF-8"))
+    assert(graft.ops.TxLog.entriesOf(tbl, 1)
+      .find(_.kind == "dv").get.rows == -1L)
+    val bigRead = graft.ops.TxLog.readVersion(spark, tbl, 1)
+      .select("id", "v").as[(Long, Double)].collect().toSet
+    assert(bigRead == smallRead && smallRead.size == 37,
+      "the two delete-join paths diverged")
+  }
+
   test("readAppendsSince: exactly the appended rows, MoR-applied; " +
       "rewrites refuse without allowRewrites") {
     val tbl = initOcc("appsince")
