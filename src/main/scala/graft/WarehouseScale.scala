@@ -360,6 +360,32 @@ object WarehouseScale {
     val prunedReadSec = secs(tPr)
     assert(prRows == dayIds, s"pruned read returned $prRows rows")
 
+    // ───── round 15: merge-on-read equality delete at the full 50M ─────
+    // the delete lands ONE key file against the 50M-row versioned
+    // table (zero base writes — O(batch) however big the table), the
+    // MoR read hides exactly the victims, and the purge folds only the
+    // key-bearing partitions
+    val delKeys = spark.range(n / users).select(
+      (col("id") * users).as("event_id")) // user 0's rows: every slot
+    val nDel = n / users
+    val tMd = t0()
+    val vMor = graft.ops.TxLog.commitDeleteMor(spark, vtbl, delKeys,
+      "event_id")
+    val morDeleteSec = secs(tMd)
+    val tMr = t0()
+    val morCount = graft.ops.TxLog.readVersion(spark, vtbl, vMor).count()
+    val morReadSec = secs(tMr)
+    val v3Rows = v3Agg.getAs[Long]("rows")
+    assert(morCount == v3Rows - nDel,
+      s"MoR read $morCount != ${v3Rows - nDel}")
+    val tMp = t0()
+    val vPurge = graft.ops.TxLog.commitPurgeMor(spark, vtbl, "day")
+    val morPurgeSec = secs(tMp)
+    assert(graft.ops.TxLog.entriesOf(vtbl, vPurge)
+      .forall(_.kind == "data"), "purge left delete entries")
+    assert(graft.ops.TxLog.readVersion(spark, vtbl, vPurge).count() ==
+      v3Rows - nDel, "purge changed the visible data")
+
     // ───── q126 bloom semijoin: 1 % user dim against the 50M fact ─────
     val dimUsers = spark.range(users / 100).select(
       (col("id") * 100L).as("u")) // users ≡ 0 (mod 100): 1 % selectivity
@@ -393,6 +419,8 @@ object WarehouseScale {
       s""""pruned_files_read":${pf.size},""" +
       s""""pruned_files_total":$pTotal,""" +
       s""""pruned_read_sec":$prunedReadSec,""" +
+      s""""mor_delete_sec":$morDeleteSec,"mor_delete_keys":$nDel,""" +
+      s""""mor_read_sec":$morReadSec,"mor_purge_sec":$morPurgeSec,""" +
       s""""bloom_screened":$screened,"bloom_semi_sec":$bloomSec}""")
     spark.stop()
   }
