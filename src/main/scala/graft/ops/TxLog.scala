@@ -598,9 +598,11 @@ object TxLog {
 
   /** MERGE-ON-READ equality DELETE — the Iceberg-v2 delete-file commit
     * (round 15), the log-integrated successor of the directory-level
-    * [[Dv]] surface: the commit lands ONE small delete file (the
-    * distinct keys; its column name IS the key) and touches ZERO base
-    * files, so delete cost is O(batch) against a 100 TB table.
+    * [[Dv]] surface: the commit lands the distinct keys as delete
+    * files (one per 32M keys — a single file in the normal regime,
+    * never one writer task funneling a huge batch; the column name IS
+    * the key) and touches ZERO base files, so delete cost is O(batch)
+    * against a 100 TB table.
     * [[readVersion]] applies it by version order (kills rows written
     * BEFORE the delete only), which makes the semantics compose
     * cleanly with the rest of the taxonomy:
@@ -624,13 +626,32 @@ object TxLog {
     occCommit(table, start, Set.empty, claimTimeoutMs,
       blindAppend = true) { d =>
       val k = keys.select(col(keyCol)).distinct()
-      k.coalesce(1).write.mode("overwrite").parquet(s"$table/$d")
-      // record the key count: [[morRead]]'s broadcast-vs-shuffle gate
-      // reads it straight off the manifest (one cheap count of the
-      // just-written single file)
-      val n = spark.read.parquet(s"$table/$d").count()
-      listDataFiles(spark, s"$table/$d", s"$table/$d")
-        .map(p => FileEntry(p, n, Map.empty, kind = "dv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // size the delete file count to the batch — one file for the
+        // normal case, never a single writer task funneling a massive
+        // batch (32M 8-byte keys ≈ a 256 MB parquet file)
+        val n = k.count()
+        val maxKeysPerFile = 32L << 20
+        val nFiles = math.max(1L,
+          (n + maxKeysPerFile - 1) / maxKeysPerFile).toInt
+        k.repartition(nFiles).write.mode("overwrite")
+          .parquet(s"$table/$d")
+        // record EXACT per-file key counts: [[morRead]]'s
+        // broadcast-vs-shuffle gate sums them off the manifest
+        val root = new org.apache.hadoop.fs.Path(s"$table/$d")
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val baseUri = fs.makeQualified(root).toUri
+        val counts = spark.read.parquet(s"$table/$d")
+          .groupBy(input_file_name().as("__f"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r =>
+            baseUri.relativize(java.net.URI.create(r.getString(0)))
+              .getPath -> r.getAs[Long]("__n")).toMap
+        listDataFiles(spark, s"$table/$d", s"$table/$d")
+          .map(p => FileEntry(p, counts.getOrElse(p, 0L), Map.empty,
+            kind = "dv"))
+      } finally { k.unpersist(); () }
     }
   }
 
