@@ -14,9 +14,17 @@ object QProbe {
     // partitions is the knob a real cluster turns as data grows — used
     // to attribute super-linear scale-harness results to per-task size
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // dev-only A/B hook: SPARK_GRAFT_CONF="k=v;k=v" layers arbitrary
+    // session confs over the bench baseline, so a config candidate can
+    // be measured per query before touching the bench contract
+    val extra = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(';').iterator.map(_.trim).filter(_.nonEmpty)
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+    val b0 = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- names) {
       val t0 = System.nanoTime()

@@ -483,22 +483,46 @@ object Dedup {
     * applies), bounding the join at Σ min(df, maxDf)². Default 0 = exact,
     * which is what the q25 oracle mirrors.
     */
-  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", n: Int = 3,
-                        minJaccard: Double = 0.1,
-                        maxDf: Int = 0): DataFrame = {
-    // the inverted-index self-join keys on the 64-bit shingle hash, not
-    // the shingle string: narrower shuffle rows and long-vs-long join
-    // comparisons (collision odds ~2⁻⁶⁴ per pair — immaterial next to
-    // the n-gram model itself)
-    val allSh = docs.select(col("doc_id"),
+  /** The (doc_id, 64-bit shingle hash) inverted-index base table both
+    * exact-overlap operators ([[ngramJaccardPairsFrom]],
+    * [[containmentPairsFrom]]) consume — keyed on the hash, not the
+    * shingle string: narrower shuffle rows and long-vs-long join
+    * comparisons (collision odds ~2⁻⁶⁴ per pair — immaterial next to
+    * the n-gram model itself). Exposed so a session running several
+    * shingle operators over one corpus derives the table ONCE
+    * (round 15; SparkEntry memoizes it across q25/q43/q159).
+    */
+  def docShingles(docs: DataFrame, textCol: String = "text",
+                  n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
         explode(shingles(col(textCol), n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val docSh = (if (maxDf <= 0) allSh else {
+
+  private def gateMaxDf(allSh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf <= 0) allSh
+    else {
       val dfw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("sh"))
       allSh.withColumn("__df", count(lit(1)).over(dfw))
         .filter(col("__df") <= maxDf).drop("__df")
-    }).transform(graft.util.Pins.pin)
+    }
+
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", n: Int = 3,
+                        minJaccard: Double = 0.1,
+                        maxDf: Int = 0): DataFrame =
+    ngramJaccardPairsFrom(
+      gateMaxDf(docShingles(docs, textCol, n), maxDf)
+        .transform(graft.util.Pins.pin),
+      minJaccard)
+
+  /** [[ngramJaccardPairs]] over a prebuilt [[docShingles]] table (maxDf
+    * already applied if wanted). `docSh` feeds two consumers (sizes and
+    * the self-join's both sides) — the caller persists it (the plain
+    * wrapper pins; a shared multi-operator table is memoized by the
+    * session owner instead).
+    */
+  def ngramJaccardPairsFrom(docSh: DataFrame,
+                            minJaccard: Double): DataFrame = {
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
     val co = docSh.alias("x")
@@ -532,16 +556,17 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, textCol: String = "text",
                        n: Int = 3, minContainment: Double = 0.8,
-                       maxDf: Int = 0): DataFrame = {
-    val allSh = docs.select(col("doc_id"),
-        explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-    val docSh = (if (maxDf <= 0) allSh else {
-      val dfw = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("sh"))
-      allSh.withColumn("__df", count(lit(1)).over(dfw))
-        .filter(col("__df") <= maxDf).drop("__df")
-    }).transform(graft.util.Pins.pin)
+                       maxDf: Int = 0): DataFrame =
+    containmentPairsFrom(
+      gateMaxDf(docShingles(docs, textCol, n), maxDf)
+        .transform(graft.util.Pins.pin),
+      minContainment)
+
+  /** [[containmentPairs]] over a prebuilt [[docShingles]] table — same
+    * sharing contract as [[ngramJaccardPairsFrom]].
+    */
+  def containmentPairsFrom(docSh: DataFrame,
+                           minContainment: Double): DataFrame = {
     val sizes = docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
     val co = docSh.alias("x")

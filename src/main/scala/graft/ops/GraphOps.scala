@@ -173,19 +173,45 @@ object GraphOps {
     * the whole table through ONE task (Spark itself warns "No Partition
     * Defined for Window operation"). Here the table is range-partitioned
     * and sorted on `order` (a real distributed sort), then indexed by the
-    * two-pass `zipWithIndex` idiom: one cheap job counts rows per sorted
-    * partition, the map side adds the partition's offset. Wherever the
-    * range boundaries land, the global index equals the rank — provided
-    * `order` is a TOTAL order (include a unique tiebreak column), which is
-    * also what makes the rank well-defined in the first place.
+    * two-pass idiom: one cheap job counts rows per sorted partition, the
+    * second adds the partition's cumulative offset to the row's
+    * partition-local index. Wherever the range boundaries land, the
+    * global index equals the rank — provided `order` is a TOTAL order
+    * (include a unique tiebreak column), which is also what makes the
+    * rank well-defined in the first place.
+    *
+    * Round 15: the index rides `monotonically_increasing_id()` — whose
+    * documented layout IS (partitionId << 33) | partition-local row
+    * index — instead of `rdd.zipWithIndex`, which dropped the whole
+    * table out of Tungsten into external Row objects and back (two full
+    * serialization passes, no codegen downstream; guide §4). The sorted
+    * table is pinned so the per-partition count job and the consumer
+    * see one materialization; offsets come back as one tiny driver map
+    * and rejoin as a literal-map lookup, whole-stage-codegen friendly.
     */
   def withPosition(df: DataFrame, posCol: String,
                    order: Column*): DataFrame = {
-    val sorted = df.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
-    val schema = sorted.schema.add(posCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val localMask = (1L << 33) - 1
+    val sorted = graft.util.Pins.pin(
+      df.repartitionByRange(order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__mid", monotonically_increasing_id()))
+    val counts = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = acc; acc += n; pid -> o
+    }.toMap // pid -> global rank of its first row
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.toSeq.sortBy(_._1)
+          .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        shiftright(col("__mid"), 33))
+    sorted.withColumn(posCol,
+      offExpr + (col("__mid") bitwiseAND lit(localMask)))
+      .drop("__mid")
   }
 }

@@ -135,11 +135,12 @@ object Layout {
     */
   def bucketStats(df: DataFrame, a: String, b: String, nFiles: Int,
       order: Column*): DataFrame = {
-    // pin the ranked table and take n from its own max position — the
-    // first draft re-scanned `df` with a separate count aggregate, a
-    // second full pass of the source per layout (q112 runs two layouts)
-    val ranked = graft.util.Pins.pin(
-      GraphOps.withPosition(df, "__pos", order: _*))
+    // withPosition pins its sorted table internally (its count pass and
+    // this consumer share one materialization), so no second pin here;
+    // n comes from the ranked table's own max position — the first
+    // draft re-scanned `df` with a separate count aggregate, a second
+    // full pass of the source per layout (q112 runs two layouts)
+    val ranked = GraphOps.withPosition(df, "__pos", order: _*)
     val n = broadcast(ranked.groupBy()
       .agg((max(col("__pos")) + 1L).as("__n")))
     ranked.crossJoin(n)
@@ -171,8 +172,8 @@ object Layout {
     */
   def bucketStatsK(df: DataFrame, cols: Seq[String], nFiles: Int,
       order: Column*): DataFrame = {
-    val ranked = graft.util.Pins.pin(
-      GraphOps.withPosition(df, "__pos", order: _*))
+    // no second pin: see bucketStats
+    val ranked = GraphOps.withPosition(df, "__pos", order: _*)
     val n = broadcast(ranked.groupBy()
       .agg((max(col("__pos")) + 1L).as("__n")))
     ranked.crossJoin(n)

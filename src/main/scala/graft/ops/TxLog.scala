@@ -283,21 +283,34 @@ object TxLog {
       else keyed.sortWithinPartitions(col(PartDir) +: sortCols: _*)
     clustered.write.mode("overwrite").partitionBy(PartDir)
       .parquet(s"$table/$dirName")
-    val rel = listDataFiles(spark, s"$table/$dirName", s"$table/$dirName")
-    if (statsCols.isEmpty) rel.map(FileEntry(_, -1L, Map.empty))
-    else {
-      val root = new org.apache.hadoop.fs.Path(s"$table/$dirName")
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val baseUri = fs.makeQualified(root).toUri
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c")))
-      val collected = spark.read.parquet(s"$table/$dirName")
-        .groupBy(input_file_name().as("__f"))
-        .agg(count(lit(1)).as("__rows"), aggs: _*)
-        .collect().map { r =>
-          val p = baseUri.relativize(java.net.URI.create(r.getString(0)))
-            .getPath
+    statEntries(spark, s"$table/$dirName", statsCols)
+  }
+
+  /** Manifest entries for every data file under `dir` (paths relative to
+    * `dir`). Stats come from the parquet FOOTERS the write just produced
+    * — O(files) driver-side metadata reads, the Iceberg manifest-building
+    * approach — instead of a second distributed scan over the committed
+    * bytes (guide §1.2). A file whose footer can't answer for some
+    * requested column (encoded logical type, missing statistics) falls
+    * back to one distributed pass over just that file's data, so the
+    * recorded ranges are always exactly what the scan-based pass
+    * produced (TxLogSpec pins footer ≡ scan on the events shape).
+    */
+  private def statEntries(spark: SparkSession, dir: String,
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val rel = listDataFiles(spark, dir, dir)
+    if (statsCols.isEmpty) return rel.map(FileEntry(_, -1L, Map.empty))
+    val conf = spark.sessionState.newHadoopConf()
+    rel.map { p =>
+      val file = new org.apache.hadoop.fs.Path(s"$dir/$p")
+      graft.util.Footers.fileStats(conf, file, statsCols) match {
+        case Some((rows, stats)) => FileEntry(p, rows, stats)
+        case None =>
+          val df = spark.read.parquet(s"$dir/$p")
+          val aggs = statsCols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"__mn_$c"),
+            max(col(c).cast("double")).as(s"__mx_$c")))
+          val r = df.agg(count(lit(1)).as("__rows"), aggs: _*).collect()(0)
           val stats = statsCols.flatMap { c =>
             val mn = r.getAs[Any](s"__mn_$c")
             val mx = r.getAs[Any](s"__mx_$c")
@@ -305,11 +318,7 @@ object TxLog {
             if (mn == null || mx == null) None
             else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
           }.toMap
-          p -> (r.getAs[Long]("__rows"), stats)
-        }.toMap
-      rel.map { p =>
-        val (rows, stats) = collected.getOrElse(p, (-1L, Map.empty[String, (Double, Double)]))
-        FileEntry(p, rows, stats)
+          FileEntry(p, r.getAs[Long]("__rows"), stats)
       }
     }
   }
@@ -351,6 +360,40 @@ object TxLog {
       partCol: String, statsCols: Seq[String] = Nil): Int = {
     writeManifest(table, 0,
       writeStageFiles(spark, table, "v0", df, partCol, statsCols)
+        .map(e => e.copy(path = s"v0/${e.path}")))
+    0
+  }
+
+  /** Write `df` to `stageDir` in exactly the physical layout
+    * [[commitInitial]] lands (the `__part`-partitioned file set, no
+    * manifest, no log) — the staging half of the clone-initial pattern:
+    * a caller creating MANY tables from the SAME initial snapshot (CI
+    * fixtures, a branch/fork workflow, the bench's ten warehouse
+    * operators over one events table) pays the distributed write once
+    * and clones it per table with [[commitInitialFrom]].
+    */
+  def stageInitial(spark: SparkSession, stageDir: String, df: DataFrame,
+      partCol: String): Unit = {
+    df.withColumn(PartDir, col(partCol).cast("string"))
+      .repartition(col(PartDir))
+      .write.mode("overwrite").partitionBy(PartDir).parquet(stageDir)
+  }
+
+  /** [[commitInitial]] from a directory previously written by
+    * [[stageInitial]]: hardlink-clone the staged files into `$table/v0`
+    * (no data bytes move; every later commit writes NEW files, so the
+    * clone can never alias a mutation) and land the v0 manifest. Stats
+    * come from the cloned files' footers ([[statEntries]]) — identical
+    * values to a fresh [[commitInitial]] with the same `statsCols`
+    * (TxLogSpec pins the equivalence).
+    */
+  def commitInitialFrom(spark: SparkSession, table: String,
+      stagedDir: String, statsCols: Seq[String] = Nil): Int = {
+    val dest = s"$table/v0"
+    graft.util.FsTrees.deleteTree(dest)
+    graft.util.FsTrees.linkTree(stagedDir, dest)
+    writeManifest(table, 0,
+      statEntries(spark, dest, statsCols)
         .map(e => e.copy(path = s"v0/${e.path}")))
     0
   }
@@ -638,18 +681,14 @@ object TxLog {
         k.repartition(nFiles).write.mode("overwrite")
           .parquet(s"$table/$d")
         // record EXACT per-file key counts: [[morRead]]'s
-        // broadcast-vs-shuffle gate sums them off the manifest
-        val root = new org.apache.hadoop.fs.Path(s"$table/$d")
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        val baseUri = fs.makeQualified(root).toUri
-        val counts = spark.read.parquet(s"$table/$d")
-          .groupBy(input_file_name().as("__f"))
-          .agg(count(lit(1)).as("__n"))
-          .collect().map(r =>
-            baseUri.relativize(java.net.URI.create(r.getString(0)))
-              .getPath -> r.getAs[Long]("__n")).toMap
+        // broadcast-vs-shuffle gate sums them off the manifest. Counts
+        // come from the written files' footers (structural metadata, one
+        // driver-side read per file) — no re-scan of the keys just
+        // written (guide §1.2).
+        val conf = spark.sessionState.newHadoopConf()
         listDataFiles(spark, s"$table/$d", s"$table/$d")
-          .map(p => FileEntry(p, counts.getOrElse(p, 0L), Map.empty,
+          .map(p => FileEntry(p, graft.util.Footers.rowCount(conf,
+            new org.apache.hadoop.fs.Path(s"$table/$d/$p")), Map.empty,
             kind = "dv"))
       } finally { k.unpersist(); () }
     }

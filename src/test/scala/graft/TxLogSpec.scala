@@ -703,4 +703,64 @@ class TxLogSpec extends SparkSpec {
       "id", "part") == 1)
     assert(graft.ops.TxLog.currentVersion(tbl) == 1)
   }
+
+  test("commitInitialFrom clones a staged snapshot into an identical " +
+      "v0; footer-sourced stats ≡ a distributed scan (nulls, all-null, " +
+      "and encoded-logical-type fallback included)") {
+    val root = Files.createTempDirectory("graft-txlog")
+    // maybe: some nulls (footer min/max over non-nulls); dead: all-null
+    // (no range — un-prunable, same as the scan-based behavior)
+    val df = (1 to 40).map { i =>
+      (i.toLong, (i - 1) / 10 + 1, i * 1.5,
+        if (i % 3 == 0) None else Some(i * 2.0),
+        None: Option[Double])
+    }.toDF("id", "part", "v", "maybe", "dead")
+    val stats = Seq("id", "v", "maybe", "dead")
+    val tblA = root.resolve("a").toString
+    val tblB = root.resolve("b").toString
+    val staged = root.resolve("staged").toString
+    assert(graft.ops.TxLog.commitInitial(spark, tblA, df, "part",
+      statsCols = stats) == 0)
+    graft.ops.TxLog.stageInitial(spark, staged, df, "part")
+    assert(graft.ops.TxLog.commitInitialFrom(spark, tblB, staged,
+      statsCols = stats) == 0)
+    def byPart(tbl: String) = graft.ops.TxLog.entriesOf(tbl, 0)
+      .groupBy(_.path.split('/').find(_.startsWith("__part=")).get)
+      .view.mapValues(es =>
+        (es.map(_.rows).sum, es.flatMap(_.stats).toMap)).toMap
+    val a = byPart(tblA)
+    val b = byPart(tblB)
+    assert(a == b, s"clone manifest stats diverge: $a vs $b")
+    // both must equal a fresh distributed computation per partition
+    (1 to 4).foreach { p =>
+      val rows = df.filter(col("part") === p)
+      val r = rows.agg(count(lit(1)),
+        min(col("id").cast("double")), max(col("id").cast("double")),
+        min(col("v")), max(col("v")),
+        min(col("maybe")), max(col("maybe"))).collect()(0)
+      val (n, st) = a(s"__part=$p")
+      assert(n == r.getLong(0))
+      assert(st("id") == (r.getDouble(1), r.getDouble(2)))
+      assert(st("v") == (r.getDouble(3), r.getDouble(4)))
+      assert(st("maybe") == (r.getDouble(5), r.getDouble(6)))
+      assert(!st.contains("dead"), "all-null column must have no range")
+    }
+    // clone reads identically
+    assert(graft.ops.TxLog.readVersion(spark, tblB, 0)
+      .select(col("id"), col("v")).as[(Long, Double)].collect().toSet ==
+      df.select(col("id"), col("v")).as[(Long, Double)].collect().toSet)
+    // an encoded logical type (timestamp) cannot be trusted from the
+    // footer — the per-file scan fallback must produce the cast values
+    val tdf = Seq((1L, 1, java.sql.Timestamp.valueOf("2020-01-02 00:00:00")),
+      (2L, 1, java.sql.Timestamp.valueOf("2020-01-05 00:00:00")))
+      .toDF("id", "part", "ts")
+    val tblT = root.resolve("t").toString
+    assert(graft.ops.TxLog.commitInitial(spark, tblT, tdf, "part",
+      statsCols = Seq("id", "ts")) == 0)
+    val tr = tdf.agg(min(col("ts").cast("double")),
+      max(col("ts").cast("double"))).collect()(0)
+    val tst = graft.ops.TxLog.entriesOf(tblT, 0).head.stats
+    assert(tst("ts") == (tr.getDouble(0), tr.getDouble(1)),
+      s"timestamp stats must come from the scan fallback, got $tst")
+  }
 }
