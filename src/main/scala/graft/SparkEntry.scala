@@ -304,6 +304,16 @@ object SparkEntry {
       })
     }
 
+  /** Deduplicated binary edge set — the q03 result, and the base FIVE
+    * other graph operators start from (2-hop mids, triangles, pagerank,
+    * degree permutation). Derived once per session (round 15 — each was
+    * re-paying the same edges scan + distinct shuffle).
+    */
+  private def sharedBinaryEdges(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"binedges:$dir") {
+      GraphOps.binaryEdges(edges(s, dir))
+    }
+
   /** Thresholded 2-hop path table (i, j, mid | pair count ≥ 3), shared by
     * q08 (pair counts are a groupBy of it) + q09. One shuffle of the path
     * table keyed (i, j) — the agg+self-join formulation computes the join
@@ -311,7 +321,7 @@ object SparkEntry {
     */
   private def sharedTwoHopMids(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"twohop:$dir") {
-      val b = GraphOps.binaryEdges(edges(s, dir))
+      val b = sharedBinaryEdges(s, dir)
       val p = b.select(col("src").as("i"), col("dst").as("m"))
         .join(b.select(col("src").as("m"), col("dst").as("j")), "m")
         .select(col("i"), col("j"), col("m").as("mid"))
@@ -319,6 +329,24 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("i"), col("j"))))
         .filter(col("cnt") >= 3)
         .select(col("i"), col("j"), col("mid"))
+    }
+
+  /** Unigram-LM cross-entropy scores over `documents` — the q73 result
+    * AND q77's ranking input; scored once per session (round 15).
+    */
+  private def sharedUnigramXent(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"unixent:$dir") {
+      TextOps.unigramCrossEntropy(Tables.table(s, dir, "documents"))
+    }
+
+  /** Brute-force cosine top-10 for the standard 5-query probe set — the
+    * q27 result AND q87's exact-truth side; computed once per session
+    * (round 15).
+    */
+  private def sharedBruteTopK(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"brute10:$dir") {
+      val emb = Tables.table(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
     }
 
   /** 3-gram shingle-hash table over `documents` — the inverted-index
@@ -437,7 +465,7 @@ object SparkEntry {
     // ───── scans / projection / edge model (S1-S7, P1-P5) ─────
     "q01_edges_scan" -> ((s, dir) => edges(s, dir)),
     "q02_nodes" -> ((s, dir) => GraphOps.nodes(edges(s, dir))),
-    "q03_binary_edges" -> ((s, dir) => GraphOps.binaryEdges(edges(s, dir))),
+    "q03_binary_edges" -> ((s, dir) => sharedBinaryEdges(s, dir)),
 
     // ───── the 12-feature aggregation (A1-A8, O1) ─────
     "q04_features" -> ((s, dir) =>
@@ -759,7 +787,7 @@ object SparkEntry {
     // orientation bounds hub fan-out at O(√m) where the naive wedge
     // join is quadratic on hubs)
     "q109_triangle_counts" -> ((s, dir) =>
-      GraphOps.triangleCounts(GraphOps.binaryEdges(edges(s, dir)))),
+      GraphOps.triangleCounts(sharedBinaryEdges(s, dir))),
 
     // deequ-style table-stats profile: per-column row/null/distinct
     // counts and numeric min/max for six lineitem columns from ONE
@@ -910,7 +938,7 @@ object SparkEntry {
     // graph (vertex-program iteration over a once-partitioned adjacency —
     // the right engine shape for many-round graph analytics)
     "q47_pagerank" -> ((s, dir) =>
-      graft.ops.GraphXOps.pageRank(GraphOps.binaryEdges(edges(s, dir)))
+      graft.ops.GraphXOps.pageRank(sharedBinaryEdges(s, dir))
         .select(col("account"), round(col("rank"), 6).as("rank"))),
 
     // incremental-ingest dedup: which docs of an incoming batch already
@@ -1022,8 +1050,7 @@ object SparkEntry {
 
     // unigram LM cross-entropy quality score (CCNet-style LM filter,
     // SQL-expressible core — see TextOps.unigramCrossEntropy)
-    "q73_unigram_xent" -> ((s, dir) =>
-      TextOps.unigramCrossEntropy(Tables.table(s, dir, "documents"))),
+    "q73_unigram_xent" -> ((s, dir) => sharedUnigramXent(s, dir)),
 
     // Gopher-rules composite filter: every continuous signal rounded
     // before thresholding so the flags are oracle-exact
@@ -1057,7 +1084,7 @@ object SparkEntry {
     // CCNet head/middle/tail perplexity buckets over the q73 LM score;
     // distributed rank, deterministic tie-break, integer-exact edges
     "q77_ppl_buckets" -> ((s, dir) =>
-      TextOps.perplexityBuckets(Tables.table(s, dir, "documents"))),
+      TextOps.perplexityBucketsFrom(sharedUnigramXent(s, dir))),
 
     // DSIR importance weights: log-ratio of a target-domain unigram LM
     // (here the src0/src1 slice standing in for the exemplar set)
@@ -1232,7 +1259,7 @@ object SparkEntry {
       val model = ivfTrained(s, s"ivfpq:$dir")(
         SimSearch.ivfPqModel(emb, dim = 64))
       stashIvfSql(dir, "q87_ann_recall", q87OracleSql(centers, model))
-      val truth = SimSearch.bruteForceTopK(emb, queries, 10)
+      val truth = sharedBruteTopK(s, dir)
         .select(col("query_id"), col("nbr_id"))
       def recallOf(name: String, approx: DataFrame): DataFrame =
         truth.join(
@@ -1266,8 +1293,7 @@ object SparkEntry {
 
     // ───── similarity search (extension surface) ─────
     "q27_simsearch_topk" -> ((s, dir) => {
-      val emb = Tables.table(s, dir, "embeddings")
-      SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      sharedBruteTopK(s, dir)
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
@@ -1335,7 +1361,7 @@ object SparkEntry {
     // (out-degree desc, id asc) — the same permuteEdges the MDL reorder
     // presents its result through, here with an oracle-computable ordering
     "q52_permute_degree" -> ((s, dir) => {
-      val b = GraphOps.binaryEdges(edges(s, dir))
+      val b = sharedBinaryEdges(s, dir)
       val outd = b.groupBy(col("src").as("id")).agg(count(lit(1)).as("outd"))
       // distributed rank over the full node universe (see
       // GraphOps.withPosition) — and no broadcast hint on a node-scale

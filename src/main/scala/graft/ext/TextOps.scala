@@ -149,8 +149,15 @@ object TextOps {
     * Output: (doc_id, xent, bucket, ppl_bucket).
     */
   def perplexityBuckets(docs: DataFrame, textCol: String = "text",
-                        nBuckets: Int = 3): DataFrame = {
-    val scored = unigramCrossEntropy(docs, textCol)
+                        nBuckets: Int = 3): DataFrame =
+    perplexityBucketsFrom(unigramCrossEntropy(docs, textCol), nBuckets)
+
+  /** [[perplexityBuckets]] over an already-computed
+    * [[unigramCrossEntropy]] table — lets a session that also serves the
+    * raw scores (q73) pay the LM scoring once (round 15).
+    */
+  def perplexityBucketsFrom(scored: DataFrame,
+                            nBuckets: Int = 3): DataFrame = {
     val ranked = graft.ops.GraphOps.withPosition(
       scored.select(col("doc_id"), col("xent")), "pos",
       col("xent").asc, col("doc_id").asc)
