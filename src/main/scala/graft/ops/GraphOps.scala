@@ -185,17 +185,24 @@ object GraphOps {
     * index — instead of `rdd.zipWithIndex`, which dropped the whole
     * table out of Tungsten into external Row objects and back (two full
     * serialization passes, no codegen downstream; guide §4). The sorted
-    * table is pinned so the per-partition count job and the consumer
-    * see one materialization; offsets come back as one tiny driver map
-    * and rejoin as a literal-map lookup, whole-stage-codegen friendly.
+    * table is localCheckpoint-ed: the count pass and the consumer share
+    * one InternalRow materialization, AND the result stays a LEAF plan
+    * (LogicalRDD) exactly like the zipWithIndex original — keeping the
+    * full lineage here turned chained rank-over-rank pipelines into
+    * exponentially-printed plan trees (diamond reuse is printed as a
+    * tree, not a DAG), and every action pays the plan-description
+    * string for its listener event: the curate CLI sat minutes inside
+    * TreeNode.generateTreeString on the driver. Offsets come back as
+    * one tiny driver map and rejoin as a literal-map lookup,
+    * whole-stage-codegen friendly.
     */
   def withPosition(df: DataFrame, posCol: String,
                    order: Column*): DataFrame = {
     val localMask = (1L << 33) - 1
-    val sorted = graft.util.Pins.pin(
-      df.repartitionByRange(order: _*)
-        .sortWithinPartitions(order: _*)
-        .withColumn("__mid", monotonically_increasing_id()))
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
     val counts = sorted
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__n"))

@@ -135,8 +135,8 @@ object Layout {
     */
   def bucketStats(df: DataFrame, a: String, b: String, nFiles: Int,
       order: Column*): DataFrame = {
-    // withPosition pins its sorted table internally (its count pass and
-    // this consumer share one materialization), so no second pin here;
+    // withPosition materializes its sorted table internally (its count
+    // pass and this consumer share one localCheckpoint), so no pin here;
     // n comes from the ranked table's own max position — the first
     // draft re-scanned `df` with a separate count aggregate, a second
     // full pass of the source per layout (q112 runs two layouts)
@@ -172,7 +172,7 @@ object Layout {
     */
   def bucketStatsK(df: DataFrame, cols: Seq[String], nFiles: Int,
       order: Column*): DataFrame = {
-    // no second pin: see bucketStats
+    // no pin: see bucketStats — withPosition materializes internally
     val ranked = GraphOps.withPosition(df, "__pos", order: _*)
     val n = broadcast(ranked.groupBy()
       .agg((max(col("__pos")) + 1L).as("__n")))
