@@ -4457,8 +4457,14 @@ object SparkEntry {
       val m = Sketches.M
       val r = Sketches.MaxRank
       val key = "'hll|' || CAST(user_id AS VARCHAR)"
-      val raw = s"${Sketches.HllScale} / CAST(denom_scaled AS DOUBLE)"
-      val lc = s"([${Sketches.HllLcTable.mkString(", ")}])" +
+      // CAST('…' AS DOUBLE): a bare decimal literal parses as DECIMAL
+      // and DuckDB's DECIMAL→DOUBLE cast is not correctly rounded (the
+      // r14 ANN-mirror finding; an LC-table element landed a ULP off at
+      // sf0.001) — the string→double parse is correctly rounded
+      val raw =
+        s"CAST('${Sketches.HllScale}' AS DOUBLE) / CAST(denom_scaled AS DOUBLE)"
+      val lc = s"([${Sketches.HllLcTable
+          .map(d => s"CAST('$d' AS DOUBLE)").mkString(", ")}])" +
         s"[$m - nonzero_registers]"
       s"""WITH h AS (
          |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -4487,7 +4493,7 @@ object SparkEntry {
          |est AS (
          |  SELECT event_type, nonzero_registers, denom_scaled,
          |    CASE WHEN nonzero_registers < $m
-         |           AND $raw <= ${Sketches.HllLcGate}
+         |           AND $raw <= CAST('${Sketches.HllLcGate}' AS DOUBLE)
          |         THEN $lc ELSE $raw END AS hll_estimate
          |  FROM pg),
          |nd AS (

@@ -223,17 +223,23 @@ object Sketches {
        |est AS (
        |  -- the raw harmonic estimate, then the same literal-table
        |  -- linear-counting branch the Spark operator applies in the
-       |  -- small regime (V empty registers > 0 and raw ≤ 2.5m)
+       |  -- small regime (V empty registers > 0 and raw ≤ 2.5m).
+       |  -- Double constants arrive as CAST('…' AS DOUBLE): DuckDB
+       |  -- parses a bare decimal literal as DECIMAL first and the
+       |  -- DECIMAL→DOUBLE cast is not correctly rounded (the r14 ANN-
+       |  -- mirror finding) — one LC-table element came back a ULP off
+       |  -- at sf0.001; the string→double parse IS correctly rounded.
        |  SELECT g0, nonzero_registers,
        |    present_sum + ($M - nonzero_registers) *
        |      CAST(${1L << MaxRank} AS BIGINT) AS denom_scaled,
        |    CASE WHEN nonzero_registers < $M
-       |           AND $HllScale / CAST(present_sum +
+       |           AND CAST('$HllScale' AS DOUBLE) / CAST(present_sum +
        |             ($M - nonzero_registers) *
        |             CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE)
-       |             <= $HllLcGate
-       |         THEN ([${HllLcTable.mkString(", ")}])[$M - nonzero_registers]
-       |         ELSE $HllScale / CAST(present_sum +
+       |             <= CAST('$HllLcGate' AS DOUBLE)
+       |         THEN ([${HllLcTable.map(d => s"CAST('$d' AS DOUBLE)")
+                          .mkString(", ")}])[$M - nonzero_registers]
+       |         ELSE CAST('$HllScale' AS DOUBLE) / CAST(present_sum +
        |           ($M - nonzero_registers) *
        |           CAST(${1L << MaxRank} AS BIGINT) AS DOUBLE) END
        |      AS hll_estimate
@@ -246,7 +252,8 @@ object Sketches {
        |  (p.hll_estimate - CAST(e.exact_distinct AS DOUBLE))
        |    / CAST(e.exact_distinct AS DOUBLE) AS rel_err,
        |  abs((p.hll_estimate - CAST(e.exact_distinct AS DOUBLE))
-       |    / CAST(e.exact_distinct AS DOUBLE)) <= $HllBound AS within_bound
+       |    / CAST(e.exact_distinct AS DOUBLE))
+       |    <= CAST('$HllBound' AS DOUBLE) AS within_bound
        |FROM est p JOIN exact e USING (g0)""".stripMargin
   }
 
