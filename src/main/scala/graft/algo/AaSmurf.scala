@@ -199,15 +199,18 @@ object AaSmurf {
     val bin = graft.ops.GraphOps.binaryEdges(edgesDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = graft.ops.GraphOps.nodes(bin)
-    val n = nodes.count()
-    require(n > (numBlocks.toLong * blockSize) + 1,
-      s"mdlBlockCosts: n=$n too small for $numBlocks blocks of $blockSize")
     // distributed rank, not row_number over a global window (which would
     // funnel every node through one task); persisted because it is joined
     // on both endpoints below. No broadcast hint: the position table is
     // the FULL node universe — AQE auto-broadcasts it iff it's small.
-    val pos = graft.ops.GraphOps
-      .withPosition(nodes, "pos", col("id").asc)
+    // n rides out of the rank's own offsets pass — the previous draft
+    // paid a separate nodes.count(), a third full evaluation of the
+    // node-universe distinct.
+    val (pos0, n) = graft.ops.GraphOps
+      .withPositionCounted(nodes, "pos", col("id").asc)
+    require(n > (numBlocks.toLong * blockSize) + 1,
+      s"mdlBlockCosts: n=$n too small for $numBlocks blocks of $blockSize")
+    val pos = pos0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pe = bin
       .join(pos.select(col("id").as("src"), col("pos").as("pi")), "src")

@@ -158,13 +158,14 @@ object TextOps {
     */
   def perplexityBucketsFrom(scored: DataFrame,
                             nBuckets: Int = 3): DataFrame = {
-    val ranked = graft.ops.GraphOps.withPosition(
+    // n is the rank's own offsets total — the previous draft re-counted
+    // `scored` and broadcast-cross-joined the count row (one extra job)
+    val (ranked, n) = graft.ops.GraphOps.withPositionCounted(
       scored.select(col("doc_id"), col("xent")), "pos",
       col("xent").asc, col("doc_id").asc)
-    val n = scored.agg(count(lit(1)).as("n"))
-    ranked.crossJoin(broadcast(n))
+    ranked
       .select(col("doc_id"), col("xent"),
-        (floor(col("pos").cast("double") * nBuckets / col("n")) + 1L)
+        (floor(col("pos").cast("double") * nBuckets / lit(n)) + 1L)
           .cast("long").as("bucket"))
       .withColumn("ppl_bucket",
         when(col("bucket") === 1, "head")

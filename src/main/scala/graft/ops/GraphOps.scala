@@ -197,7 +197,18 @@ object GraphOps {
     * whole-stage-codegen friendly.
     */
   def withPosition(df: DataFrame, posCol: String,
-                   order: Column*): DataFrame = {
+                   order: Column*): DataFrame =
+    withPositionCounted(df, posCol, order: _*)._1
+
+  /** [[withPosition]] plus the table's EXACT row count, which the
+    * offsets pass computes anyway — a consumer that needs n (e.g. the
+    * bucket split `⌊pos·nFiles/n⌋`) takes it from here instead of
+    * re-aggregating max(pos)+1 over the ranked table (one fewer job and
+    * no broadcast-join of the count row; identical value: positions are
+    * dense 0..n−1).
+    */
+  def withPositionCounted(df: DataFrame, posCol: String,
+                          order: Column*): (DataFrame, Long) = {
     val localMask = (1L << 33) - 1
     val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
@@ -217,8 +228,8 @@ object GraphOps {
         map(offsets.toSeq.sortBy(_._1)
           .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         shiftright(col("__mid"), 33))
-    sorted.withColumn(posCol,
+    (sorted.withColumn(posCol,
       offExpr + (col("__mid") bitwiseAND lit(localMask)))
-      .drop("__mid")
+      .drop("__mid"), acc)
   }
 }

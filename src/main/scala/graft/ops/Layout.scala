@@ -137,15 +137,15 @@ object Layout {
       order: Column*): DataFrame = {
     // withPosition materializes its sorted table internally (its count
     // pass and this consumer share one localCheckpoint), so no pin here;
-    // n comes from the ranked table's own max position — the first
-    // draft re-scanned `df` with a separate count aggregate, a second
-    // full pass of the source per layout (q112 runs two layouts)
-    val ranked = GraphOps.withPosition(df, "__pos", order: _*)
-    val n = broadcast(ranked.groupBy()
-      .agg((max(col("__pos")) + 1L).as("__n")))
-    ranked.crossJoin(n)
+    // n is the rank's own offsets total — the first draft re-scanned
+    // `df` with a separate count aggregate, and the second re-aggregated
+    // max(__pos)+1 over the ranked table plus a broadcast cross join of
+    // the count row: one extra job per layout, for a number the offsets
+    // pass had already computed
+    val (ranked, n) = GraphOps.withPositionCounted(df, "__pos", order: _*)
+    ranked
       .withColumn("bucket",
-        expr(s"CAST((__pos * $nFiles) div __n AS BIGINT)"))
+        expr(s"CAST((__pos * $nFiles) div ${math.max(n, 1L)} AS BIGINT)"))
       .groupBy(col("bucket"))
       .agg(min(col(a)).as("min_a"), max(col(a)).as("max_a"),
         min(col(b)).as("min_b"), max(col(b)).as("max_b"),
@@ -172,13 +172,12 @@ object Layout {
     */
   def bucketStatsK(df: DataFrame, cols: Seq[String], nFiles: Int,
       order: Column*): DataFrame = {
-    // no pin: see bucketStats — withPosition materializes internally
-    val ranked = GraphOps.withPosition(df, "__pos", order: _*)
-    val n = broadcast(ranked.groupBy()
-      .agg((max(col("__pos")) + 1L).as("__n")))
-    ranked.crossJoin(n)
+    // no pin: see bucketStats — withPosition materializes internally,
+    // and n is the rank's own offsets total (no re-aggregation)
+    val (ranked, n) = GraphOps.withPositionCounted(df, "__pos", order: _*)
+    ranked
       .withColumn("bucket",
-        expr(s"CAST((__pos * $nFiles) div __n AS BIGINT)"))
+        expr(s"CAST((__pos * $nFiles) div ${math.max(n, 1L)} AS BIGINT)"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
