@@ -360,7 +360,10 @@ object AaAr {
     val topWid = changes
       .orderBy(col("change_score").desc, col("wid").asc)
       .select(col("wid")).limit(1)
-    val f = focus.join(broadcast(topWid), "wid")
+    // pinned: `f` (the focus rows of ONE window — tiny) feeds both the
+    // pair ranking and the account ranking below; without the pin each
+    // consumer re-scans the FULL focus table to re-filter it
+    val f = graft.util.Pins.pin(focus.join(broadcast(topWid), "wid"))
     val pw = Window.partitionBy(col("wid"))
       .orderBy(col("pair_score").desc, col("pair_id").asc)
     // ONE aggregation pass computes both the pair ranking and each
