@@ -409,14 +409,29 @@ object SparkEntry {
       Dedup.docShingles(Tables.table(s, dir, "documents"), n = 3)
     }
 
+  /** The undirected shingle co-occurrence table + per-doc sizes — the
+    * inverted-index self-join BOTH the Jaccard family (q25/q43/q148)
+    * and the containment screen (q159) score from; paid once per
+    * session (q159's directed pairs are this table read in both
+    * orientations).
+    */
+  private def sharedShingleCo(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"shco3:$dir") {
+      Dedup.shingleCo(sharedDocShingles(s, dir))
+    }
+  private def sharedShingleSizes(s: SparkSession, dir: String): DataFrame =
+    memoized(s, s"shsz3:$dir") {
+      Dedup.shingleSizes(sharedDocShingles(s, dir))
+    }
+
   /** The q25 pair table (n = 3, J ≥ 0.05) — ALSO the exact edge list
     * q43's connected components run over (same params), so the whole
     * inverted-index self-join is paid once per session, not twice.
     */
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"jacc3:$dir") {
-      Dedup.ngramJaccardPairsFrom(sharedDocShingles(s, dir),
-        minJaccard = 0.05)
+      Dedup.jaccardPairsFromCo(sharedShingleCo(s, dir),
+        sharedShingleSizes(s, dir), minJaccard = 0.05)
     }
 
   /** Near-dup cluster table (doc_id, cluster_id) — the q43 result, also
@@ -774,10 +789,14 @@ object SparkEntry {
     // `rollup_exact` flag (hash-checked true) proves it per group.
     "q117_hll_rollup" -> ((s, dir) => {
       val (j, rank) = Sketches.hllRegisterCols(col("user_id"))
-      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
-        .select(col("event_type"),
-          date_format(col("ts"), "yyyy-MM-dd").as("day"),
-          j.as("j"), rank.as("rank"))
+      // pinned: the register projection (md5-derived j/rank per row)
+      // feeds BOTH the daily rollup and the direct single-level sketch —
+      // hash once, not twice
+      val ev = graft.util.Pins.pin(
+        Tables.events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            j.as("j"), rank.as("rank")))
       val daily = ev.groupBy(col("event_type"), col("day"), col("j"))
         .agg(max(col("rank")).as("mj"))
         .transform(graft.util.Pins.pin)
@@ -2013,8 +2032,8 @@ object SparkEntry {
     // Ordered pairs (the SHORT side is the redundant one); same
     // inverted-index shape as q25.
     "q159_containment" -> ((s, dir) =>
-      Dedup.containmentPairsFrom(sharedDocShingles(s, dir),
-          minContainment = 0.8)
+      Dedup.containmentPairsFromCo(sharedShingleCo(s, dir),
+          sharedShingleSizes(s, dir), minContainment = 0.8)
         .select(col("doc_id"), col("contained_in"), col("inter"),
           col("n_self"), col("n_other"),
           round(col("containment"), 6).as("containment"))),

@@ -521,15 +521,30 @@ object Dedup {
     * wrapper pins; a shared multi-operator table is memoized by the
     * session owner instead).
     */
-  def ngramJaccardPairsFrom(docSh: DataFrame,
-                            minJaccard: Double): DataFrame = {
-    val sizes = docSh.groupBy(col("doc_id"))
+  /** Per-doc shingle counts of a [[docShingles]] table. */
+  def shingleSizes(docSh: DataFrame): DataFrame =
+    docSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
-    val co = docSh.alias("x")
+
+  /** The UNDIRECTED shingle co-occurrence table (doc_a < doc_b,
+    * inter = |sh(A) ∩ sh(B)|) — the inverted-index self-join both the
+    * symmetric-Jaccard and the asymmetric-containment screens score
+    * from. Split out so a session serving both pays the self-join once
+    * (the containment direction is just this table read in both
+    * orientations).
+    */
+  def shingleCo(docSh: DataFrame): DataFrame =
+    docSh.alias("x")
       .join(docSh.alias("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+
+  /** [[ngramJaccardPairsFrom]] over prebuilt [[shingleCo]] +
+    * [[shingleSizes]] tables.
+    */
+  def jaccardPairsFromCo(co: DataFrame, sizes: DataFrame,
+                         minJaccard: Double): DataFrame =
     co.join(sizes.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -539,7 +554,10 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
         col("n_b"), col("jaccard"))
-  }
+
+  def ngramJaccardPairsFrom(docSh: DataFrame,
+                            minJaccard: Double): DataFrame =
+    jaccardPairsFromCo(shingleCo(docSh), shingleSizes(docSh), minJaccard)
 
   /** Asymmetric CONTAINMENT near-dup — the quote/excerpt catch
     * symmetric Jaccard misses: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
@@ -566,16 +584,23 @@ object Dedup {
     * sharing contract as [[ngramJaccardPairsFrom]].
     */
   def containmentPairsFrom(docSh: DataFrame,
-                           minContainment: Double): DataFrame = {
-    val sizes = docSh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh")) // shingles are distinct per doc
-    val co = docSh.alias("x")
-      .join(docSh.alias("y"), col("x.sh") === col("y.sh"))
-      .filter(col("x.doc_id") =!= col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_id"),
-        col("y.doc_id").as("contained_in"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizes.withColumnRenamed("doc_id", "__s")
+                           minContainment: Double): DataFrame =
+    containmentPairsFromCo(shingleCo(docSh), shingleSizes(docSh),
+      minContainment)
+
+  /** [[containmentPairsFrom]] over prebuilt [[shingleCo]] +
+    * [[shingleSizes]]: the directed (doc_id, contained_in) pairs are the
+    * undirected co table read in BOTH orientations — no second
+    * inverted-index self-join.
+    */
+  def containmentPairsFromCo(co: DataFrame, sizes: DataFrame,
+                             minContainment: Double): DataFrame = {
+    val directed = co
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("contained_in"),
+        col("inter"))
+      .unionByName(co.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("contained_in"), col("inter")))
+    directed.join(sizes.withColumnRenamed("doc_id", "__s")
           .withColumnRenamed("n_sh", "n_self"),
         col("doc_id") === col("__s"))
       .join(sizes.withColumnRenamed("doc_id", "__o")

@@ -261,7 +261,11 @@ object TextOps {
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("n_t"))
-    val rawF = termCounts(docs)
+    // corpus term frequency folds from the per-doc counts (identical
+    // sums) instead of re-tokenizing the corpus: both branches share
+    // docTerm's exchange (ReuseExchange), so the explode runs once
+    val rawF = docTerm.groupBy(col("term"))
+      .agg(sum(col("n_t")).as("freq"))
     val tgtF = termCounts(target)
     // union-vocab size + both totals in ONE broadcast row: |V| rides the
     // plan, never a driver-side .count()

@@ -716,7 +716,10 @@ object TxLog {
     val byKey = dels.groupBy(e =>
       spark.read.parquet(s"$table/${e.path}").schema.fields.head.name)
     val raw = dataE.groupBy(e => versionOfPath(e.path)).toSeq
-      .map { case (v, es) => spark.read.option("mergeSchema", "true")
+      // per-version groups are schema-homogeneous (morRead scaladoc) —
+      // no mergeSchema footer sweep; cross-version drift merges in the
+      // unionByName
+      .map { case (v, es) => spark.read
         .parquet(es.map(e => s"$table/${e.path}"): _*)
         .withColumn("__v", lit(v)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -893,12 +896,23 @@ object TxLog {
       dataEntries: Seq[FileEntry],
       delEntries: Seq[FileEntry]): DataFrame = {
     if (dataEntries.isEmpty) return spark.emptyDataFrame
+    // files under one v{n}/ prefix were written by ONE
+    // writeStageFiles/stageInitial call and share a schema EXACTLY, so
+    // each version group reads plain (schema from a single footer);
+    // schema evolution only happens ACROSS versions, which the
+    // unionByName(allowMissingColumns) below already merges. The
+    // previous mergeSchema=true paid a distributed footer sweep over
+    // every file on every snapshot read for a merge that could never
+    // differ within a group (guide §1.2).
     def read(es: Seq[FileEntry]) = spark.read
-      .option("mergeSchema", "true")
       .parquet(es.map(e => s"$table/${e.path}"): _*)
-    if (delEntries.isEmpty) return read(dataEntries).drop(PartDir)
-    val data = dataEntries.groupBy(e => versionOfPath(e.path)).toSeq
+    val groups = dataEntries.groupBy(e => versionOfPath(e.path)).toSeq
       .sortBy(_._1)
+    if (delEntries.isEmpty)
+      return groups.map { case (_, es) => read(es) }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .drop(PartDir)
+    val data = groups
       .map { case (v, es) => read(es).withColumn("__v", lit(v)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val small = delEntries.forall(_.rows >= 0) &&
