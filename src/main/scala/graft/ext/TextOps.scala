@@ -616,8 +616,10 @@ object TextOps {
       explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // tf holds exactly one row per distinct (doc, token), so document
+    // frequency folds from it (ReuseExchange shares tf's shuffle)
+    // instead of re-tokenizing the corpus for a distinct + second agg
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val scored = tf.join(dfreq, "tok").crossJoin(nDocs)
       .withColumn("tfidf", round(col("tf") *
