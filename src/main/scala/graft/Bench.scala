@@ -186,10 +186,45 @@ object Bench {
     if (sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+    // ---- compact per-query line (round 16, additions-only) -------------
+    // The driver's BENCH_r*.json keeps only the LAST ~2000 bytes of this
+    // output, which truncates the full-name per-query maps mid-line —
+    // PERF_r15 came back with per_query: {} for that reason. A full-name
+    // 159-entry map (~5 KB) can never fit, so emit the per-query BEST
+    // values (min of cold/warm/floor — the noise-robust stat the floors
+    // machinery already uses) under the queries' unique "qNN" name
+    // prefixes, values rounded to 2 significant digits, and degrade
+    // precision automatically if the rendered line would push the totals
+    // line out of the 2000-byte window. The full-precision maps stay in
+    // the first output line and in BENCH_LOCAL.json, unchanged.
+    val totalsLine = s"""{"metric":"totals_tail","cold":$coldTotal,"warm":$warmTotal,"best":$bestTotal,"floor":$floorTotal,"n_queries":${ok(cold).size},"n_refloored":${floors.size},"errors":$errs,"sf":"$sfDir"}"""
+    val bestPerQuery = best
+      .map { case (k, b) => k -> math.min(b, floorMap.getOrElse(k, b)) }
+    def render(precision: Int, maxDecimals: Int): String = {
+      def num(v: Double): String = {
+        val r = new java.math.BigDecimal(v)
+          .round(new java.math.MathContext(precision))
+        val capped =
+          if (r.scale > maxDecimals)
+            r.setScale(maxDecimals, java.math.RoundingMode.HALF_UP)
+          else r
+        val s = capped.stripTrailingZeros.toPlainString
+        if (s == "0" || s == "0.0") "0.001" else s // keep ratios finite
+      }
+      bestPerQuery
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + num(v) }
+        .mkString("""{"metric":"best_brief","queries":{""", ",",
+          s"""},"sf":"$sfDir"}""")
+    }
+    // ~95 bytes of slack for the runner's trailing lines (sbt [success])
+    val briefLine = Seq(render(2, 3), render(2, 2), render(1, 2))
+      .find(_.length + totalsLine.length + 95 <= 2000)
+      .getOrElse(render(1, 1))
+    println(briefLine)
     // totals-only line LAST: the full line above leads with the totals and
     // r03's artifact lost them to tail truncation — any tail capture of
     // this output keeps all the totals + the error list
-    println(s"""{"metric":"totals_tail","cold":$coldTotal,"warm":$warmTotal,"best":$bestTotal,"floor":$floorTotal,"n_queries":${ok(cold).size},"n_refloored":${floors.size},"errors":$errs,"sf":"$sfDir"}""")
+    println(totalsLine)
     spark.stop()
   }
 }

@@ -326,10 +326,12 @@ object SparkEntry {
       })
     }
 
-  /** Deduplicated binary edge set — the q03 result, and the base FIVE
-    * other graph operators start from (2-hop mids, triangles, pagerank,
-    * degree permutation). Derived once per session (round 15 — each was
-    * re-paying the same edges scan + distinct shuffle).
+  /** Deduplicated binary edge set — the base FIVE graph operators start
+    * from (2-hop mids, triangles, pagerank, degree permutation). Derived
+    * once per session (round 15 — each was re-paying the same edges
+    * scan + distinct shuffle). q03, which DECLARES this table, re-derives
+    * it per pass since round 16 so its bench timing is never a read of
+    * its own cached result.
     */
   private def sharedBinaryEdges(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"binedges:$dir") {
@@ -353,17 +355,18 @@ object SparkEntry {
         .select(col("i"), col("j"), col("mid"))
     }
 
-  /** Unigram-LM cross-entropy scores over `documents` — the q73 result
-    * AND q77's ranking input; scored once per session (round 15).
+  /** Unigram-LM cross-entropy scores over `documents` — q77's ranking
+    * input, scored once per session (round 15). q73 declares the same
+    * table and re-scores per pass (round 16; see q03's note).
     */
   private def sharedUnigramXent(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"unixent:$dir") {
       TextOps.unigramCrossEntropy(Tables.table(s, dir, "documents"))
     }
 
-  /** Brute-force cosine top-10 for the standard 5-query probe set — the
-    * q27 result AND q87's exact-truth side; computed once per session
-    * (round 15).
+  /** Brute-force cosine top-10 for the standard 5-query probe set —
+    * q87's exact-truth side, computed once per session (round 15). q27
+    * declares the same search and re-runs it per pass (round 16).
     */
   private def sharedBruteTopK(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"brute10:$dir") {
@@ -371,10 +374,11 @@ object SparkEntry {
       SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
     }
 
-  /** The three ANN searches over the same probe set — each is BOTH a
-    * declared query (q28/q40/q50) and one of q87's recall arms, with
-    * identical parameters and the same memoized trained
-    * centers/codebooks; searched once per session (round 15).
+  /** The three ANN searches over the same probe set — q87's recall
+    * arms, with the same parameters and memoized trained
+    * centers/codebooks as the declared queries q28/q40/q50; searched
+    * once per session for q87 (round 15). The declared queries re-run
+    * their searches per pass (round 16; see q03's note).
     */
   private def sharedLshTopK(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"lsh10:$dir") {
@@ -424,9 +428,10 @@ object SparkEntry {
       Dedup.shingleSizes(sharedDocShingles(s, dir))
     }
 
-  /** The q25 pair table (n = 3, J ≥ 0.05) — ALSO the exact edge list
-    * q43's connected components run over (same params), so the whole
-    * inverted-index self-join is paid once per session, not twice.
+  /** The Jaccard pair table (n = 3, J ≥ 0.05) — the exact edge list
+    * q43's connected components run over. q25 declares the same table
+    * and re-derives it per pass from the shared upstream co/size tables
+    * (round 16; see q03's note).
     */
   private def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"jacc3:$dir") {
@@ -530,7 +535,12 @@ object SparkEntry {
     // ───── scans / projection / edge model (S1-S7, P1-P5) ─────
     "q01_edges_scan" -> ((s, dir) => edges(s, dir)),
     "q02_nodes" -> ((s, dir) => GraphOps.nodes(edges(s, dir))),
-    "q03_binary_edges" -> ((s, dir) => sharedBinaryEdges(s, dir)),
+    // q03 re-derives its result per pass (round 16): the memoized
+    // sharedBinaryEdges copy serves only the OTHER graph operators
+    // (2-hop, triangles, pagerank, permutation), so q03's own bench
+    // timing measures the distinct, not a cache read.
+    "q03_binary_edges" -> ((s, dir) =>
+      GraphOps.binaryEdges(edges(s, dir))),
 
     // ───── the 12-feature aggregation (A1-A8, O1) ─────
     "q04_features" -> ((s, dir) =>
@@ -983,8 +993,13 @@ object SparkEntry {
           .as("jaccard"))),
     "q24_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.table(s, dir, "documents"))),
+    // q25 re-derives its pair table per pass from the shared UPSTREAM
+    // co-occurrence/size tables (round 16): sharedJaccardPairs serves
+    // only the q43/q148/q60 cluster family, so q25's timing measures
+    // the threshold join, not a cache read of its own result.
     "q25_ngram_jaccard" -> ((s, dir) =>
-      sharedJaccardPairs(s, dir)
+      Dedup.jaccardPairsFromCo(sharedShingleCo(s, dir),
+          sharedShingleSizes(s, dir), minJaccard = 0.05)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
           col("n_b"), round(col("jaccard"), 6).as("jaccard"))),
     "q26_embedding_neardup" -> ((s, dir) =>
@@ -1116,7 +1131,10 @@ object SparkEntry {
 
     // unigram LM cross-entropy quality score (CCNet-style LM filter,
     // SQL-expressible core — see TextOps.unigramCrossEntropy)
-    "q73_unigram_xent" -> ((s, dir) => sharedUnigramXent(s, dir)),
+    // q73 scores the corpus per pass (round 16): the memoized
+    // sharedUnigramXent copy serves only q77's ranking input.
+    "q73_unigram_xent" -> ((s, dir) =>
+      TextOps.unigramCrossEntropy(Tables.table(s, dir, "documents"))),
 
     // Gopher-rules composite filter: every continuous signal rounded
     // before thresholding so the flags are oracle-exact
@@ -1352,13 +1370,19 @@ object SparkEntry {
     }),
 
     // ───── similarity search (extension surface) ─────
+    // q27/q28/q40/q50 re-run their searches per pass (round 16): the
+    // memoized shared* copies serve only q87's recall arms, so each
+    // declared search times the actual scan+score work every pass.
     "q27_simsearch_topk" -> ((s, dir) => {
-      sharedBruteTopK(s, dir)
+      val emb = Tables.table(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
     "q28_simsearch_lsh" -> ((s, dir) => {
-      sharedLshTopK(s, dir)
+      val emb = Tables.table(s, dir, "embeddings")
+      SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
+          k = 10)
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
@@ -1374,7 +1398,10 @@ object SparkEntry {
       val centers = ivfTrained(s, s"ivf:$dir")(SimSearch.ivfCentroids(emb))
       stashIvfSql(dir, "q40_simsearch_ivf",
         q40OracleSql(centers, nprobe = 4, k = 10))
-      sharedIvfTopK(s, dir)
+      // fresh search per pass; the trained centers stay memoized (a fit
+      // is an upstream intermediate, consumed by q40/q69/q87 alike)
+      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
+          k = 10, centersOpt = Some(centers))
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("cos"), 6).as("cos"))
     }),
@@ -1384,7 +1411,9 @@ object SparkEntry {
         SimSearch.ivfPqModel(emb, dim = 64))
       stashIvfSql(dir, "q50_simsearch_ivfpq",
         q50OracleSql(model._1, model._2, nprobe = 4, k = 10, dsub = 8))
-      sharedIvfPqTopK(s, dir)
+      // fresh search per pass; the trained model stays memoized
+      SimSearch.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), dim = 64,
+          k = 10, modelOpt = Some(model))
         .select(col("query_id"), col("rank").cast("bigint").as("rnk"),
           col("nbr_id"), round(col("adc_cos"), 6).as("adc_cos"))
     }),
