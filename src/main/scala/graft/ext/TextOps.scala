@@ -307,19 +307,23 @@ object TextOps {
     * of terms with subwords/typos) must rank without ever collecting to
     * one task; the fit is one aggregation over the ranked vocab.
     *
-    * Cache lifetime: the ranked vocab is persisted for its two consumers
-    * inside the returned plan (fit + top-N); internal handle, lives until
-    * LRU eviction or session end — same discipline as
-    * [[unigramCrossEntropy]].
+    * Cache lifetime: the ranked vocab rides [[GraphOps.withPosition]]'s
+    * own localCheckpoint materialization; both consumers (fit + top-N)
+    * reread those blocks directly (round 16 — the previous extra pin
+    * duplicated the materialization).
     */
   def zipfStats(docs: DataFrame, topN: Int = 50,
                 textCol: String = "text"): DataFrame = {
     val tf = docs.select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    // no pin (round 16): withPosition's ranked table is already a
+    // materialized localCheckpoint leaf; both consumers (fit + top-N)
+    // re-apply only the cheap offsets-map projection over those blocks,
+    // so a second persisted copy bought nothing but an extra
+    // materialization pass
     val rk = graft.ops.GraphOps.withPosition(tf, "pos",
         col("freq").desc, col("term").asc)
       .withColumn("rnk", col("pos") + 1L).drop("pos")
-      .transform(graft.util.Pins.pin)
     val fit = rk.agg(
       (covar_pop(log(col("rnk")), log(col("freq"))) /
         var_pop(log(col("rnk")))).as("alpha"),

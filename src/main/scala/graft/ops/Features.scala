@@ -204,17 +204,31 @@ object Features {
     * PlanAuditSpec.
     */
   def pairNonzeroCounts(feats: DataFrame): DataFrame = {
+    // Two-level shape (round 16): the previous draft exploded ≤66 pair
+    // structs per feature ROW (~66× the input through the map-side hash
+    // agg). A row's pair set is a pure function of its 12-bit non-zero
+    // MASK, so aggregate rows down to (wid, mask) counts first — the
+    // mask domain is ≤ 2¹², so this agg is map-side-combined to almost
+    // nothing — and only then expand each distinct mask into its pairs,
+    // summing the pre-aggregated counts. Value-identical by construction:
+    // cnt(wid,f1,f2) = Σ_{masks with bits f1,f2} cnt(wid,mask).
     val cs = featureCols.map(c => col(c).cast("double"))
+    val mask = cs.zipWithIndex.map { case (c, i) =>
+      when(c =!= 0.0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val byMask = feats.select(col("wid"), mask.as("__m"))
+      .groupBy(col("wid"), col("__m")).agg(count(lit(1)).as("__n"))
     val pairs = for {
       i <- featureCols.indices
       j <- featureCols.indices if i < j
-    } yield when(cs(i) =!= 0.0 && cs(j) =!= 0.0,
+    } yield when(
+      col("__m").bitwiseAND(lit((1 << i) | (1 << j)))
+        === lit((1 << i) | (1 << j)),
       struct(lit(i).as("f1"), lit(j).as("f2")))
-    feats.select(col("wid"),
+    byMask.select(col("wid"), col("__n"),
         explode(filter(array(pairs: _*), x => x.isNotNull)).as("p"))
-      .select(col("wid"), col("p.f1").as("f1"), col("p.f2").as("f2"))
-      .groupBy(col("wid"), col("f1"), col("f2"))
-      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("wid"), col("p.f1").as("f1"), col("p.f2").as("f2"))
+      .agg(sum(col("__n")).as("cnt"))
   }
 
   /** DuckDB oracle SQL for the same aggregation, given an `edges` CTE

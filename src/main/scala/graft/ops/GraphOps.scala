@@ -210,10 +210,23 @@ object GraphOps {
   def withPositionCounted(df: DataFrame, posCol: String,
                           order: Column*): (DataFrame, Long) = {
     val localMask = (1L << 33) - 1
+    // LAZY checkpoint (round 16): the offsets count below is always the
+    // first action over the sorted table, so it materializes the
+    // checkpoint as a side effect — eager = true paid a separate
+    // materialization job per rank call for nothing (the driver's r15
+    // data showed the fixed cost dominating the small rank consumers
+    // q70/q78). Still a localCheckpoint: the plan stays a LEAF (the
+    // chained-rank plan-string blowup fix) and the data stays
+    // InternalRow-backed. Durability trade, documented: local checkpoint
+    // blocks are NOT reliable storage — on a cluster, losing an executor
+    // after materialization fails the job instead of recomputing
+    // (acceptable for these short-lived rank pipelines; swap in
+    // `checkpoint()` against a reliable dir if a deployment needs
+    // recompute-on-loss).
     val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val counts = sorted
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__n"))
